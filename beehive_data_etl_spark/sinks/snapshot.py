@@ -1,0 +1,390 @@
+"""HadoopSnapshotSink — exactly-once, key-bucketed MERGE target
+(SURVEY.md §2 A6/A7/A9/A10, §7.4).
+
+Mirrors Iceberg's snapshot/manifest model with plain parquet files so
+the full exactly-once protocol is testable in this sandbox (no Iceberg
+jars available; the cluster adapter in ``sinks.iceberg`` maps the same
+interface onto ``MERGE INTO`` + ``ALTER TABLE``):
+
+- table state lives in bucket directories, bucketed by
+  ``pmod(xxhash64(doc_id), n_buckets)`` — the merge only reads and
+  rewrites *touched* buckets (partition pruning, SURVEY.md §4),
+- a commit = per-``(batch_id, bucket)`` manifest files + one snapshot
+  JSON + an atomic swap of the ``CURRENT`` pointer
+  (BASELINE.json:6: "idempotent commit manifests keyed by
+  (batch_id, partition_id)"),
+- a crash at ANY point before the pointer swap leaves the previous
+  snapshot live; replaying the batch reuses already-manifested bucket
+  outputs and recomputes only the missing ones,
+- re-delivery of a committed batch is a recorded no-op, and stale
+  events inside a new batch lose the LWW reduction against the target
+  rows (``op_sequence`` comparison), so re-application is idempotent.
+
+Deletes are kept as tombstone rows (``deleted=true``) so a late stale
+update can never resurrect a deleted doc (SURVEY.md §7.3). Tombstone GC
+is a compaction concern, out of scope at test scale.
+
+Scale notes (100 TB / 10^10 events): state is only ever read for
+touched buckets; bucket count is the unit of merge parallelism — size
+it so one bucket's state fits an executor's shuffle partition
+(e.g. 4096 buckets for a 10 TB table). All driver-side collections in
+this file are bounded by ``n_buckets``, never by data volume.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.storagelevel import StorageLevel
+
+from beehive_data_etl_spark.operators.lww import lww_dedup
+from beehive_data_etl_spark.operators.schema_evolution import (
+    align_to_schema,
+    evolve_schema,
+)
+
+KEY = "doc_id"
+SEQ = "op_sequence"
+_INTERNAL = [SEQ, "deleted"]
+_ENVELOPE_META = ["op", "event_ts", "batch_hint"]
+
+
+def _bucket_expr(n_buckets: int):
+    return F.pmod(F.xxhash64(F.col(KEY)), F.lit(n_buckets)).cast("int")
+
+
+class SnapshotSink:
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        n_buckets: int = 16,
+        salt_partials: int = 0,
+        lineage: bool = True,
+        crash_hook=None,
+    ) -> None:
+        self.spark = spark
+        self.root = root
+        self.n_buckets = n_buckets
+        self.salt_partials = salt_partials
+        self.lineage = lineage
+        # test-only fault injection: called at named protocol points
+        self.crash_hook = crash_hook or (lambda point: None)
+        for d in ("_snapshots", "_manifests", "_metrics", "data"):
+            os.makedirs(os.path.join(root, d), exist_ok=True)
+        snap = self.current_snapshot()
+        if snap is not None and snap["n_buckets"] != n_buckets:
+            raise ValueError(
+                f"table bucketed with {snap['n_buckets']}, got n_buckets={n_buckets}"
+            )
+
+    # ------------------------------------------------------------- snapshots
+    def _current_path(self) -> str:
+        return os.path.join(self.root, "_snapshots", "CURRENT")
+
+    def current_snapshot(self) -> dict | None:
+        try:
+            with open(self._current_path()) as fh:
+                name = fh.read().strip()
+            with open(os.path.join(self.root, "_snapshots", name)) as fh:
+                return json.load(fh)
+        except FileNotFoundError:
+            return None
+
+    def _write_snapshot(self, snap: dict) -> None:
+        name = f"v{snap['version']:06d}.json"
+        path = os.path.join(self.root, "_snapshots", name)
+        tmp = path + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as fh:
+            json.dump(snap, fh)
+        os.replace(tmp, path)
+        self.crash_hook("before_pointer_swap")
+        ptr_tmp = self._current_path() + f".tmp-{uuid.uuid4().hex}"
+        with open(ptr_tmp, "w") as fh:
+            fh.write(name)
+        os.replace(ptr_tmp, self._current_path())  # THE commit point
+
+    def committed(self, batch_id: str) -> bool:
+        snap = self.current_snapshot()
+        return snap is not None and str(batch_id) in snap["committed_batches"]
+
+    # ------------------------------------------------------------- manifests
+    def _manifest_path(self, batch_id: str, bucket: int) -> str:
+        return os.path.join(self.root, "_manifests", str(batch_id), f"{bucket:05d}.json")
+
+    def manifest_contains(self, batch_id: str, bucket: int) -> bool:
+        return os.path.exists(self._manifest_path(batch_id, bucket))
+
+    def _write_manifest(self, batch_id: str, bucket: int, body: dict) -> None:
+        path = self._manifest_path(batch_id, bucket)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as fh:
+            json.dump(body, fh)
+        os.replace(tmp, path)
+
+    # ------------------------------------------------------------- reads
+    def _read_buckets(
+        self, snap: dict, buckets: list[int], target: T.StructType | None = None
+    ) -> DataFrame | None:
+        """Read stored state for the given buckets, aligned to ``target``
+        (default: the snapshot schema). Buckets written under older
+        schema versions are read with their stored schema and widened
+        declaratively (casts fold into the scan — no extra pass)."""
+        target = target or T.StructType.fromDDL(snap["schema"])
+        by_schema: dict[str, list[str]] = {}
+        for b in buckets:
+            ent = snap["buckets"].get(str(b))
+            if ent:
+                by_schema.setdefault(ent["schema"], []).append(
+                    os.path.join(self.root, ent["path"])
+                )
+        parts = []
+        for ddl, paths in by_schema.items():
+            df = self.spark.read.schema(T.StructType.fromDDL(ddl)).parquet(*paths)
+            parts.append(align_to_schema(df, target))
+        if not parts:
+            return None
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def read_state(self, buckets: list[int] | None = None) -> DataFrame:
+        """Full internal state (payload + op_sequence + deleted tombstones)."""
+        snap = self.current_snapshot()
+        if snap is None:
+            raise ValueError("no snapshot yet")
+        buckets = buckets if buckets is not None else list(range(self.n_buckets))
+        df = self._read_buckets(snap, buckets)
+        if df is None:
+            return self.spark.createDataFrame([], T.StructType.fromDDL(snap["schema"]))
+        return df
+
+    def read_final(self) -> DataFrame:
+        """The user-facing table: live rows only, internal columns dropped."""
+        state = self.read_state()
+        payload = [c for c in state.columns if c not in _INTERNAL]
+        return state.filter(~F.col("deleted")).select(KEY, *[c for c in payload if c != KEY])
+
+    # ------------------------------------------------------------- merge
+    def apply_batch(self, batch_df: DataFrame, batch_id: str | int) -> dict:
+        """Key-partitioned MERGE of one micro-batch of change events.
+
+        ``batch_df`` carries the CDC envelope (op, op_sequence, doc_id,
+        payload…). Returns commit metrics. Safe to call repeatedly with
+        the same ``batch_id`` (exactly-once via manifests + snapshot
+        pointer; SURVEY.md §3.3 state machine).
+        """
+        t0 = time.time()
+        batch_id = str(batch_id)
+        snap = self.current_snapshot()
+        if snap is not None and batch_id in snap["committed_batches"]:
+            return {"batch_id": batch_id, "skipped": True, "reason": "already committed"}
+
+        payload_fields = [
+            f for f in batch_df.schema.fields
+            if f.name not in _ENVELOPE_META and f.name not in _INTERNAL
+        ]
+        batch_payload_schema = T.StructType(payload_fields)
+
+        # -- schema evolution (A9): widen/extend BEFORE touching data
+        if snap is None:
+            table_schema = T.StructType(
+                list(batch_payload_schema.fields)
+                + [
+                    T.StructField(SEQ, T.LongType(), False),
+                    T.StructField("deleted", T.BooleanType(), False),
+                ]
+            )
+            schema_version, ddl_log = 0, []
+            prev_buckets, committed = {}, []
+            version = 0
+        else:
+            table_schema = T.StructType.fromDDL(snap["schema"])
+            payload_only = T.StructType(
+                [f for f in table_schema.fields if f.name not in _INTERNAL]
+            )
+            evolved, ddl_log = evolve_schema(payload_only, batch_payload_schema)
+            table_schema = T.StructType(
+                list(evolved.fields)
+                + [f for f in table_schema.fields if f.name in _INTERNAL]
+            )
+            schema_version = snap["schema_version"] + (1 if ddl_log else 0)
+            prev_buckets = dict(snap["buckets"])
+            committed = list(snap["committed_batches"])
+            version = snap["version"]
+
+        # -- in-batch LWW dedup (A3) with explicit hot-key salting (A8)
+        events = batch_df.drop(*[c for c in _ENVELOPE_META if c in batch_df.columns and c != "op"])
+        deduped = lww_dedup(events, KEY, SEQ, salt_partials=self.salt_partials)
+        state_rows = (
+            deduped.withColumn("deleted", F.col("op") == F.lit("D"))
+            .drop("op")
+            .withColumn("_bucket", _bucket_expr(self.n_buckets))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        n_after_dedup = state_rows.count()  # materializes the persist
+        touched = sorted(
+            r[0] for r in state_rows.select("_bucket").distinct().collect()
+        )
+        metrics: dict = {
+            "batch_id": batch_id,
+            "skipped": False,
+            "n_after_dedup": n_after_dedup,
+            "touched_buckets": touched,
+            "schema_ddl": ddl_log,
+            "schema_version": schema_version,
+        }
+        if not touched:  # empty batch: commit the batch id only
+            state_rows.unpersist()
+            self._commit(version, snap, prev_buckets, committed, batch_id,
+                         table_schema, schema_version, metrics, t0)
+            return metrics
+
+        todo = [b for b in touched if not self.manifest_contains(batch_id, b)]
+        reused = [b for b in touched if b not in todo]
+
+        new_entries: dict[str, dict] = {}
+        bucket_rows: dict[int, int] = {}
+        if todo:
+            src = align_to_schema(
+                state_rows.filter(F.col("_bucket").isin(todo)), table_schema
+            )
+            tgt = None
+            if snap is not None:
+                tgt = self._read_buckets(snap, todo, target=table_schema)
+            merged_in = src if tgt is None else src.unionByName(tgt)
+            # cross-batch LWW (A3 across batches / A6 merge condition):
+            # target rows and batch rows compete on op_sequence
+            merged = lww_dedup(merged_in, KEY, SEQ).withColumn(
+                "_bucket", _bucket_expr(self.n_buckets)
+            )
+            staging = os.path.join(self.root, "data", f"_stage-{uuid.uuid4().hex}")
+            (
+                merged.repartition(max(len(todo), 1), "_bucket")
+                .write.mode("overwrite")
+                .partitionBy("_bucket")
+                .parquet(staging)
+            )
+            self.crash_hook("after_data_write")
+            dest_root = os.path.join(self.root, "data", f"ingest={batch_id}")
+            os.makedirs(dest_root, exist_ok=True)
+            schema_ddl_payload = _payload_ddl(table_schema)
+            for b in todo:
+                src_dir = os.path.join(staging, f"_bucket={b}")
+                dest = os.path.join(dest_root, f"bucket={b}")
+                if not os.path.isdir(src_dir):
+                    os.makedirs(src_dir, exist_ok=True)  # bucket emptied (cannot happen w/ tombstones, but be safe)
+                if os.path.isdir(dest):
+                    shutil.rmtree(dest)  # leftover from a crashed, un-manifested attempt
+                os.replace(src_dir, dest)
+                rows, files = _parquet_stats(dest)
+                bucket_rows[b] = rows
+                self._write_manifest(
+                    batch_id,
+                    b,
+                    {
+                        "batch_id": batch_id,
+                        "bucket": b,
+                        "rows": rows,
+                        "files": files,
+                        "schema": schema_ddl_payload,
+                        "ts": time.time(),
+                    },
+                )
+                self.crash_hook("after_manifest")
+                new_entries[str(b)] = {
+                    "path": os.path.relpath(dest, self.root),
+                    "schema": schema_ddl_payload,
+                }
+            shutil.rmtree(staging, ignore_errors=True)
+        for b in reused:
+            with open(self._manifest_path(batch_id, b)) as fh:
+                m = json.load(fh)
+            bucket_rows[b] = m["rows"]
+            new_entries[str(b)] = {
+                "path": os.path.join("data", f"ingest={batch_id}", f"bucket={b}"),
+                "schema": m["schema"],
+            }
+
+        state_rows.unpersist()
+        prev_buckets.update(new_entries)
+        metrics.update({"bucket_rows": bucket_rows, "reused_buckets": reused})
+        if self.lineage:
+            metrics["lineage"] = self._batch_lineage(batch_df)
+        self._commit(version, snap, prev_buckets, committed, batch_id,
+                     table_schema, schema_version, metrics, t0)
+        return metrics
+
+    def _batch_lineage(self, batch_df: DataFrame) -> dict:
+        """Per-partition lineage (A12): which input files fed which
+        bucket, with event counts. Bounded output: ≤ n_buckets rows."""
+        rows = (
+            batch_df.withColumn("_bucket", _bucket_expr(self.n_buckets))
+            .withColumn("_src", F.input_file_name())  # materialize pre-agg (non-deterministic expr)
+            .groupBy("_bucket")
+            .agg(
+                F.count(F.lit(1)).alias("events"),
+                F.array_sort(F.collect_set("_src")).alias("input_files"),
+            )
+            .collect()
+        )
+        return {
+            str(r["_bucket"]): {
+                "events": r["events"],
+                "input_files": [os.path.basename(f) for f in r["input_files"] if f],
+            }
+            for r in rows
+        }
+
+    def _commit(self, version, snap, buckets, committed, batch_id,
+                table_schema, schema_version, metrics, t0) -> None:
+        metrics["wall_s"] = round(time.time() - t0, 4)
+        metrics["commit_ts"] = time.time()
+        new_snap = {
+            "version": version + 1,
+            "n_buckets": self.n_buckets,
+            "schema": _ddl(table_schema),
+            "schema_version": schema_version,
+            "buckets": buckets,
+            "committed_batches": committed + [batch_id],
+            "parent": None if snap is None else snap["version"],
+            "metrics": {k: v for k, v in metrics.items() if k != "lineage"},
+        }
+        self._write_snapshot(new_snap)
+        with open(os.path.join(self.root, "_metrics", "commits.jsonl"), "a") as fh:
+            fh.write(json.dumps(metrics) + "\n")
+
+    def read_metrics(self) -> list[dict]:
+        path = os.path.join(self.root, "_metrics", "commits.jsonl")
+        if not os.path.exists(path):
+            return []
+        with open(path) as fh:
+            return [json.loads(line) for line in fh if line.strip()]
+
+
+def _payload_ddl(table_schema: T.StructType) -> str:
+    return _ddl(table_schema)
+
+
+def _ddl(schema: T.StructType) -> str:
+    return ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in schema.fields)
+
+
+def _parquet_stats(directory: str) -> tuple[int, list[str]]:
+    import pyarrow.parquet as pq
+
+    rows, files = 0, []
+    for f in sorted(glob.glob(os.path.join(directory, "*.parquet"))):
+        rows += pq.read_metadata(f).num_rows
+        files.append(os.path.basename(f))
+    return rows, files

@@ -1,0 +1,275 @@
+"""Deterministic synthetic change-event log (binlog/WAL) generator.
+
+Implements FIXTURES.md F2/F3: a parquet directory of sequentially
+numbered files that a file-tail source replays in order. Every value is
+a pure function of ``(doc_id, op_sequence, seed)`` so any independent
+oracle can regenerate the payload of any event without reading the log.
+
+The reference pipeline's "change feed" is a re-run of its fetchers
+overwriting MongoDB documents keyed by a record identifier (SURVEY.md
+§1.1); this generator produces the explicit CDC lift of that behavior:
+ordered I/U/D events keyed by ``doc_id`` with last-writer-wins
+semantics over ``op_sequence``.
+
+Generation is fully numpy-vectorized (no per-row Python) and writes
+via pyarrow — this is a *fixture tool*, deliberately driver-side; the
+engine itself never generates data.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from datetime import datetime, timezone
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+VOCAB = 50257  # GPT-2-ish vocab size for synthetic token ids
+MAX_LEN = 512
+_PRIME1 = np.uint64(0x9E3779B97F4A7C15)
+_PRIME2 = np.uint64(0xBF58476D1CE4E5B9)
+_PRIME3 = np.uint64(0x94D049BB133111EB)
+
+BASE_TS = datetime(2026, 1, 1, tzinfo=timezone.utc)
+
+BASE_ENVELOPE_DDL = (
+    "op string, op_sequence long, doc_id string, tokens array<int>, "
+    "n_tok int, source string, event_ts timestamp, batch_hint int"
+)
+EVOLVED_ENVELOPE_DDL = (
+    "op string, op_sequence long, doc_id string, tokens array<int>, "
+    "n_tok long, source string, event_ts timestamp, batch_hint int, "
+    "lang string"
+)
+BASE_ENVELOPE_SCHEMA = BASE_ENVELOPE_DDL
+EVOLVED_ENVELOPE_SCHEMA = EVOLVED_ENVELOPE_DDL
+
+_SOURCES = np.array(["grants_360giving", "charity_register", "companies_house", "manual"])
+_LANGS = np.array(["en", "cy", "gd", "fr"])
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (public-domain constant mixer)."""
+    with np.errstate(over="ignore"):
+        x = (x + _PRIME1).astype(np.uint64)
+        x = ((x ^ (x >> np.uint64(30))) * _PRIME2).astype(np.uint64)
+        x = ((x ^ (x >> np.uint64(27))) * _PRIME3).astype(np.uint64)
+        return x ^ (x >> np.uint64(31))
+
+
+def _event_keys(doc_idx: np.ndarray, op_seq: np.ndarray, seed: int) -> np.ndarray:
+    with np.errstate(over="ignore"):
+        return _splitmix64(
+            doc_idx.astype(np.uint64) * _PRIME2
+            ^ op_seq.astype(np.uint64) * _PRIME3
+            ^ np.uint64(seed)
+        )
+
+
+def _lengths(keys: np.ndarray) -> np.ndarray:
+    return (1 + (_splitmix64(keys ^ _PRIME1) % np.uint64(MAX_LEN))).astype(np.int64)
+
+
+def _ragged_tokens(keys: np.ndarray, lengths: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Ragged token payloads: returns (offsets[int64, n+1], values[int32])."""
+    offsets = np.zeros(len(keys) + 1, dtype=np.int64)
+    np.cumsum(lengths, out=offsets[1:])
+    total = int(offsets[-1])
+    per_tok_event = np.repeat(np.arange(len(keys), dtype=np.int64), lengths)
+    j = np.arange(total, dtype=np.uint64) - np.repeat(
+        offsets[:-1].astype(np.uint64), lengths
+    )
+    with np.errstate(over="ignore"):
+        vals = (
+            _splitmix64(keys[per_tok_event] ^ (j + np.uint64(1)) * _PRIME3)
+            % np.uint64(VOCAB)
+        ).astype(np.int32)
+    return offsets, vals
+
+
+def _ragged_gather(
+    offsets: np.ndarray, values: np.ndarray, sel: np.ndarray, lengths: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized gather of selected ragged rows → (new_offsets, new_values)."""
+    lens = lengths[sel]
+    new_off = np.zeros(len(sel) + 1, dtype=np.int64)
+    np.cumsum(lens, out=new_off[1:])
+    total = int(new_off[-1])
+    if total == 0:
+        return new_off, np.array([], dtype=values.dtype)
+    starts = offsets[sel]
+    idx = np.repeat(starts - new_off[:-1], lens) + np.arange(total, dtype=np.int64)
+    return new_off, values[idx]
+
+
+def tokens_for(doc_idx: int, op_seq: int, seed: int = 42) -> np.ndarray:
+    """Oracle-side regeneration of one event's token payload."""
+    key = _event_keys(np.array([doc_idx]), np.array([op_seq]), seed)
+    n = _lengths(key)
+    _, vals = _ragged_tokens(key, n)
+    return vals
+
+
+def _zipf_probs(n: int, s: float = 1.2) -> np.ndarray:
+    ranks = np.arange(1, n + 1, dtype=np.float64)
+    p = ranks**-s
+    return p / p.sum()
+
+
+def generate_event_log(
+    out_dir: str,
+    n_docs: int = 500,
+    n_events: int = 5000,
+    n_files: int = 10,
+    seed: int = 42,
+    p_ops: tuple[float, float, float] = (0.2, 0.7, 0.1),
+    p_duplicate: float = 0.02,
+    p_out_of_order: float = 0.05,
+    zipf_s: float = 1.2,
+    evolution_split: int | None = None,
+) -> str:
+    """Write a deterministic CDC event log to ``out_dir``.
+
+    Files ``part-00000.parquet`` … replay in lexical order. Doc ids are
+    Zipf(s)-distributed (hot keys for the skew path, SURVEY.md §2 A8).
+    ``p_duplicate`` re-emits events verbatim in a later file
+    (exactly-once check); ``p_out_of_order`` displaces events 1-3 files
+    late (LWW/late-data check). With ``evolution_split``, events with
+    ``op_sequence > split`` carry the evolved envelope: added ``lang``
+    column and ``n_tok`` widened int32→int64 (FIXTURES.md F3).
+
+    Returns ``out_dir``. Idempotent: skips generation when a matching
+    ``_meta.json`` already exists.
+    """
+    meta = {
+        "n_docs": n_docs,
+        "n_events": n_events,
+        "n_files": n_files,
+        "seed": seed,
+        "p_ops": list(p_ops),
+        "p_duplicate": p_duplicate,
+        "p_out_of_order": p_out_of_order,
+        "zipf_s": zipf_s,
+        "evolution_split": evolution_split,
+        "version": 4,
+    }
+    meta_path = os.path.join(out_dir, "_meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as fh:
+            if json.load(fh) == meta:
+                return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.default_rng(seed)
+
+    doc_idx = rng.choice(n_docs, size=n_events, p=_zipf_probs(n_docs, zipf_s))
+    op_seq = np.arange(1, n_events + 1, dtype=np.int64)
+    roll = rng.random(n_events)
+    op = np.where(roll < p_ops[0], "I", np.where(roll < p_ops[0] + p_ops[1], "U", "D"))
+    # first occurrence per doc forced to 'I': reverse-order scatter keeps
+    # the earliest event index per doc
+    order_of_first = np.full(n_docs, -1, dtype=np.int64)
+    rev = np.arange(n_events - 1, -1, -1)
+    order_of_first[doc_idx[rev]] = rev
+    first_mask = np.zeros(n_events, dtype=bool)
+    first_mask[order_of_first[order_of_first >= 0]] = True
+    op = np.where(first_mask, "I", op)
+    is_del = op == "D"
+
+    keys = _event_keys(doc_idx, op_seq, seed)
+    lengths = _lengths(keys)
+    lengths_eff = np.where(is_del, 0, lengths)
+    offsets, tok_vals = _ragged_tokens(keys, lengths_eff)
+    n_tok_vals = lengths.astype(np.int64)
+
+    doc_ids = np.char.add("doc-", np.char.zfill(doc_idx.astype("U8"), 8))
+    source = _SOURCES[_splitmix64(doc_idx.astype(np.uint64)) % np.uint64(len(_SOURCES))]
+    event_ts = (
+        np.int64(BASE_TS.timestamp() * 1_000_000) + op_seq * np.int64(1_000_000)
+    )
+
+    events_per_file = max(1, (n_events + n_files - 1) // n_files)
+    file_idx = (np.arange(n_events) // events_per_file).astype(np.int32)
+    ooo = rng.random(n_events) < p_out_of_order
+    file_idx = np.where(
+        ooo,
+        np.minimum(file_idx + rng.integers(1, 4, size=n_events), n_files - 1),
+        file_idx,
+    ).astype(np.int32)
+
+    dup_sel = np.flatnonzero(rng.random(n_events) < p_duplicate)
+    dup_file_idx = np.minimum(
+        file_idx[dup_sel] + rng.integers(1, 4, size=len(dup_sel)), n_files - 1
+    ).astype(np.int32)
+
+    evolved = (
+        np.zeros(n_events, dtype=bool)
+        if evolution_split is None
+        else (op_seq > evolution_split)
+    )
+    lang = _LANGS[
+        _splitmix64(doc_idx.astype(np.uint64) ^ _PRIME2) % np.uint64(len(_LANGS))
+    ]
+
+    def _build_table(sel: np.ndarray, f: int, want_evolved: bool) -> pa.Table:
+        new_off, new_vals = _ragged_gather(offsets[:-1], tok_vals, sel, lengths_eff)
+        del_mask = is_del[sel]
+        toks = pa.ListArray.from_arrays(
+            pa.array(new_off.astype(np.int32), type=pa.int32()),
+            pa.array(new_vals, type=pa.int32()),
+        )
+        if del_mask.any():
+            # null-out deleted payloads (tokens/n_tok are null on 'D'):
+            # take() with a null index yields a null list entry
+            indices = pa.array(np.arange(len(sel), dtype=np.int64), mask=del_mask)
+            toks = toks.take(indices)
+        nt = n_tok_vals[sel].copy()
+        if want_evolved and evolution_split is not None:
+            # one deliberate >2^31 value proves the int64 widening (F3)
+            big = np.flatnonzero(op_seq[sel] == evolution_split + 1)
+            if len(big):
+                nt[big[0]] = np.int64(2**31) + 7
+        nt_type = pa.int64() if want_evolved else pa.int32()
+        cols = {
+            "op": pa.array(op[sel]),
+            "op_sequence": pa.array(op_seq[sel], type=pa.int64()),
+            "doc_id": pa.array(doc_ids[sel]),
+            "tokens": toks,
+            "n_tok": pa.array(nt, type=nt_type, mask=del_mask),
+            "source": pa.array(source[sel]),
+            "event_ts": pa.array(event_ts[sel], type=pa.timestamp("us", tz="UTC")),
+            "batch_hint": pa.array(np.full(len(sel), f, dtype=np.int32)),
+        }
+        if want_evolved:
+            cols["lang"] = pa.array(lang[sel])
+        return pa.table(cols)
+
+    all_idx = np.concatenate([np.arange(n_events), dup_sel]).astype(np.int64)
+    all_file = np.concatenate([file_idx, dup_file_idx])
+    for f in range(n_files):
+        sel = all_idx[all_file == f]
+        sel = sel[np.argsort(op_seq[sel], kind="stable")]
+        if evolution_split is None:
+            tbl = _build_table(sel, f, False)
+        else:
+            ev = evolved[sel]
+            if not ev.any():
+                tbl = _build_table(sel, f, False)
+            elif ev.all():
+                tbl = _build_table(sel, f, True)
+            else:
+                # mixed file: promote pre-split rows to the evolved schema
+                base = _build_table(sel[~ev], f, False)
+                base = base.set_column(
+                    base.schema.get_field_index("n_tok"),
+                    "n_tok",
+                    base["n_tok"].cast(pa.int64()),
+                ).append_column("lang", pa.nulls(base.num_rows, type=pa.string()))
+                tbl = pa.concat_tables([base, _build_table(sel[ev], f, True)]).sort_by(
+                    "op_sequence"
+                )
+        pq.write_table(tbl, os.path.join(out_dir, f"part-{f:05d}.parquet"))
+    with open(meta_path, "w") as fh:
+        json.dump(meta, fh)
+    return out_dir

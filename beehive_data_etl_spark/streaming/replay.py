@@ -1,0 +1,115 @@
+"""Binlog/WAL-tail replayers (SURVEY.md §2 A1/A4/A11, §3.2 E1).
+
+Two entry points over the same ``SnapshotSink.apply_batch`` merge:
+
+- ``replay_stream`` — Structured Streaming file-tail with a checkpoint
+  directory and ``foreachBatch`` (BASELINE.json:6: "consumed in
+  checkpointed micro-batches via Structured Streaming"). Spark manages
+  offsets; the sink's manifests make re-delivered epochs idempotent, so
+  restart-from-checkpoint is exactly-once end-to-end. The source schema
+  is fixed for the lifetime of a run (a Spark streaming-source
+  constraint), so a schema-evolving log is read with its final
+  superset schema here.
+- ``replay_incremental`` — an ordered-file micro-batcher that reads
+  each batch with its *own* merged schema, so added/widened columns hit
+  the sink mid-replay and trigger real in-flight schema evolution
+  (SURVEY.md §2 A9). This is how lakehouse streaming sources plan file
+  batches internally; offsets are recovered from the sink's committed
+  batch ids (no separate checkpoint state to lose).
+
+Both paths tolerate duplicate delivery, out-of-order files, and crash/
+restart at any point — see tests/test_exactly_once.py.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from beehive_data_etl_spark.sinks.snapshot import SnapshotSink
+from beehive_data_etl_spark.sources.readers import read_wal
+
+Transform = Callable[[DataFrame], DataFrame]
+
+
+def _log_files(log_dir: str) -> list[str]:
+    files = sorted(glob.glob(os.path.join(log_dir, "part-*.parquet")))
+    if not files:
+        raise FileNotFoundError(f"no part-*.parquet under {log_dir}")
+    return files
+
+
+def replay_incremental(
+    spark: SparkSession,
+    log_dir: str,
+    sink: SnapshotSink,
+    files_per_batch: int = 1,
+    transform: Transform | None = None,
+    max_batches: int | None = None,
+) -> list[dict]:
+    """Replay an ordered WAL directory through the sink, one schema-aware
+    micro-batch per ``files_per_batch`` files. Resumable: batch ids are
+    deterministic functions of the file list, and committed ids are
+    skipped inside the sink. Returns per-batch commit metrics."""
+    files = _log_files(log_dir)
+    chunks = [files[i : i + files_per_batch] for i in range(0, len(files), files_per_batch)]
+    out = []
+    for i, chunk in enumerate(chunks):
+        if max_batches is not None and i >= max_batches:
+            break
+        batch_id = f"wal-{i:06d}-{os.path.basename(chunk[0])}"
+        if sink.committed(batch_id):
+            out.append({"batch_id": batch_id, "skipped": True})
+            continue
+        df = read_wal(spark, chunk)
+        if transform is not None:
+            df = transform(df)
+        out.append(sink.apply_batch(df, batch_id))
+    return out
+
+
+def replay_stream(
+    spark: SparkSession,
+    log_dir: str,
+    sink: SnapshotSink,
+    checkpoint_dir: str,
+    schema_ddl: str,
+    max_files_per_trigger: int = 1,
+    transform: Transform | None = None,
+    watermark: tuple[str, str] | None = None,
+) -> None:
+    """Structured Streaming replay with ``Trigger.AvailableNow``:
+    processes everything currently in ``log_dir`` in checkpointed
+    micro-batches, then stops. Restarting with the same checkpoint
+    resumes from the recorded offsets; an epoch that was delivered but
+    not committed is re-applied idempotently by the sink manifests.
+
+    ``watermark=(col, delay)`` installs an event-time watermark
+    (SURVEY.md §2 A4) — with LWW merge semantics late events are
+    *correct* regardless (they lose the op_sequence comparison), the
+    watermark only bounds any stateful operators added upstream.
+    """
+    reader = (
+        spark.readStream.schema(schema_ddl)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("latestFirst", "false")
+        .parquet(log_dir)
+    )
+    if watermark is not None:
+        reader = reader.withWatermark(*watermark)
+    if transform is not None:
+        reader = transform(reader)
+
+    def _apply(df: DataFrame, epoch_id: int) -> None:
+        sink.apply_batch(df, f"stream-{epoch_id:06d}")
+
+    query = (
+        reader.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()

