@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+- ``entry(spark)``: flagship query on sf0.001 — the engine's signature
+  CDC operation in batch form: treat the events table as a change log
+  (key=user_id, op_sequence=event_id, deletes from event_type) and
+  produce the last-writer-wins final state (SURVEY.md §7.1 M1: "what is
+  the final state per key after this change log?").
+- ``queries()`` / ``oracle_sql()``: the full operator surface from
+  SURVEY.md §2B plus the training-data operators (dedup / similarity /
+  text analysis / multimodal), each checked against a DuckDB oracle at
+  sf0.01 by the driver.
 """
 
 from __future__ import annotations
@@ -12,27 +16,45 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SF_SMOKE = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: batch CDC replay semantics over sf0.001 events —
+    per-key LWW final state with delete tombstoning dropped."""
+    from beehive_data_etl_spark.operators.lww import lww_dedup
+
+    events = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    log = events.select(
+        F.col("user_id").cast("string").alias("doc_id"),
+        F.col("event_id").alias("op_sequence"),
+        F.when(F.col("event_type") == "delete", "D").otherwise("U").alias("op"),
+        F.col("event_type"),
+        F.col("value"),
+    )
+    final = lww_dedup(log, key="doc_id", seq="op_sequence", salt_partials=4)
+    return final.filter(F.col("op") != "D").select(
+        "doc_id",
+        F.col("op_sequence").alias("last_seq"),
+        F.col("event_type").alias("last_type"),
+        F.col("value").alias("last_value"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2 (see
+    beehive_data_etl_spark/plans/queries.py for the implementations)."""
+    from beehive_data_etl_spark.plans.queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL per query; keys absent here (approx
+    sketches, LSH-approximate ANN, stubbed multimodal decode) get the
+    driver's rows-only check and are pytest-covered instead."""
+    from beehive_data_etl_spark.plans.queries import ORACLES
+
+    return dict(ORACLES)

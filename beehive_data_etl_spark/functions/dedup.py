@@ -1,0 +1,174 @@
+"""Deduplication operators for large-scale training-data pipelines:
+exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup.
+
+Scale design (100 TB corpora):
+
+- every operator is shuffle-by-key (groupBy on a content hash / band
+  hash / shingle), so it parallelizes to any partition count and never
+  collects to the driver;
+- LSH banding turns the quadratic all-pairs problem into an equi-join
+  on (band_id, band_hash) — only same-bucket docs are paired;
+- candidate pairs are emitted as (doc_a < doc_b) so downstream
+  verification joins are deterministic;
+- hashes are the portable md5-derived 32-bit ints (functions.hashing)
+  so a DuckDB oracle recomputes them bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from beehive_data_etl_spark.functions.hashing import minhash_signature, portable_hash32
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct n-word shingles (joined by single spaces) from a text
+    column — pure expression via sequence + transform, no UDF."""
+    c = F.col(col) if isinstance(col, str) else col
+    words = F.split(F.trim(F.lower(c)), r"\s+")
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+        )
+    )
+
+
+def word_shingles_sql(expr: str, n: int = 3) -> str:
+    """DuckDB twin of word_shingles (1-based list slicing, as in Spark)."""
+    w = f"string_split_regex(trim(lower({expr})), '\\s+')"
+    return (
+        f"list_distinct(list_transform(generate_series(1, "
+        f"greatest(len({w}) - {n - 1}, 1)), "
+        f"i -> array_to_string(list_slice({w}, i, i + {n - 1}), ' ')))"
+    )
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup by content hash: one canonical (min id) row per
+    distinct md5(text), with the duplicate count. Hash-groupBy: a single
+    shuffle on the digest, map-side combined."""
+    return (
+        docs.select(F.md5(F.col(text_col)).alias("content_md5"), F.col(id_col))
+        .groupBy("content_md5")
+        .agg(F.min(id_col).alias("canonical_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash + LSH candidate pairs: shingle → k-minhash → split the
+    signature into ``bands`` bands → band-hash → self-join per bucket.
+    Returns (id_a, id_b, n_shared_bands). Never materializes all pairs —
+    only same-bucket ones (the LSH point)."""
+    rows = k // bands
+    sig = (
+        docs.select(F.col(id_col).alias("id"), word_shingles(text_col, shingle_n).alias("sh"))
+        .select("id", minhash_signature(F.col("sh"), k).alias("sig"))
+    )
+    banded = sig.select(
+        "id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.md5(F.concat_ws(",", *[F.col("sig")[b * rows + r] for r in range(rows)]))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "band_hash"),
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .groupBy(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+
+
+def simhash(col: Column | str, bits: int = 16) -> Column:
+    """SimHash over words: per-word portable hash, per-bit majority
+    vote, reassembled into a ``bits``-wide integer. Pure expressions —
+    the per-bit sums are higher-order aggregates over the word array."""
+    c = F.col(col) if isinstance(col, str) else col
+    words = F.split(F.trim(F.lower(c)), r"\s+")
+    hashes = F.transform(words, lambda w: portable_hash32(w))
+    n = F.size(words)
+    def _ones(i: int) -> Column:
+        # closure (not default-arg) so the merge lambda keeps 2-arg arity
+        return F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc + F.shiftright(h, i).bitwiseAND(F.lit(1)),
+        )
+
+    bit_terms = [
+        F.when(_ones(i) * 2 > n, F.lit(2**i)).otherwise(F.lit(0)) for i in range(bits)
+    ]
+    out = bit_terms[0]
+    for t in bit_terms[1:]:
+        out = out + t
+    return out.cast("long")
+
+
+def simhash_sql(expr: str, bits: int = 16) -> str:
+    w = f"string_split_regex(trim(lower({expr})), '\\s+')"
+    h = f"list_transform({w}, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT)"
+    terms = []
+    for i in range(bits):
+        ones = f"list_sum(list_transform({h}, x -> (x >> {i}) & 1))"
+        terms.append(f"(CASE WHEN {ones} * 2 > len({w}) THEN {2**i} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")::BIGINT"
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str | None = "lang",
+    shingle_n: int = 3,
+    threshold: float = 0.12,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity via shingle inverted index:
+    explode shingles → self-join on shingle (within ``group_col`` to
+    bound the blowup) → |A∩B| by count → Jaccard from the distinct
+    shingle counts. Returns pairs ≥ threshold (rounded 4dp)."""
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        *( [F.col(group_col).alias("grp")] if group_col else [F.lit(1).alias("grp")] ),
+        word_shingles(text_col, shingle_n).alias("sh"),
+    ).withColumn("n_sh", F.size("sh"))
+    inv = base.select("id", "grp", "n_sh", F.explode("sh").alias("shingle"))
+    l, r = inv.alias("l"), inv.alias("r")
+    inter = (
+        l.join(
+            r,
+            (F.col("l.shingle") == F.col("r.shingle"))
+            & (F.col("l.grp") == F.col("r.grp"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .groupBy(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.n_sh").alias("n_a"),
+            F.col("r.n_sh").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = inter.withColumn(
+        "jaccard",
+        F.round(F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 4),
+    )
+    return jac.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")

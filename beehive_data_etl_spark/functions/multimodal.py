@@ -1,0 +1,77 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata, processed via Arrow-batched ``mapInPandas``.
+
+The decode step itself is STUBBED (no image/audio libraries in this
+container — see ``decode_stub``); everything Spark-side is real and
+tested: schema, batch iteration, partitioning, and the UDF signatures a
+production decode would drop into.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "media_id long, modality string, payload binary, mime string, n_bytes long"
+)
+FEATURE_SCHEMA = MEDIA_SCHEMA + ", checksum long, feat array<double>"
+
+
+def attach_media(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Fabricate a deterministic opaque binary payload per document (the
+    utf-8 bytes of its text) with typed metadata — the multimodal table
+    shape a real pipeline would read from a lake of media blobs."""
+    return docs.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        F.when(F.col(id_col) % 3 == 0, F.lit("image"))
+        .when(F.col(id_col) % 3 == 1, F.lit("audio"))
+        .otherwise(F.lit("video"))
+        .alias("modality"),
+        F.encode(F.col(text_col), "utf-8").alias("payload"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.octet_length(F.encode(F.col(text_col), "utf-8")).cast("long").alias("n_bytes"),
+    )
+
+
+def decode_stub(payload: bytes, modality: str) -> np.ndarray:
+    """Where a real decoder (PIL/torchaudio/ffmpeg) would run. The
+    deterministic fake: interpret the first 256 bytes as uint8 and
+    average over 8 equal strides → an 8-dim 'feature'. Raises for
+    unknown modalities like a real decoder would."""
+    if modality not in ("image", "audio", "video"):
+        raise NotImplementedError(f"no decoder for modality {modality!r}")
+    head = np.frombuffer(payload[:256], dtype=np.uint8).astype(np.float64)
+    if head.size == 0:
+        return np.zeros(8)
+    pad = np.zeros(256)
+    pad[: head.size] = head
+    return pad.reshape(8, 32).mean(axis=1)
+
+
+def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
+    """Arrow-batched feature extraction over the opaque payloads:
+    ``mapInPandas`` keeps whole batches in pandas (vectorized checksum;
+    the decode loop is the stub's per-item boundary, exactly where a
+    vectorized decoder would slot in)."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            pdf = pdf.copy()
+            # vectorized checksum: sum of the first 64 bytes, mod 2^31
+            pdf["checksum"] = [
+                int(np.frombuffer(p[:64], dtype=np.uint8).sum()) % (2**31)
+                for p in payloads
+            ]
+            pdf["feat"] = [
+                decode_stub(p, m).tolist()
+                for p, m in zip(payloads, pdf["modality"])
+            ]
+            yield pdf
+
+    return media.mapInPandas(_extract, schema=FEATURE_SCHEMA)

@@ -1,0 +1,179 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, as a 100 TB pipeline needs both:
+
+- ``cosine_topk_bruteforce`` — exact top-k: broadcast the (small) query
+  set against the full corpus; per-row dot products are higher-order
+  array folds in the JVM (no Python). Scales linearly in corpus size
+  with zero shuffle on the corpus side (queries broadcast).
+- ``lsh_bucketed_topk`` — the scale path: random-hyperplane signatures
+  (derived deterministically from the portable hash, so no stored model
+  is needed) bucket the corpus; candidates come from an equi-join on
+  the signature, then exact cosine re-ranks inside buckets only.
+
+``cosine_expr`` casts to double and folds sequentially, matching
+DuckDB's ``list_cosine_similarity`` to ~1e-12; results are rounded to
+4dp before any threshold/rank so both engines agree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from beehive_data_etl_spark.functions.hashing import portable_hash32
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a.cast("array<double>"), b.cast("array<double>"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a.cast("array<double>"), F.lit(0.0), lambda acc, v: acc + v * v
+        )
+    )
+
+
+def cosine_expr(a: Column, b: Column, decimals: int = 4) -> Column:
+    return F.round(dot_expr(a, b) / (norm_expr(a) * norm_expr(b)), decimals)
+
+
+def cosine_topk_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query vector (excluding self).
+    The query side is broadcast — the corpus is never shuffled."""
+    q = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"))
+    scored = (
+        c.join(F.broadcast(q), F.col("q_id") != F.col("n_id"))
+        .withColumn("cos", cosine_expr(F.col("q_vec"), F.col("n_vec")))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "cos", "rank")
+    )
+
+
+def hyperplane_signature(
+    vec: Column, planes: int = 8, dim: int = 64, table: int = 0
+) -> Column:
+    """Random-hyperplane LSH signature without a stored model: plane p's
+    j-th coefficient is ±1 from the portable hash of ``"table/p:j"`` —
+    any engine (or oracle) regenerates the same planes. Returns an int
+    in [0, 2^planes)."""
+    v = vec.cast("array<double>")
+    bits = []
+    for p in range(planes):
+
+        def _coeffs(prefix: str) -> Column:
+            # closure, not default-arg (transform passes (elem, idx) to
+            # 2-param lambdas)
+            return F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda j: F.when(
+                    portable_hash32(F.concat(F.lit(prefix), j.cast("string")))
+                    .bitwiseAND(F.lit(1)) == 1,
+                    F.lit(1.0),
+                ).otherwise(F.lit(-1.0)),
+            )
+
+        proj = F.aggregate(
+            F.zip_with(v, _coeffs(f"{table}/{p}:"), lambda x, s: x * s),
+            F.lit(0.0),
+            lambda acc, val: acc + val,
+        )
+        bits.append(F.when(proj > 0, F.lit(2**p)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("int")
+
+
+def lsh_bucketed_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    planes: int = 4,
+    tables: int = 3,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: candidates share the query's hyperplane bucket
+    in ANY of ``tables`` independent hash tables (equi-join on
+    (table, signature) — shuffle on a small int key instead of an
+    all-pairs product), then exact cosine re-ranks the distinct
+    candidates. More tables → higher recall, linearly more candidates —
+    the classic LSH recall/cost dial."""
+
+    def sig(df: DataFrame, a: str, b: str) -> DataFrame:
+        per_table = [
+            df.select(
+                F.col(id_col).alias(a),
+                F.col(vec_col).alias(b),
+                F.lit(t).alias("tbl"),
+                hyperplane_signature(F.col(vec_col), planes, dim, table=t).alias(
+                    "bucket"
+                ),
+            )
+            for t in range(tables)
+        ]
+        out = per_table[0]
+        for p in per_table[1:]:
+            out = out.unionByName(p)
+        return out
+
+    c = sig(corpus, "n_id", "n_vec")
+    q = sig(queries, "q_id", "q_vec")
+    scored = (
+        c.join(F.broadcast(q), ["tbl", "bucket"])
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select("q_id", "n_id", "q_vec", "n_vec")
+        .dropDuplicates(["q_id", "n_id"])
+        .withColumn("cos", cosine_expr(F.col("q_vec"), F.col("n_vec")))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "cos", "rank")
+    )
+
+
+def cosine_neardup_pairs(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    group_col: str = "label",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs within a blocking group
+    (label) — the blocked self-join keeps the pair count tractable; at
+    corpus scale swap the block for an LSH bucket."""
+    base = embeddings.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), F.col(group_col).alias("grp")
+    )
+    l, r = base.alias("l"), base.alias("r")
+    return (
+        l.join(r, (F.col("l.grp") == F.col("r.grp")) & (F.col("l.id") < F.col("r.id")))
+        .withColumn("cos", cosine_expr(F.col("l.vec"), F.col("r.vec")))
+        .filter(F.col("cos") >= threshold)
+        .select(
+            F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"), F.col("cos")
+        )
+    )

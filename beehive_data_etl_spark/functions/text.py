@@ -1,0 +1,112 @@
+"""Text-analysis operators for training-data pipelines: language ID,
+quality scoring, token counting, fingerprinting — plus the beehive-style
+normalization stage (SURVEY.md §2C "field normalization").
+
+Everything here is a pure Column expression (JVM-side, whole-stage
+codegen) unless noted; the pandas-UDF variants exist to exercise the
+vectorized Arrow path (A5) and are verified to agree with the
+expression forms.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# tiny marker-word tables per language — a deliberately simple n-gram/
+# stopword heuristic that an ANSI-SQL oracle can replicate exactly
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of"],
+    "de": ["der", "und", "das"],
+    "fr": ["le", "et", "les"],
+    "es": ["el", "y", "los"],
+}
+
+_WORD_RE = r"[A-Za-z]+"
+_BPE_ISH_RE = r"[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\s]"
+
+
+def clean_text_expr(col: Column | str) -> Column:
+    """Normalization: trim, lowercase, collapse whitespace (the
+    reference's per-record string cleanup, SURVEY.md §2C)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.lower(F.trim(F.regexp_replace(c, r"\s+", " ")))
+
+
+@F.pandas_udf(T.StringType())
+def clean_text_pandas(s: pd.Series) -> pd.Series:
+    """Arrow-vectorized twin of clean_text_expr (A5 transform stage)."""
+    return s.str.replace(r"\s+", " ", regex=True).str.strip().str.lower()
+
+
+def token_count_expr(col: Column | str, mode: str = "whitespace") -> Column:
+    """Token counting: 'whitespace' splits on runs of whitespace;
+    'bpe-ish' counts letter-runs / digit-groups / punctuation marks."""
+    c = F.col(col) if isinstance(col, str) else col
+    if mode == "whitespace":
+        return F.size(F.split(F.trim(c), r"\s+"))
+    return F.size(F.regexp_extract_all(c, F.lit(_BPE_ISH_RE), 0))
+
+
+def _marker_hits(c: Column, lang: str) -> Column:
+    words = LANG_MARKERS[lang]
+    pat = "(" + "|".join(words) + ")"
+    return F.size(F.regexp_extract_all(F.lower(c), F.lit(r"\b" + pat + r"\b"), 0))
+
+
+def lang_id_expr(col: Column | str) -> Column:
+    """Argmax over marker-word hit counts. Tie rule (replicable in ANSI
+    SQL): max hits, ties broken by lexicographically LARGEST language
+    code. Returns 'und' when nothing matched."""
+    c = F.col(col) if isinstance(col, str) else col
+    scored = F.array(
+        *[
+            F.struct(_marker_hits(c, lang).alias("hits"), F.lit(lang).alias("lang"))
+            for lang in sorted(LANG_MARKERS)
+        ]
+    )
+    best = F.array_max(scored)  # struct order: (hits, lang)
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def quality_score_expr(col: Column | str) -> Column:
+    """Document quality heuristic in [0,1]: rewards mid-length docs and
+    high alpha ratio, penalizes very short docs. Integer-ish arithmetic
+    rounded to 4dp so the SQL oracle matches exactly."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_chars = F.length(c)
+    n_alpha = F.length(F.regexp_replace(c, r"[^A-Za-z]", ""))
+    n_words = F.size(F.split(F.trim(c), r"\s+"))
+    alpha_ratio = n_alpha / F.greatest(n_chars, F.lit(1))
+    len_score = F.least(n_words / F.lit(100.0), F.lit(1.0))
+    return F.round(alpha_ratio * 0.5 + len_score * 0.5, 4)
+
+
+def fingerprint_expr(col: Column | str, mod: int = 1_000_000_007) -> Column:
+    """Rolling polynomial fingerprint over words: map each word to
+    ``v = length(word)*7 + ascii(first char)`` then fold
+    ``acc = (acc*31 + v) % mod``. The per-word value is < mod, so
+    Spark's zero-init fold and DuckDB's first-element-init
+    ``list_reduce`` produce identical results, and every intermediate
+    stays < 2^35 (DuckDB errors on BIGINT overflow; Spark wraps)."""
+    c = F.col(col) if isinstance(col, str) else col
+    vals = F.transform(
+        F.split(F.trim(c), r"\s+"),
+        lambda w: (F.length(w) * 7 + F.coalesce(F.ascii(F.substring(w, 1, 1)), F.lit(0)))
+        .cast("long"),
+    )
+    return F.aggregate(
+        vals, F.lit(0).cast("long"), lambda acc, v: (acc * 31 + v) % F.lit(mod)
+    )
+
+
+def fingerprint_sql(expr: str, mod: int = 1_000_000_007) -> str:
+    """DuckDB twin of fingerprint_expr (first element seeds the fold —
+    equivalent because v < mod)."""
+    return (
+        f"list_reduce(list_transform(string_split_regex(trim({expr}), '\\s+'), "
+        f"w -> (length(w) * 7 + coalesce(ascii(substr(w, 1, 1)), 0))::BIGINT), "
+        f"(acc, v) -> (acc * 31 + v) % {mod})"
+    )

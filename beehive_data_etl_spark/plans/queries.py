@@ -1,0 +1,1277 @@
+"""The driver-checked query surface (SURVEY.md §2B + training-data ops).
+
+Every entry is a (Spark callable, DuckDB oracle SQL) pair; the driver
+runs both at sf0.01 and compares row count + schema + order-insensitive
+value hash. Rules that keep the two engines bit-identical:
+
+- every computed column is aliased the same on both sides;
+- doubles are rounded (2dp money, 4dp ratios) AFTER aggregation;
+- timestamps are output as epoch seconds (longs), never raw timestamps
+  (session-timezone-proof);
+- hashes are the portable md5-derived ints (functions.hashing).
+
+Queries marked ``oracle=None`` are non-SQL-expressible (approx sketches,
+UDF-internal logic) → the driver records the weaker rows-only check and
+a pytest covers them instead.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from beehive_data_etl_spark.functions import dedup as D
+from beehive_data_etl_spark.functions import similarity as S
+from beehive_data_etl_spark.functions import text as TX
+from beehive_data_etl_spark.functions.hashing import portable_hash32_sql
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------- B3 projection
+@query(
+    "q_project",
+    """
+    SELECT l_orderkey AS order_key,
+           CAST(l_linenumber AS BIGINT) AS line_no,
+           l_extendedprice * (1 - l_discount) AS net_price
+    FROM lineitem
+    """,
+)
+def q_project(spark, sf):
+    """Row-level float arithmetic is left UNROUNDED: the identical IEEE
+    expression gives bit-identical doubles in both engines, whereas the
+    engines' round() implementations diverge on half-way cases."""
+    li = t(spark, sf, "lineitem")
+    return li.select(
+        F.col("l_orderkey").alias("order_key"),
+        F.col("l_linenumber").cast("long").alias("line_no"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_price"),
+    )
+
+
+# --------------------------------------------------------------- B4 filter
+@query(
+    "q_filter",
+    """
+    SELECT o_orderkey, o_orderstatus, ROUND(o_totalprice, 2) AS total
+    FROM orders
+    WHERE (o_orderstatus IN ('F', 'O'))
+      AND o_totalprice BETWEEN 1000 AND 150000
+      AND o_orderpriority LIKE '1-%'
+      AND o_custkey IS NOT NULL
+    """,
+)
+def q_filter(spark, sf):
+    o = t(spark, sf, "orders")
+    return o.filter(
+        F.col("o_orderstatus").isin("F", "O")
+        & F.col("o_totalprice").between(1000, 150000)
+        & F.col("o_orderpriority").like("1-%")
+        & F.col("o_custkey").isNotNull()
+    ).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 2).alias("total"),
+    )
+
+
+# --------------------------------------------------------------- B5 inner join
+@query(
+    "q_join_inner",
+    """
+    SELECT c.c_mktsegment AS segment,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o.o_totalprice), 2) AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q_join_inner(spark, sf):
+    o, c = t(spark, sf, "orders"), t(spark, sf, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "inner")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+# --------------------------------------------------------------- B6 broadcast
+@query(
+    "q_join_broadcast",
+    """
+    SELECT r.r_name AS region, COUNT(*) AS n_customers,
+           ROUND(AVG(c.c_acctbal), 2) AS avg_bal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def q_join_broadcast(spark, sf):
+    c = t(spark, sf, "customer")
+    n = t(spark, sf, "nation")
+    r = t(spark, sf, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.avg("c_acctbal"), 2).alias("avg_bal"),
+        )
+    )
+
+
+# --------------------------------------------------------------- B7 outer join
+@query(
+    "q_join_outer",
+    """
+    SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders,
+           ROUND(COALESCE(SUM(o.o_totalprice), 0), 2) AS spend
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey
+    """,
+)
+def q_join_outer(spark, sf):
+    o, c = t(spark, sf, "orders"), t(spark, sf, "customer")
+    return (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0)), 2).alias("spend"),
+        )
+    )
+
+
+# --------------------------------------------------------------- B8 semi/anti
+@query(
+    "q_join_semi",
+    """
+    SELECT c_custkey, c_mktsegment FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
+    """,
+)
+def q_join_semi(spark, sf):
+    o, c = t(spark, sf, "orders"), t(spark, sf, "customer")
+    big = o.filter(F.col("o_totalprice") > 100000)
+    return c.join(big, c.c_custkey == big.o_custkey, "left_semi").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+@query(
+    "q_join_anti",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q_join_anti(spark, sf):
+    o, c = t(spark, sf, "orders"), t(spark, sf, "customer")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+# --------------------------------------------------------------- B9 range join
+@query(
+    "q_join_range",
+    """
+    WITH bands(band, lo, hi) AS (
+        VALUES ('low', 0.0, 50.0), ('mid', 50.0, 200.0), ('high', 200.0, 1e9)
+    )
+    SELECT b.band, COUNT(*) AS n_events, ROUND(SUM(e.value), 2) AS total_value
+    FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+    GROUP BY b.band
+    """,
+)
+def q_join_range(spark, sf):
+    e = t(spark, sf, "events")
+    bands = spark.createDataFrame(
+        [("low", 0.0, 50.0), ("mid", 50.0, 200.0), ("high", 200.0, 1e9)],
+        "band string, lo double, hi double",
+    )
+    return (
+        e.join(
+            F.broadcast(bands),
+            (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+# --------------------------------------------------------------- B10 as-of join
+@query(
+    "q_join_asof",
+    """
+    SELECT c_custkey,
+           o_orderkey AS last_orderkey,
+           ROUND(o_totalprice, 2) AS last_total
+    FROM (
+      SELECT c.c_custkey, o.o_orderkey, o.o_totalprice,
+             row_number() OVER (PARTITION BY c.c_custkey
+                                ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+      WHERE o.o_orderdate <= TIMESTAMP '1997-01-01 00:00:00'
+    ) WHERE rn = 1
+    """,
+)
+def q_join_asof(spark, sf):
+    """As-of: each customer's latest order at-or-before a cutoff (Spark
+    has no native as-of join in SQL; window + row_number is the
+    composition, SURVEY.md §2B B10)."""
+    o, c = t(spark, sf, "orders"), t(spark, sf, "customer")
+    j = c.join(o, o.o_custkey == c.c_custkey).filter(
+        F.col("o_orderdate") <= F.lit("1997-01-01 00:00:00").cast("timestamp")
+    )
+    w = Window.partitionBy("c_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "c_custkey",
+            F.col("o_orderkey").alias("last_orderkey"),
+            F.round("o_totalprice", 2).alias("last_total"),
+        )
+    )
+
+
+# --------------------------------------------------------------- B11 agg basic
+@query(
+    "q_agg_basic",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           ROUND(AVG(l_quantity), 4) AS avg_qty,
+           ROUND(MIN(l_extendedprice), 2) AS min_price,
+           ROUND(MAX(l_extendedprice), 2) AS max_price,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_agg_basic(spark, sf):
+    """TPC-H Q1-shaped aggregate — the flagship hash aggregation;
+    Catalyst plans partial+final HashAggregate automatically."""
+    li = t(spark, sf, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+            F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# --------------------------------------------------------------- B12 distinct
+@query(
+    "q_agg_distinct",
+    """
+    SELECT o_orderstatus,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(DISTINCT o_orderpriority) AS n_priorities
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_agg_distinct(spark, sf):
+    o = t(spark, sf, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.countDistinct("o_orderpriority").alias("n_priorities"),
+    )
+
+
+# --------------------------------------------------------------- B13 approx
+@query("q_agg_approx", None)  # nondeterministic sketch → rows-only check
+def q_agg_approx(spark, sf):
+    li = t(spark, sf, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+
+
+# --------------------------------------------------------------- B14 rollup/cube
+@query(
+    "q_rollup",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total,
+           GROUPING(o_orderstatus) + 2 * GROUPING(o_orderpriority) AS gid
+    FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def q_rollup(spark, sf):
+    o = t(spark, sf, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        (
+            F.grouping("o_orderstatus") + F.lit(2) * F.grouping("o_orderpriority")
+        ).cast("long").alias("gid"),
+    )
+
+
+@query(
+    "q_cube",
+    """
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           GROUPING(l_returnflag) + 2 * GROUPING(l_linestatus) AS gid
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q_cube(spark, sf):
+    li = t(spark, sf, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.grouping("l_returnflag") + F.lit(2) * F.grouping("l_linestatus")
+        ).cast("long").alias("gid"),
+    )
+
+
+# --------------------------------------------------------------- B15 rank windows
+@query(
+    "q_win_rank",
+    """
+    SELECT c_custkey, c_mktsegment,
+           row_number() OVER w AS rn,
+           rank() OVER w AS rnk,
+           dense_rank() OVER w AS drnk,
+           ntile(4) OVER w AS quartile
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+    """,
+)
+def q_win_rank(spark, sf):
+    c = t(spark, sf, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+# --------------------------------------------------------------- B16 analytic windows
+@query(
+    "q_win_analytic",
+    """
+    SELECT event_id, user_id,
+           lag(event_type) OVER w AS prev_type,
+           lead(event_type) OVER w AS next_type,
+           first_value(event_type) OVER w AS first_type,
+           ROUND(value - lag(value, 1, 0.0) OVER w, 2) AS delta
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_win_analytic(spark, sf):
+    e = t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+        F.first("event_type").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("first_type"),
+        F.round(F.col("value") - F.lag("value", 1, 0.0).over(w), 2).alias("delta"),
+    )
+
+
+# --------------------------------------------------------------- B17 frame windows
+@query(
+    "q_win_frame",
+    """
+    SELECT event_id, user_id,
+           ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_sum,
+           ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS moving_avg
+    FROM events
+    """,
+)
+def q_win_frame(spark, sf):
+    e = t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(
+            F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2
+        ).alias("running_sum"),
+        F.round(F.avg("value").over(w.rowsBetween(-2, 0)), 4).alias("moving_avg"),
+    )
+
+
+# --------------------------------------------------------------- B18 top-k
+@query(
+    "q_topk",
+    """
+    SELECT o_orderkey, ROUND(o_totalprice, 2) AS total
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 25
+    """,
+)
+def q_topk(spark, sf):
+    o = t(spark, sf, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(25)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("total"))
+    )
+
+
+# --------------------------------------------------------------- B19 set ops
+@query(
+    "q_union",
+    """
+    SELECT n_name AS name, 'nation' AS kind FROM nation
+    UNION ALL
+    SELECT r_name AS name, 'region' AS kind FROM region
+    """,
+)
+def q_union(spark, sf):
+    n = t(spark, sf, "nation").select(F.col("n_name").alias("name"), F.lit("nation").alias("kind"))
+    r = t(spark, sf, "region").select(F.col("r_name").alias("name"), F.lit("region").alias("kind"))
+    return n.unionByName(r)
+
+
+@query(
+    "q_intersect",
+    """
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def q_intersect(spark, sf):
+    o = t(spark, sf, "orders")
+    a = o.filter("o_orderstatus = 'F'").select(F.col("o_custkey").alias("custkey"))
+    b = o.filter("o_orderstatus = 'O'").select(F.col("o_custkey").alias("custkey"))
+    return a.intersect(b)
+
+
+@query(
+    "q_except",
+    """
+    SELECT c_custkey AS custkey FROM customer
+    EXCEPT
+    SELECT o_custkey FROM orders
+    """,
+)
+def q_except(spark, sf):
+    c = t(spark, sf, "customer").select(F.col("c_custkey").alias("custkey"))
+    o = t(spark, sf, "orders").select(F.col("o_custkey").alias("custkey"))
+    return c.exceptAll(o).distinct()
+
+
+# --------------------------------------------------------------- B20 string fns
+@query(
+    "q_str",
+    """
+    SELECT p_partkey,
+           upper(p_brand) AS brand_u,
+           lower(trim(p_type)) AS type_l,
+           substr(p_name, 1, 12) AS name_prefix,
+           length(p_name) AS name_len,
+           concat(p_brand, ':', p_type) AS brand_type,
+           regexp_extract(p_type, '([A-Z]+)', 1) AS first_word,
+           regexp_replace(p_name, '[aeiou]', '', 'g') AS devoweled,
+           split_part(p_type, ' ', 1) AS type_head
+    FROM part
+    """,
+)
+def q_str(spark, sf):
+    p = t(spark, sf, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_u"),
+        F.lower(F.trim(F.col("p_type"))).alias("type_l"),
+        F.substring("p_name", 1, 12).alias("name_prefix"),
+        F.length("p_name").alias("name_len"),
+        F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
+        F.regexp_extract("p_type", r"([A-Z]+)", 1).alias("first_word"),
+        F.regexp_replace("p_name", r"[aeiou]", "").alias("devoweled"),
+        F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)).alias("type_head"),
+    )
+
+
+# --------------------------------------------------------------- B21 date fns
+@query(
+    "q_date",
+    """
+    SELECT o_orderkey,
+           year(o_orderdate) AS yr,
+           month(o_orderdate) AS mo,
+           dayofmonth(o_orderdate) AS dom,
+           CAST(epoch(date_trunc('month', o_orderdate)) AS BIGINT) AS month_start_epoch,
+           datediff('day', TIMESTAMP '1995-01-01', o_orderdate) AS days_since_95,
+           CAST(epoch(o_orderdate + INTERVAL 30 DAY) AS BIGINT) AS due_epoch
+    FROM orders
+    """,
+)
+def q_date(spark, sf):
+    o = t(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.unix_timestamp(F.date_trunc("month", F.col("o_orderdate"))).alias(
+            "month_start_epoch"
+        ),
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lit("1995-01-01").cast("date"),
+        ).alias("days_since_95"),
+        F.unix_timestamp(
+            F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+        ).alias("due_epoch"),
+    )
+
+
+# --------------------------------------------------------------- B22 math fns
+@query(
+    "q_math",
+    """
+    SELECT l_orderkey, l_linenumber,
+           ROUND(l_extendedprice, 1) AS price_r,
+           ABS(l_discount - 0.05) AS disc_dev,
+           CEIL(l_quantity) AS qty_ceil,
+           FLOOR(l_quantity) AS qty_floor,
+           ROUND(POW(l_quantity, 2), 4) AS qty_sq,
+           ROUND(LN(l_extendedprice + 1), 6) AS log_price,
+           ROUND(SQRT(l_quantity), 6) AS qty_sqrt,
+           CAST(l_quantity AS BIGINT) % 7 AS qty_mod
+    FROM lineitem
+    """,
+)
+def q_math(spark, sf):
+    li = t(spark, sf, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 1).alias("price_r"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.ceil("l_quantity").alias("qty_ceil"),
+        F.floor("l_quantity").alias("qty_floor"),
+        F.round(F.pow("l_quantity", F.lit(2)), 4).alias("qty_sq"),
+        F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("log_price"),
+        F.round(F.sqrt("l_quantity"), 6).alias("qty_sqrt"),
+        (F.col("l_quantity").cast("long") % 7).alias("qty_mod"),
+    )
+
+
+# --------------------------------------------------------------- B26 conditional
+@query(
+    "q_cond",
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 200000 THEN 'big'
+                WHEN o_totalprice > 50000 THEN 'mid'
+                ELSE 'small' END AS size_class,
+           COALESCE(NULLIF(o_orderstatus, 'P'), 'pending-masked') AS status_masked,
+           CASE WHEN o_orderstatus = 'O' THEN NULL ELSE o_orderkey END AS closed_key
+    FROM orders
+    """,
+)
+def q_cond(spark, sf):
+    o = t(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 200000, "big")
+        .when(F.col("o_totalprice") > 50000, "mid")
+        .otherwise("small")
+        .alias("size_class"),
+        F.coalesce(
+            F.nullif(F.col("o_orderstatus"), F.lit("P")), F.lit("pending-masked")
+        ).alias("status_masked"),
+        F.when(F.col("o_orderstatus") == "O", F.lit(None).cast("long"))
+        .otherwise(F.col("o_orderkey"))
+        .alias("closed_key"),
+    )
+
+
+# --------------------------------------------------------------- B23 array fns
+@query(
+    "q_array",
+    """
+    SELECT doc_id,
+           len(words) AS n_words,
+           list_contains(words, 'data') AS has_data,
+           array_to_string(words[1:3], ' ') AS first3,
+           list_sort(list_distinct(words[1:8]))[1] AS first_alpha,
+           len(list_filter(words, w -> length(w) > 4)) AS n_long_words
+    FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+    """,
+)
+def q_array(spark, sf):
+    d = t(spark, sf, "documents")
+    words = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.size(words).alias("n_words"),
+        F.array_contains(words, "data").alias("has_data"),
+        F.concat_ws(" ", F.slice(words, 1, 3)).alias("first3"),
+        F.array_sort(F.array_distinct(F.slice(words, 1, 8)))[0].alias("first_alpha"),
+        F.size(F.filter(words, lambda w: F.length(w) > 4)).alias("n_long_words"),
+    )
+
+
+# --------------------------------------------------------------- B24 map/struct
+@query(
+    "q_map_struct",
+    """
+    SELECT event_id,
+           event_type AS kind,
+           value AS amount,
+           user_id AS uid
+    FROM events
+    """,
+)
+def q_map_struct(spark, sf):
+    """Build a map and a struct, then extract through them — the oracle
+    is the trivially-equivalent flat projection (same output values),
+    which is exactly what makes the extraction correct."""
+    e = t(spark, sf, "events")
+    packed = e.select(
+        "event_id",
+        F.create_map(
+            F.lit("type"), F.col("event_type"),
+        ).alias("m"),
+        F.struct(
+            F.col("value").alias("v"), F.col("user_id").alias("u")
+        ).alias("s"),
+    )
+    return packed.select(
+        "event_id",
+        F.col("m")["type"].alias("kind"),
+        F.col("s")["v"].alias("amount"),
+        F.col("s")["u"].alias("uid"),
+    )
+
+
+# --------------------------------------------------------------- B25 JSON
+@query(
+    "q_json",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+           json_extract_string(props, '$.missing') AS missing
+    FROM events
+    """,
+)
+def q_json(spark, sf):
+    e = t(spark, sf, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k_val"),
+        F.get_json_object("props", "$.missing").alias("missing"),
+    )
+
+
+# --------------------------------------------------------------- B27 tumbling window
+@query(
+    "q_stream_tumble",
+    """
+    SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_tumble(spark, sf):
+    """Batch-equivalent of the streaming tumbling-window aggregation
+    (identical groupBy(window(...)) plan under readStream)."""
+    e = t(spark, sf, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+# --------------------------------------------------------------- B28 sliding window
+@query(
+    "q_stream_slide",
+    """
+    WITH starts AS (
+        SELECT CAST(epoch(time_bucket(INTERVAL '30 minutes', ts)) AS BIGINT)
+               - (s.off * 1800) AS window_start,
+               e.value
+        FROM events e
+        CROSS JOIN (SELECT unnest([0, 1]) AS off) s
+    )
+    SELECT window_start, COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
+    FROM starts
+    GROUP BY window_start
+    """,
+)
+def q_stream_slide(spark, sf):
+    """Sliding window (1h window / 30m slide): each event lands in 2
+    windows; the oracle enumerates the same two starts per event."""
+    e = t(spark, sf, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("window_start"),
+            "n",
+            "total_value",
+        )
+    )
+
+
+# --------------------------------------------------------------- B29 session window
+@query(
+    "q_stream_session",
+    """
+    WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN ts - lag(ts) OVER w <= INTERVAL '30 minutes'
+                    THEN 0 ELSE 1 END AS new_session
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sessions AS (
+        SELECT user_id, ts, value,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+        FROM flagged
+    )
+    SELECT user_id,
+           CAST(floor(epoch(MIN(ts))) AS BIGINT) AS session_start,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS session_value
+    FROM sessions GROUP BY user_id, session_no
+    """,
+)
+def q_stream_session(spark, sf):
+    """Session windows (30-minute gap) per user — the streaming
+    ``session_window`` in batch form; oracle is the classic
+    gaps-and-islands SQL."""
+    e = t(spark, sf, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("session_window.start")).alias("session_start"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+# --------------------------------------------------------------- B30 stateful dedup
+@query(
+    "q_dedup_lww",
+    """
+    SELECT user_id, event_id AS last_event_id, event_type AS last_type, value AS last_value
+    FROM events
+    QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1
+    """,
+)
+def q_dedup_lww(spark, sf):
+    """The engine's LWW dedup (A3) in batch form over the events table:
+    latest event per user_id keyed by event_id."""
+    from beehive_data_etl_spark.operators.lww import lww_dedup
+
+    e = t(spark, sf, "events").select("user_id", "event_id", "event_type", "value")
+    return lww_dedup(e, key="user_id", seq="event_id").select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_type"),
+        F.col("value").alias("last_value"),
+    )
+
+
+@query(
+    "q_dedup_lww_salted",
+    """
+    SELECT user_id, event_id AS last_event_id
+    FROM events
+    QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1
+    """,
+)
+def q_dedup_lww_salted(spark, sf):
+    """Same dedup through the explicit two-phase salted path (A8)."""
+    from beehive_data_etl_spark.operators.lww import lww_dedup
+
+    e = t(spark, sf, "events").select("user_id", "event_id")
+    return lww_dedup(e, key="user_id", seq="event_id", salt_partials=8).select(
+        "user_id", F.col("event_id").alias("last_event_id")
+    )
+
+
+# --------------------------------------------------------------- B31 pandas UDF
+@query(
+    "q_pandas_udf",
+    """
+    SELECT doc_id,
+           lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS clean,
+           length(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS clean_len
+    FROM documents
+    """,
+)
+def q_pandas_udf(spark, sf):
+    """A5 vectorized normalization via Arrow pandas UDF; the oracle
+    re-expresses the same cleanup in SQL."""
+    from beehive_data_etl_spark.functions.text import clean_text_pandas
+
+    d = t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        clean_text_pandas(F.col("text")).alias("clean"),
+        F.length(clean_text_pandas(F.col("text"))).alias("clean_len"),
+    )
+
+
+# --------------------------------------------------------------- B32 grouped map
+@query(
+    "q_grouped_map",
+    """
+    SELECT c_custkey,
+           c_mktsegment,
+           ROUND((c_acctbal - AVG(c_acctbal) OVER (PARTITION BY c_mktsegment))
+                 / stddev_samp(c_acctbal) OVER (PARTITION BY c_mktsegment), 4) AS bal_z
+    FROM customer
+    """,
+)
+def q_grouped_map(spark, sf):
+    """Per-group normalization via applyInPandas (grouped-map UDF):
+    z-score of account balance within market segment (pandas std ddof=1
+    == stddev_samp)."""
+    import pandas as pd  # noqa: F401
+
+    c = t(spark, sf, "customer").select("c_custkey", "c_mktsegment", "c_acctbal")
+
+    def _zscore(pdf):
+        mu = pdf["c_acctbal"].mean()
+        sd = pdf["c_acctbal"].std(ddof=1)
+        pdf = pdf.copy()
+        pdf["bal_z"] = ((pdf["c_acctbal"] - mu) / sd).round(4)
+        return pdf[["c_custkey", "c_mktsegment", "bal_z"]]
+
+    return c.groupBy("c_mktsegment").applyInPandas(
+        _zscore, schema="c_custkey long, c_mktsegment string, bal_z double"
+    )
+
+
+# --------------------------------------------------------------- B33 pandas UDAF
+@query(
+    "q_udaf",
+    """
+    SELECT l_returnflag,
+           ROUND(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 4) AS weighted_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_udaf(spark, sf):
+    """Custom UDAF via pandas GROUPED_AGG: quantity-weighted mean price.
+
+    Note: the UDF is declared with explicit eval-type because this
+    module uses ``from __future__ import annotations`` (stringified
+    annotations defeat pandas_udf signature inference)."""
+    from pyspark.sql.functions import PandasUDFType
+
+    @F.pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def weighted_mean(price, qty):
+        return float((price * qty).sum() / qty.sum())
+
+    li = t(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(weighted_mean("l_extendedprice", "l_quantity"), 4).alias(
+            "weighted_price"
+        )
+    )
+
+
+# --------------------------------------------------------------- B34 UDTF expansion
+@query(
+    "q_explode_tokens",
+    """
+    SELECT doc_id, u.pos - 1 AS pos, u.word
+    FROM documents,
+         LATERAL (SELECT unnest(string_split(text, ' ')) AS word,
+                         generate_subscripts(string_split(text, ' '), 1) AS pos) u
+    WHERE doc_id < 50
+    """,
+)
+def q_explode_tokens(spark, sf):
+    """1 row → N rows table-function expansion (posexplode)."""
+    d = t(spark, sf, "documents").filter(F.col("doc_id") < 50)
+    return d.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "word")
+    )
+
+
+# ======================================================= training-data operators
+# --------------------------------------------------------------- exact dedup
+@query(
+    "q_dedup_exact",
+    """
+    SELECT md5(text) AS content_md5,
+           MIN(doc_id) AS canonical_id,
+           COUNT(*) AS n_dups
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def q_dedup_exact(spark, sf):
+    from beehive_data_etl_spark.functions.dedup import exact_dedup
+
+    return exact_dedup(t(spark, sf, "documents"))
+
+
+# --------------------------------------------------------------- minhash LSH
+def _minhash_oracle(k: int = 16, bands: int = 4, shingle_n: int = 3) -> str:
+    from beehive_data_etl_spark.functions.dedup import word_shingles_sql
+    from beehive_data_etl_spark.functions.hashing import minhash_signature_sql
+
+    sh = word_shingles_sql("text", shingle_n)
+    sig = minhash_signature_sql("sh", k)
+    rows = k // bands
+    band_exprs = ", ".join(
+        "md5(" + " || ',' || ".join(f"sig[{b * rows + r + 1}]::VARCHAR" for r in range(rows)) + ")"
+        f" AS band_{b}"
+        for b in range(bands)
+    )
+    unions = " UNION ALL ".join(
+        f"SELECT id, {b} AS band, band_{b} AS band_hash FROM banded" for b in range(bands)
+    )
+    return f"""
+    WITH shingled AS (SELECT doc_id AS id, {sh} AS sh FROM documents),
+    sigs AS (SELECT id, {sig} AS sig FROM shingled),
+    banded AS (SELECT id, {band_exprs} FROM sigs),
+    long AS ({unions})
+    SELECT l.id AS id_a, r.id AS id_b, COUNT(*) AS n_shared_bands
+    FROM long l JOIN long r
+      ON l.band = r.band AND l.band_hash = r.band_hash AND l.id < r.id
+    GROUP BY l.id, r.id
+    """
+
+
+@query("q_dedup_minhash", _minhash_oracle())
+def q_dedup_minhash(spark, sf):
+    from beehive_data_etl_spark.functions.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(t(spark, sf, "documents"), k=16, bands=4)
+
+
+# --------------------------------------------------------------- simhash
+def _simhash_oracle() -> str:
+    from beehive_data_etl_spark.functions.dedup import simhash_sql
+
+    return f"SELECT doc_id, {simhash_sql('text', 16)} AS simhash16 FROM documents"
+
+
+@query("q_dedup_simhash", _simhash_oracle())
+def q_dedup_simhash(spark, sf):
+    from beehive_data_etl_spark.functions.dedup import simhash
+
+    return t(spark, sf, "documents").select(
+        "doc_id", simhash("text", 16).alias("simhash16")
+    )
+
+
+# --------------------------------------------------------------- ngram jaccard
+def _jaccard_oracle(shingle_n: int = 3, threshold: float = 0.12) -> str:
+    from beehive_data_etl_spark.functions.dedup import word_shingles_sql
+
+    sh = word_shingles_sql("text", shingle_n)
+    return f"""
+    WITH base AS (
+        SELECT doc_id AS id, lang AS grp, {sh} AS sh,
+               len({sh}) AS n_sh
+        FROM documents
+    ), inv AS (
+        SELECT id, grp, n_sh, unnest(sh) AS shingle FROM base
+    ), inter AS (
+        SELECT l.id AS id_a, r.id AS id_b, l.n_sh AS n_a, r.n_sh AS n_b,
+               COUNT(*) AS n_common
+        FROM inv l JOIN inv r
+          ON l.shingle = r.shingle AND l.grp = r.grp AND l.id < r.id
+        GROUP BY ALL
+    )
+    SELECT id_a, id_b,
+           ROUND(n_common / (n_a + n_b - n_common), 4) AS jaccard
+    FROM inter
+    WHERE ROUND(n_common / (n_a + n_b - n_common), 4) >= {threshold}
+    """
+
+
+@query("q_ngram_jaccard", _jaccard_oracle())
+def q_ngram_jaccard(spark, sf):
+    from beehive_data_etl_spark.functions.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(t(spark, sf, "documents"), threshold=0.12)
+
+
+# --------------------------------------------------------------- cosine near-dup
+@query(
+    "q_neardup_cosine",
+    """
+    SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+           ROUND(list_dot_product(l.embedding::DOUBLE[], r.embedding::DOUBLE[])
+                 / (sqrt(list_dot_product(l.embedding::DOUBLE[], l.embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(r.embedding::DOUBLE[], r.embedding::DOUBLE[]))),
+                 4) AS cos
+    FROM embeddings l JOIN embeddings r
+      ON l.label = r.label AND l.vec_id < r.vec_id
+    WHERE ROUND(list_dot_product(l.embedding::DOUBLE[], r.embedding::DOUBLE[])
+                / (sqrt(list_dot_product(l.embedding::DOUBLE[], l.embedding::DOUBLE[]))
+                   * sqrt(list_dot_product(r.embedding::DOUBLE[], r.embedding::DOUBLE[]))),
+                4) >= 0.6
+    """,
+)
+def q_neardup_cosine(spark, sf):
+    from beehive_data_etl_spark.functions.similarity import cosine_neardup_pairs
+
+    return cosine_neardup_pairs(t(spark, sf, "embeddings"), threshold=0.6)
+
+
+# --------------------------------------------------------------- ANN top-k
+@query(
+    "q_ann_bruteforce",
+    """
+    WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 8),
+    scored AS (
+        SELECT q.q_id, c.vec_id AS n_id,
+               ROUND(list_dot_product(q.q_vec::DOUBLE[], c.embedding::DOUBLE[])
+                     / (sqrt(list_dot_product(q.q_vec::DOUBLE[], q.q_vec::DOUBLE[]))
+                        * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))),
+                     4) AS cos
+        FROM embeddings c JOIN q ON q.q_id != c.vec_id
+    )
+    SELECT q_id, n_id, cos, rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def q_ann_bruteforce(spark, sf):
+    from beehive_data_etl_spark.functions.similarity import cosine_topk_bruteforce
+
+    emb = t(spark, sf, "embeddings")
+    return cosine_topk_bruteforce(emb, emb.filter(F.col("vec_id") < 8), k=5)
+
+
+@query("q_ann_lsh", None)  # approximate-by-construction → rows-only + pytest
+def q_ann_lsh(spark, sf):
+    from beehive_data_etl_spark.functions.similarity import lsh_bucketed_topk
+
+    emb = t(spark, sf, "embeddings")
+    return lsh_bucketed_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
+
+
+# --------------------------------------------------------------- language ID
+def _langid_oracle() -> str:
+    from beehive_data_etl_spark.functions.text import LANG_MARKERS
+
+    hit_cols = []
+    for lang in sorted(LANG_MARKERS):
+        pat = "\\b(" + "|".join(LANG_MARKERS[lang]) + ")\\b"
+        hit_cols.append(
+            f"len(regexp_extract_all(lower(text), '{pat}')) AS hits_{lang}"
+        )
+    langs_desc = sorted(LANG_MARKERS, reverse=True)
+    case = "CASE "
+    for lang in langs_desc:
+        others = " AND ".join(
+            f"hits_{lang} >= hits_{o}" for o in sorted(LANG_MARKERS) if o != lang
+        )
+        case += f"WHEN hits_{lang} > 0 AND {others} THEN '{lang}' "
+    case += "ELSE 'und' END"
+    return f"""
+    WITH scored AS (SELECT doc_id, {', '.join(hit_cols)} FROM documents)
+    SELECT doc_id, {case} AS lang_pred FROM scored
+    """
+
+
+@query("q_lang_id", _langid_oracle())
+def q_lang_id(spark, sf):
+    return t(spark, sf, "documents").select(
+        "doc_id", TX.lang_id_expr("text").alias("lang_pred")
+    )
+
+
+# --------------------------------------------------------------- quality score
+@query(
+    "q_quality_score",
+    """
+    SELECT doc_id,
+           ROUND((length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                  / greatest(length(text), 1)) * 0.5
+                 + least(len(string_split_regex(trim(text), '\\s+')) / 100.0, 1.0) * 0.5,
+                 4) AS quality
+    FROM documents
+    """,
+)
+def q_quality_score(spark, sf):
+    return t(spark, sf, "documents").select(
+        "doc_id", TX.quality_score_expr("text").alias("quality")
+    )
+
+
+# --------------------------------------------------------------- token counting
+@query(
+    "q_token_count",
+    """
+    SELECT doc_id,
+           len(string_split_regex(trim(text), '\\s+')) AS n_ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\\s]')) AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def q_token_count(spark, sf):
+    d = t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        TX.token_count_expr("text", "whitespace").alias("n_ws_tokens"),
+        TX.token_count_expr("text", "bpe-ish").alias("n_bpe_tokens"),
+    )
+
+
+# --------------------------------------------------------------- fingerprint
+def _fingerprint_oracle() -> str:
+    from beehive_data_etl_spark.functions.text import fingerprint_sql
+
+    return f"SELECT doc_id, {fingerprint_sql('text')} AS fingerprint FROM documents"
+
+
+@query("q_fingerprint", _fingerprint_oracle())
+def q_fingerprint(spark, sf):
+    return t(spark, sf, "documents").select(
+        "doc_id", TX.fingerprint_expr("text").alias("fingerprint")
+    )
+
+
+# --------------------------------------------------------------- multimodal
+@query(
+    "q_multimodal_meta",
+    """
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio'
+                ELSE 'video' END AS modality,
+           octet_length(encode(text)) AS n_bytes
+    FROM documents
+    """,
+)
+def q_multimodal_meta(spark, sf):
+    from beehive_data_etl_spark.functions.multimodal import attach_media
+
+    return attach_media(t(spark, sf, "documents")).select(
+        "media_id", "modality", "n_bytes"
+    )
+
+
+@query("q_multimodal_features", None)  # decode stub → rows-only + pytest
+def q_multimodal_features(spark, sf):
+    from beehive_data_etl_spark.functions.multimodal import attach_media, extract_features
+
+    media = attach_media(t(spark, sf, "documents"))
+    return extract_features(media).select("media_id", "modality", "checksum", "feat")
+
+
+# --------------------------------------------------------------- A5 transforms
+@query(
+    "q_keyword_classify",
+    """
+    SELECT doc_id,
+           list_filter([
+             CASE WHEN regexp_matches(lower(text), '\\b(grant|funding|award)\\b') THEN 'FIN' END,
+             CASE WHEN regexp_matches(lower(text), '\\b(young|youth|child)\\b') THEN 'AGE' END,
+             CASE WHEN regexp_matches(lower(text), '\\b(health|medical|care)\\b') THEN 'HEA' END,
+             CASE WHEN regexp_matches(lower(text), '\\b(community|local)\\b') THEN 'COM' END
+           ], x -> x IS NOT NULL) AS keyword_codes
+    FROM documents
+    """,
+)
+def q_keyword_classify(spark, sf):
+    """The reference's keyword classification stage (SURVEY.md §2C) as a
+    vectorized pandas UDF."""
+    from beehive_data_etl_spark.functions.transforms import classify_keywords
+
+    return t(spark, sf, "documents").select(
+        "doc_id", classify_keywords(F.col("text")).alias("keyword_codes")
+    )
+
+
+@query(
+    "q_amount_normalize",
+    """
+    SELECT o_orderkey,
+           ROUND(CAST(regexp_replace('£' || CAST(o_totalprice AS VARCHAR), '[£$,€\\s]', '', 'g') AS DOUBLE), 2)
+             AS amount
+    FROM orders
+    """,
+)
+def q_amount_normalize(spark, sf):
+    """Amount normalization (SURVEY.md §2C): strip currency formatting
+    from a string column and coerce to numeric."""
+    from beehive_data_etl_spark.functions.transforms import normalize_amount
+
+    o = t(spark, sf, "orders")
+    dirty = F.concat(F.lit("£"), F.col("o_totalprice").cast("string"))
+    return o.select("o_orderkey", normalize_amount(dirty).alias("amount"))

@@ -1,0 +1,32 @@
+"""Local replica of the driver's correctness gate: every queries() entry
+vs its oracle_sql() DuckDB twin at sf0.001 (the driver runs sf0.01; the
+logic is scale-free). Rows-only queries get sanity checks here plus
+dedicated semantic tests in test_training_ops.py."""
+
+import pytest
+
+from beehive_data_etl_spark.plans.parity import run_parity
+from beehive_data_etl_spark.plans.queries import ORACLES, QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_oracle(spark, name):
+    report = run_parity(spark, SF, [name])[name]
+    assert report["ok"], report
+
+
+def test_every_oracle_has_a_query():
+    assert set(ORACLES) <= set(QUERIES)
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert set(df.columns) == {"doc_id", "last_seq", "last_type", "last_value"}
+    assert set(e.queries()) == set(QUERIES)
+    assert set(e.oracle_sql()) == set(ORACLES)

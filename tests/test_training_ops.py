@@ -1,0 +1,114 @@
+"""Semantic tests for the rows-only (non-SQL-oracle) training-data
+operators: approximate sketches, LSH ANN recall, multimodal plumbing."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_approx_count_distinct_within_rsd(spark):
+    from beehive_data_etl_spark.plans.queries import QUERIES
+
+    row = QUERIES["q_agg_approx"](spark, SF).collect()[0]
+    assert abs(row.approx_parts - row.exact_parts) / row.exact_parts < 0.1
+
+
+def test_ann_lsh_recall_vs_bruteforce(spark):
+    """LSH-bucketed ANN must recover a reasonable fraction of the exact
+    top-5 (same-bucket candidates only — recall < 1 by construction)."""
+    from beehive_data_etl_spark.functions.similarity import (
+        cosine_topk_bruteforce,
+        lsh_bucketed_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 8)
+    exact = {
+        (r.q_id, r.n_id) for r in cosine_topk_bruteforce(emb, q, k=5).collect()
+    }
+    approx = {(r.q_id, r.n_id) for r in lsh_bucketed_topk(emb, q, k=5).collect()}
+    assert len(approx) > 0
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.2, f"LSH recall collapsed: {recall}"
+
+
+def test_minhash_lsh_finds_planted_duplicates(spark):
+    """Plant two near-identical docs → LSH must emit the pair with all
+    bands agreeing."""
+    from beehive_data_etl_spark.functions.dedup import minhash_lsh_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + "tail"),
+            (3, "completely different content about spark shuffles and sinks"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {(r.id_a, r.id_b): r.n_shared_bands for r in minhash_lsh_pairs(docs).collect()}
+    assert (1, 2) in pairs
+    assert pairs[(1, 2)] >= 3
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_simhash_near_duplicates_close(spark):
+    from beehive_data_etl_spark.functions.dedup import simhash
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta " * 10),
+            (2, "alpha beta gamma delta epsilon zeta eta iota " * 10),
+            (3, "totally unrelated words here about query engines"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.h for r in docs.select("doc_id", simhash("text", 16).alias("h")).collect()}
+    d12 = bin(out[1] ^ out[2]).count("1")
+    d13 = bin(out[1] ^ out[3]).count("1")
+    assert d12 < d13, (d12, d13)
+
+
+def test_multimodal_features_deterministic_and_typed(spark):
+    from beehive_data_etl_spark.functions.multimodal import (
+        attach_media,
+        decode_stub,
+        extract_features,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(50)
+    feats = extract_features(attach_media(docs))
+    rows = feats.orderBy("media_id").collect()
+    assert len(rows) == 50
+    for r in rows[:5]:
+        assert len(r.feat) == 8
+        # checksum reproducible from the payload itself
+        expected = int(np.frombuffer(bytes(r.payload[:64]), dtype=np.uint8).sum()) % (2**31)
+        assert r.checksum == expected
+    with pytest.raises(NotImplementedError):
+        decode_stub(b"xx", "hologram")
+
+
+def test_no_per_row_python_in_engine_paths():
+    """BASELINE.json:6 'no per-row Python': the engine packages must not
+    use row-at-a-time udf(), RDD maps, or collect-then-loop patterns.
+    (functions/ may use mapInPandas/pandas_udf — Arrow-vectorized.)"""
+    import pathlib
+    import re
+
+    root = pathlib.Path(__file__).resolve().parent.parent / "beehive_data_etl_spark"
+    banned = [
+        re.compile(r"\bF\.udf\("),
+        re.compile(r"@udf\b"),
+        re.compile(r"\.rdd\."),
+        re.compile(r"\.toLocalIterator\("),
+    ]
+    offenders = []
+    for py in root.rglob("*.py"):
+        text = py.read_text()
+        for pat in banned:
+            if pat.search(text):
+                offenders.append((str(py), pat.pattern))
+    assert not offenders, offenders
