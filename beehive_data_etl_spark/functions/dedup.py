@@ -69,8 +69,12 @@ def minhash_lsh_pairs(
     Returns (id_a, id_b, n_shared_bands). Never materializes all pairs —
     only same-bucket ones (the LSH point)."""
     rows = k // bands
+    # spread the expression-heavy signature computation: small corpora
+    # arrive as one parquet file (= one task) and the k×md5-per-shingle
+    # work would serialize on a single core
+    spread = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
     sig = (
-        docs.select(F.col(id_col).alias("id"), word_shingles(text_col, shingle_n).alias("sh"))
+        spread.select(F.col(id_col).alias("id"), word_shingles(text_col, shingle_n).alias("sh"))
         .select("id", minhash_signature(F.col("sh"), k).alias("sig"))
     )
     banded = sig.select(

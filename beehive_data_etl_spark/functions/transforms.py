@@ -81,3 +81,16 @@ def beehive_transform_stage(batch: DataFrame, text_col: str | None = None) -> Da
     if text_col and text_col in out.columns:
         out = out.withColumn("keyword_codes", classify_keywords(F.col(text_col)))
     return out
+
+
+def cdc_bench_transform(batch: DataFrame) -> DataFrame:
+    """The A5 stage used by the CDC benchmark: per-event token
+    fingerprint + payload validation + provenance normalization, all
+    whole-stage-codegen expressions (measured: interpreted higher-order
+    folds allocate per element and do NOT scale across cores; the
+    codegen'd xxhash64 path scales)."""
+    return (
+        batch.withColumn("tok_fingerprint", F.xxhash64("tokens"))
+        .withColumn("payload_valid", F.size("tokens") == F.col("n_tok"))
+        .withColumn("source", F.lower(F.trim("source")))
+    )

@@ -39,9 +39,20 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        # pin the heap (-Xms == -Xmx): G1 on Java 17 uncommits idle heap
+        # and the kernel page-zeroing on re-touch shows up as multi-second
+        # system-time stalls inside otherwise-identical jobs
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-Xms" + os.environ.get("SPARK_DRIVER_MEM", "16g")
+            + " -XX:+AlwaysPreTouch",
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "snappy")
+        # token-array rows are ~1 KB; 32 MB input splits keep wide-array
+        # scans parallel (the parquet row group is the split floor)
+        .config("spark.sql.files.maxPartitionBytes", "33554432")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

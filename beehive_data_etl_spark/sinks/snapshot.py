@@ -7,8 +7,14 @@ jars available; the cluster adapter in ``sinks.iceberg`` maps the same
 interface onto ``MERGE INTO`` + ``ALTER TABLE``):
 
 - table state lives in bucket directories, bucketed by
-  ``pmod(xxhash64(doc_id), n_buckets)`` — the merge only reads and
-  rewrites *touched* buckets (partition pruning, SURVEY.md §4),
+  ``pmod(xxhash64(doc_id), n_buckets)`` — the merge only touches
+  *touched* buckets (partition pruning, SURVEY.md §4),
+- **merge-on-read ingest**: a batch normally APPENDS its deduped rows
+  as a per-bucket delta file (no target read, no rewrite — ingest cost
+  is proportional to batch size, the property that makes 10^10-event
+  replays feasible); reads LWW-merge the deltas; a bucket reaching
+  ``compact_threshold`` deltas is folded to one file inline on its next
+  touch. ``compact_threshold=1`` degenerates to classic copy-on-write,
 - a commit = per-``(batch_id, bucket)`` manifest files + one snapshot
   JSON + an atomic swap of the ``CURRENT`` pointer
   (BASELINE.json:6: "idempotent commit manifests keyed by
@@ -43,7 +49,6 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
-from pyspark.storagelevel import StorageLevel
 
 from beehive_data_etl_spark.operators.lww import lww_dedup
 from beehive_data_etl_spark.operators.schema_evolution import (
@@ -69,6 +74,8 @@ class SnapshotSink:
         n_buckets: int = 16,
         salt_partials: int = 0,
         lineage: bool = True,
+        compact_threshold: int = 4,
+        compression: str = "zstd",
         crash_hook=None,
     ) -> None:
         self.spark = spark
@@ -76,6 +83,12 @@ class SnapshotSink:
         self.n_buckets = n_buckets
         self.salt_partials = salt_partials
         self.lineage = lineage
+        # merge-on-read dial: a bucket holding this many delta files is
+        # folded to one on its next touch; 1 = classic copy-on-write
+        self.compact_threshold = max(1, compact_threshold)
+        # token arrays are near-incompressible random ints — zstd-1
+        # costs little; pass "none" for max ingest throughput
+        self.compression = compression
         # test-only fault injection: called at named protocol points
         self.crash_hook = crash_hook or (lambda point: None)
         for d in ("_snapshots", "_manifests", "_metrics", "data"):
@@ -123,6 +136,14 @@ class SnapshotSink:
     def manifest_contains(self, batch_id: str, bucket: int) -> bool:
         return os.path.exists(self._manifest_path(batch_id, bucket))
 
+    def _manifested_buckets(self, batch_id: str) -> set[int]:
+        d = os.path.join(self.root, "_manifests", str(batch_id))
+        if not os.path.isdir(d):
+            return set()
+        return {
+            int(f.split(".")[0]) for f in os.listdir(d) if f.endswith(".json")
+        }
+
     def _write_manifest(self, batch_id: str, bucket: int, body: dict) -> None:
         path = self._manifest_path(batch_id, bucket)
         os.makedirs(os.path.dirname(path), exist_ok=True)
@@ -135,15 +156,15 @@ class SnapshotSink:
     def _read_buckets(
         self, snap: dict, buckets: list[int], target: T.StructType | None = None
     ) -> DataFrame | None:
-        """Read stored state for the given buckets, aligned to ``target``
-        (default: the snapshot schema). Buckets written under older
-        schema versions are read with their stored schema and widened
-        declaratively (casts fold into the scan — no extra pass)."""
+        """Union of every delta file of the given buckets (raw — may
+        hold multiple versions per key; callers LWW-reduce), aligned to
+        ``target`` (default: snapshot schema). Deltas written under
+        older schema versions are read with their stored schema and
+        widened declaratively (casts fold into the scan)."""
         target = target or T.StructType.fromDDL(snap["schema"])
         by_schema: dict[str, list[str]] = {}
         for b in buckets:
-            ent = snap["buckets"].get(str(b))
-            if ent:
+            for ent in snap["buckets"].get(str(b), []):
                 by_schema.setdefault(ent["schema"], []).append(
                     os.path.join(self.root, ent["path"])
                 )
@@ -159,7 +180,9 @@ class SnapshotSink:
         return out
 
     def read_state(self, buckets: list[int] | None = None) -> DataFrame:
-        """Full internal state (payload + op_sequence + deleted tombstones)."""
+        """Current state, one row per key (payload + op_sequence +
+        deleted tombstones): LWW-merges any un-compacted deltas at read
+        time — the merge-on-read contract."""
         snap = self.current_snapshot()
         if snap is None:
             raise ValueError("no snapshot yet")
@@ -167,7 +190,7 @@ class SnapshotSink:
         df = self._read_buckets(snap, buckets)
         if df is None:
             return self.spark.createDataFrame([], T.StructType.fromDDL(snap["schema"]))
-        return df
+        return lww_dedup(df, KEY, SEQ)
 
     def read_final(self) -> DataFrame:
         """The user-facing table: live rows only, internal columns dropped."""
@@ -225,100 +248,132 @@ class SnapshotSink:
 
         # -- in-batch LWW dedup (A3) with explicit hot-key salting (A8)
         events = batch_df.drop(*[c for c in _ENVELOPE_META if c in batch_df.columns and c != "op"])
-        deduped = lww_dedup(events, KEY, SEQ, salt_partials=self.salt_partials)
-        state_rows = (
-            deduped.withColumn("deleted", F.col("op") == F.lit("D"))
-            .drop("op")
-            .withColumn("_bucket", _bucket_expr(self.n_buckets))
-            .persist(StorageLevel.MEMORY_AND_DISK)
+        # crash-replay bookkeeping, all driver-side file metadata — no
+        # Spark job: buckets already manifested for this batch_id are
+        # excluded from recomputation and their outputs reused
+        manifested = self._manifested_buckets(batch_id)
+        # merge-on-read planning (also metadata-only): buckets at the
+        # delta threshold are COMPACTED on touch (fold all deltas +
+        # batch into one file); everything else APPENDS its delta —
+        # ingest cost ∝ batch size, not table size.
+        # compact_threshold=1 degenerates to classic copy-on-write.
+        compact_candidates = [
+            b
+            for b in range(self.n_buckets)
+            if len(prev_buckets.get(str(b), [])) >= self.compact_threshold
+            and b not in manifested
+        ]
+
+        # the ENTIRE batch dataflow is ONE Spark job:
+        #   scan batch → union with (delta files of compactable buckets,
+        #   semi-joined to the batch's touched buckets) → single
+        #   LWW aggregation (in-batch dedup + cross-delta fold in one
+        #   shuffle, hot keys salted per A8) → bucket-partitioned write
+        state_rows = align_to_schema(
+            events.withColumn("deleted", F.col("op") == F.lit("D")).drop("op"),
+            table_schema,
+        ).withColumn("_bucket", _bucket_expr(self.n_buckets))
+        if manifested:
+            state_rows = state_rows.filter(~F.col("_bucket").isin(sorted(manifested)))
+        merge_in = state_rows
+        if compact_candidates:
+            tgt = self._read_buckets(snap, compact_candidates, target=table_schema)
+            if tgt is not None:
+                tgt = tgt.withColumn("_bucket", _bucket_expr(self.n_buckets))
+                # compact only buckets this batch actually touches: a
+                # broadcast semi-join against the batch's bucket set
+                # (≤ n_buckets rows) — stays inside the same job
+                batch_buckets = state_rows.select("_bucket").distinct()
+                tgt = tgt.join(F.broadcast(batch_buckets), "_bucket", "left_semi")
+                merge_in = state_rows.unionByName(tgt)
+        merged = lww_dedup(
+            merge_in.drop("_bucket"), KEY, SEQ, salt_partials=self.salt_partials
+        ).withColumn("_bucket", _bucket_expr(self.n_buckets))
+
+        staging = os.path.join(self.root, "data", f"_stage-{uuid.uuid4().hex}")
+        t_plan = time.time()
+        (
+            merged.repartition(self.n_buckets, "_bucket")
+            .write.mode("overwrite")
+            .partitionBy("_bucket")
+            .option("compression", self.compression)
+            .parquet(staging)
         )
-        n_after_dedup = state_rows.count()  # materializes the persist
-        touched = sorted(
-            r[0] for r in state_rows.select("_bucket").distinct().collect()
+        t_job = time.time()
+        self.crash_hook("after_data_write")
+
+        # touched buckets = the partition dirs the job actually wrote
+        written = sorted(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(staging)
+            if d.startswith("_bucket=")
         )
         metrics: dict = {
             "batch_id": batch_id,
             "skipped": False,
-            "n_after_dedup": n_after_dedup,
-            "touched_buckets": touched,
+            "touched_buckets": sorted(set(written) | manifested),
             "schema_ddl": ddl_log,
             "schema_version": schema_version,
+            "compacted_buckets": [b for b in written if b in compact_candidates],
+            "appended_buckets": [b for b in written if b not in compact_candidates],
+            "reused_buckets": sorted(manifested),
         }
-        if not touched:  # empty batch: commit the batch id only
-            state_rows.unpersist()
-            self._commit(version, snap, prev_buckets, committed, batch_id,
-                         table_schema, schema_version, metrics, t0)
-            return metrics
-
-        todo = [b for b in touched if not self.manifest_contains(batch_id, b)]
-        reused = [b for b in touched if b not in todo]
-
         new_entries: dict[str, dict] = {}
         bucket_rows: dict[int, int] = {}
-        if todo:
-            src = align_to_schema(
-                state_rows.filter(F.col("_bucket").isin(todo)), table_schema
-            )
-            tgt = None
-            if snap is not None:
-                tgt = self._read_buckets(snap, todo, target=table_schema)
-            merged_in = src if tgt is None else src.unionByName(tgt)
-            # cross-batch LWW (A3 across batches / A6 merge condition):
-            # target rows and batch rows compete on op_sequence
-            merged = lww_dedup(merged_in, KEY, SEQ).withColumn(
-                "_bucket", _bucket_expr(self.n_buckets)
-            )
-            staging = os.path.join(self.root, "data", f"_stage-{uuid.uuid4().hex}")
-            (
-                merged.repartition(max(len(todo), 1), "_bucket")
-                .write.mode("overwrite")
-                .partitionBy("_bucket")
-                .parquet(staging)
-            )
-            self.crash_hook("after_data_write")
-            dest_root = os.path.join(self.root, "data", f"ingest={batch_id}")
-            os.makedirs(dest_root, exist_ok=True)
-            schema_ddl_payload = _payload_ddl(table_schema)
-            for b in todo:
-                src_dir = os.path.join(staging, f"_bucket={b}")
-                dest = os.path.join(dest_root, f"bucket={b}")
-                if not os.path.isdir(src_dir):
-                    os.makedirs(src_dir, exist_ok=True)  # bucket emptied (cannot happen w/ tombstones, but be safe)
-                if os.path.isdir(dest):
-                    shutil.rmtree(dest)  # leftover from a crashed, un-manifested attempt
-                os.replace(src_dir, dest)
-                rows, files = _parquet_stats(dest)
-                bucket_rows[b] = rows
-                self._write_manifest(
-                    batch_id,
-                    b,
-                    {
-                        "batch_id": batch_id,
-                        "bucket": b,
-                        "rows": rows,
-                        "files": files,
-                        "schema": schema_ddl_payload,
-                        "ts": time.time(),
-                    },
-                )
-                self.crash_hook("after_manifest")
-                new_entries[str(b)] = {
-                    "path": os.path.relpath(dest, self.root),
+        dest_root = os.path.join(self.root, "data", f"ingest={batch_id}")
+        os.makedirs(dest_root, exist_ok=True)
+        schema_ddl_payload = _payload_ddl(table_schema)
+        for b in written:
+            src_dir = os.path.join(staging, f"_bucket={b}")
+            dest = os.path.join(dest_root, f"bucket={b}")
+            if os.path.isdir(dest):
+                shutil.rmtree(dest)  # leftover from a crashed, un-manifested attempt
+            os.replace(src_dir, dest)
+            rows, files = _parquet_stats(dest)
+            bucket_rows[b] = rows
+            self._write_manifest(
+                batch_id,
+                b,
+                {
+                    "batch_id": batch_id,
+                    "bucket": b,
+                    "rows": rows,
+                    "files": files,
                     "schema": schema_ddl_payload,
-                }
-            shutil.rmtree(staging, ignore_errors=True)
-        for b in reused:
+                    "compacted": b in compact_candidates,
+                    "ts": time.time(),
+                },
+            )
+            self.crash_hook("after_manifest")
+            new_entries[str(b)] = {
+                "path": os.path.relpath(dest, self.root),
+                "schema": schema_ddl_payload,
+                "compacted": b in compact_candidates,
+            }
+        shutil.rmtree(staging, ignore_errors=True)
+        for b in sorted(manifested):
             with open(self._manifest_path(batch_id, b)) as fh:
                 m = json.load(fh)
             bucket_rows[b] = m["rows"]
             new_entries[str(b)] = {
                 "path": os.path.join("data", f"ingest={batch_id}", f"bucket={b}"),
                 "schema": m["schema"],
+                "compacted": m.get("compacted", False),
             }
 
-        state_rows.unpersist()
-        prev_buckets.update(new_entries)
-        metrics.update({"bucket_rows": bucket_rows, "reused_buckets": reused})
+        metrics["phase_s"] = {
+            "plan": round(t_plan - t0, 3),
+            "merge_write_job": round(t_job - t_plan, 3),
+            "publish": round(time.time() - t_job, 3),
+        }
+        # delta-list bookkeeping: a compacted bucket's new file REPLACES
+        # its delta list; an appended delta extends it
+        for key_b, entry in new_entries.items():
+            if entry["compacted"]:
+                prev_buckets[key_b] = [entry]
+            else:
+                prev_buckets[key_b] = list(prev_buckets.get(key_b, [])) + [entry]
+        metrics["bucket_rows"] = bucket_rows
         if self.lineage:
             metrics["lineage"] = self._batch_lineage(batch_df)
         self._commit(version, snap, prev_buckets, committed, batch_id,

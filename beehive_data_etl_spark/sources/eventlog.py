@@ -129,6 +129,7 @@ def generate_event_log(
     p_out_of_order: float = 0.05,
     zipf_s: float = 1.2,
     evolution_split: int | None = None,
+    n_jobs: int | None = None,
 ) -> str:
     """Write a deterministic CDC event log to ``out_dir``.
 
@@ -153,7 +154,7 @@ def generate_event_log(
         "p_out_of_order": p_out_of_order,
         "zipf_s": zipf_s,
         "evolution_split": evolution_split,
-        "version": 4,
+        "version": 5,
     }
     meta_path = os.path.join(out_dir, "_meta.json")
     if os.path.exists(meta_path):
@@ -180,7 +181,6 @@ def generate_event_log(
     keys = _event_keys(doc_idx, op_seq, seed)
     lengths = _lengths(keys)
     lengths_eff = np.where(is_del, 0, lengths)
-    offsets, tok_vals = _ragged_tokens(keys, lengths_eff)
     n_tok_vals = lengths.astype(np.int64)
 
     doc_ids = np.char.add("doc-", np.char.zfill(doc_idx.astype("U8"), 8))
@@ -213,7 +213,9 @@ def generate_event_log(
     ]
 
     def _build_table(sel: np.ndarray, f: int, want_evolved: bool) -> pa.Table:
-        new_off, new_vals = _ragged_gather(offsets[:-1], tok_vals, sel, lengths_eff)
+        # token payloads are pure functions of (doc, seq) — computed
+        # here per file so generation parallelizes across files
+        new_off, new_vals = _ragged_tokens(keys[sel], lengths_eff[sel])
         del_mask = is_del[sel]
         toks = pa.ListArray.from_arrays(
             pa.array(new_off.astype(np.int32), type=pa.int32()),
@@ -247,7 +249,8 @@ def generate_event_log(
 
     all_idx = np.concatenate([np.arange(n_events), dup_sel]).astype(np.int64)
     all_file = np.concatenate([file_idx, dup_file_idx])
-    for f in range(n_files):
+
+    def _write_file(f: int) -> None:
         sel = all_idx[all_file == f]
         sel = sel[np.argsort(op_seq[sel], kind="stable")]
         if evolution_split is None:
@@ -269,7 +272,34 @@ def generate_event_log(
                 tbl = pa.concat_tables([base, _build_table(sel[ev], f, True)]).sort_by(
                     "op_sequence"
                 )
-        pq.write_table(tbl, os.path.join(out_dir, f"part-{f:05d}.parquet"))
+        # modest row groups: the row group is the parquet scan's unit of
+        # parallelism — one giant group per file would cap a replay
+        # batch's scan at files_per_batch tasks
+        pq.write_table(
+            tbl, os.path.join(out_dir, f"part-{f:05d}.parquet"),
+            row_group_size=20000,
+        )
+
+    n_jobs = n_jobs or 1
+    if n_jobs > 1 and n_events >= 100_000 and hasattr(os, "fork"):
+        # fork-based fan-out: workers inherit the (copy-on-write) event
+        # arrays and each materializes + writes its own files
+        global _FORK_WRITE
+        _FORK_WRITE = _write_file
+        import multiprocessing as _mp
+
+        with _mp.get_context("fork").Pool(min(n_jobs, n_files)) as pool:
+            pool.map(_fork_entry, range(n_files))
+    else:
+        for f in range(n_files):
+            _write_file(f)
     with open(meta_path, "w") as fh:
         json.dump(meta, fh)
     return out_dir
+
+
+_FORK_WRITE = None
+
+
+def _fork_entry(f: int) -> None:
+    _FORK_WRITE(f)
