@@ -59,6 +59,14 @@ def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
     the decode loop is the stub's per-item boundary, exactly where a
     vectorized decoder would slot in)."""
 
+    # bind the decoder into the closure as a LOCAL so the whole thing
+    # pickles by value (workers never import this package); the module-
+    # level decode_stub stays the documented/testable entry point
+    _decode_src = decode_stub.__code__
+    import types as _types
+
+    _local_decode = _types.FunctionType(_decode_src, {"np": np, "NotImplementedError": NotImplementedError})
+
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = pdf["payload"]
@@ -69,7 +77,7 @@ def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
                 for p in payloads
             ]
             pdf["feat"] = [
-                decode_stub(p, m).tolist()
+                _local_decode(p, m).tolist()
                 for p, m in zip(payloads, pdf["modality"])
             ]
             yield pdf

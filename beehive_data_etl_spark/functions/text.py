@@ -35,10 +35,19 @@ def clean_text_expr(col: Column | str) -> Column:
     return F.lower(F.trim(F.regexp_replace(c, r"\s+", " ")))
 
 
-@F.pandas_udf(T.StringType())
-def clean_text_pandas(s: pd.Series) -> pd.Series:
-    """Arrow-vectorized twin of clean_text_expr (A5 transform stage)."""
-    return s.str.replace(r"\s+", " ", regex=True).str.strip().str.lower()
+def make_clean_text_pandas():
+    """Arrow-vectorized twin of clean_text_expr (A5 transform stage).
+
+    Factory returning a freshly-built pandas UDF: the inner function is
+    local, so cloudpickle ships it BY VALUE and workers never need this
+    package importable (module-level UDFs pickle by reference and break
+    without --py-files)."""
+
+    @F.pandas_udf(T.StringType())
+    def clean_text_pandas(s: pd.Series) -> pd.Series:
+        return s.str.replace(r"\s+", " ", regex=True).str.strip().str.lower()
+
+    return clean_text_pandas
 
 
 def token_count_expr(col: Column | str, mode: str = "whitespace") -> Column:

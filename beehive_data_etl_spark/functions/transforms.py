@@ -27,21 +27,26 @@ KEYWORD_CODES: list[tuple[str, str]] = [
     (r"\b(health|medical|care)\b", "HEA"),
     (r"\b(community|local)\b", "COM"),
 ]
-_COMPILED = [(re.compile(p), code) for p, code in KEYWORD_CODES]
-
-
-@F.pandas_udf(T.ArrayType(T.StringType()))
-def classify_keywords(texts: pd.Series) -> pd.Series:
+def make_classify_keywords(keyword_codes: list[tuple[str, str]] | None = None):
     """Regex keyword classification as a vectorized pandas UDF: each
     pattern runs once per Arrow batch via pd.Series.str.contains (C
-    loop), never per-row Python."""
-    lower = texts.fillna("").str.lower()
-    hit_masks = [(lower.str.contains(p), code) for p, code in _COMPILED]
+    loop), never per-row Python. Factory → the UDF pickles by value
+    (workers need no package import)."""
+    codes = keyword_codes or KEYWORD_CODES
 
-    out = pd.Series([[] for _ in range(len(texts))], index=texts.index, dtype=object)
-    for mask, code in hit_masks:
-        out[mask] = out[mask].apply(lambda codes, c=code: codes + [c])
-    return out
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def classify_keywords(texts: pd.Series) -> pd.Series:
+        compiled = [(re.compile(p), code) for p, code in codes]
+        lower = texts.fillna("").str.lower()
+        hit_masks = [(lower.str.contains(p), code) for p, code in compiled]
+        out = pd.Series(
+            [[] for _ in range(len(texts))], index=texts.index, dtype=object
+        )
+        for mask, code in hit_masks:
+            out[mask] = out[mask].apply(lambda cs, c=code: cs + [c])
+        return out
+
+    return classify_keywords
 
 
 def normalize_amount(col: Column | str) -> Column:
@@ -65,10 +70,14 @@ def duration_bucket(months: Column | str) -> Column:
     )
 
 
-@F.pandas_udf(T.IntegerType())
-def token_count_pandas(texts: pd.Series) -> pd.Series:
-    """Whitespace token count, Arrow-vectorized."""
-    return texts.fillna("").str.split().str.len().astype("int32")
+def make_token_count_pandas():
+    """Whitespace token count, Arrow-vectorized (by-value factory)."""
+
+    @F.pandas_udf(T.IntegerType())
+    def token_count_pandas(texts: pd.Series) -> pd.Series:
+        return texts.fillna("").str.split().str.len().astype("int32")
+
+    return token_count_pandas
 
 
 def beehive_transform_stage(batch: DataFrame, text_col: str | None = None) -> DataFrame:
@@ -79,7 +88,7 @@ def beehive_transform_stage(batch: DataFrame, text_col: str | None = None) -> Da
     if "source" in out.columns:
         out = out.withColumn("source", F.lower(F.trim(F.col("source"))))
     if text_col and text_col in out.columns:
-        out = out.withColumn("keyword_codes", classify_keywords(F.col(text_col)))
+        out = out.withColumn("keyword_codes", make_classify_keywords()(F.col(text_col)))
     return out
 
 

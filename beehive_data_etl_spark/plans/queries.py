@@ -877,13 +877,14 @@ def q_dedup_lww_salted(spark, sf):
 def q_pandas_udf(spark, sf):
     """A5 vectorized normalization via Arrow pandas UDF; the oracle
     re-expresses the same cleanup in SQL."""
-    from beehive_data_etl_spark.functions.text import clean_text_pandas
+    from beehive_data_etl_spark.functions.text import make_clean_text_pandas
 
+    clean_udf = make_clean_text_pandas()
     d = t(spark, sf, "documents")
     return d.select(
         "doc_id",
-        clean_text_pandas(F.col("text")).alias("clean"),
-        F.length(clean_text_pandas(F.col("text"))).alias("clean_len"),
+        clean_udf(F.col("text")).alias("clean"),
+        F.length(clean_udf(F.col("text"))).alias("clean_len"),
     )
 
 
@@ -1251,10 +1252,10 @@ def q_multimodal_features(spark, sf):
 def q_keyword_classify(spark, sf):
     """The reference's keyword classification stage (SURVEY.md §2C) as a
     vectorized pandas UDF."""
-    from beehive_data_etl_spark.functions.transforms import classify_keywords
+    from beehive_data_etl_spark.functions.transforms import make_classify_keywords
 
     return t(spark, sf, "documents").select(
-        "doc_id", classify_keywords(F.col("text")).alias("keyword_codes")
+        "doc_id", make_classify_keywords()(F.col("text")).alias("keyword_codes")
     )
 
 
@@ -1275,3 +1276,192 @@ def q_amount_normalize(spark, sf):
     o = t(spark, sf, "orders")
     dirty = F.concat(F.lit("£"), F.col("o_totalprice").cast("string"))
     return o.select("o_orderkey", normalize_amount(dirty).alias("amount"))
+
+
+# --------------------------------------------------------------- pivot
+@query(
+    "q_pivot",
+    """
+    SELECT l_returnflag,
+           ROUND(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0 END), 2) AS qty_O,
+           ROUND(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0 END), 2) AS qty_F
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_pivot(spark, sf):
+    li = t(spark, sf, "lineitem")
+    p = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .sum("l_quantity")
+    )
+    return p.select(
+        "l_returnflag",
+        F.round(F.coalesce(F.col("O"), F.lit(0.0)), 2).alias("qty_O"),
+        F.round(F.coalesce(F.col("F"), F.lit(0.0)), 2).alias("qty_F"),
+    )
+
+
+# --------------------------------------------------------------- unpivot
+@query(
+    "q_unpivot",
+    """
+    SELECT c_custkey, 'acctbal' AS metric, c_acctbal AS value FROM customer
+    UNION ALL
+    SELECT c_custkey, 'nationkey' AS metric, CAST(c_nationkey AS DOUBLE) AS value
+    FROM customer
+    """,
+)
+def q_unpivot(spark, sf):
+    c = t(spark, sf, "customer")
+    return c.selectExpr(
+        "c_custkey",
+        "stack(2, 'acctbal', c_acctbal, 'nationkey', CAST(c_nationkey AS DOUBLE)) "
+        "AS (metric, value)",
+    )
+
+
+# --------------------------------------------------------------- percentiles
+@query(
+    "q_percentile",
+    """
+    SELECT o_orderstatus,
+           ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+           ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+           ROUND(MIN(o_totalprice), 2) AS lo,
+           ROUND(MAX(o_totalprice), 2) AS hi
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_percentile(spark, sf):
+    """Exact continuous percentiles (Spark `percentile` == DuckDB
+    quantile_cont interpolation)."""
+    o = t(spark, sf, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+        F.round(F.min("o_totalprice"), 2).alias("lo"),
+        F.round(F.max("o_totalprice"), 2).alias("hi"),
+    )
+
+
+# --------------------------------------------------------------- stats aggs
+@query(
+    "q_stats",
+    """
+    SELECT l_returnflag,
+           ROUND(stddev_samp(l_quantity), 6) AS qty_sd,
+           ROUND(var_samp(l_quantity), 6) AS qty_var,
+           ROUND(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+           ROUND(covar_samp(l_quantity, l_discount), 6) AS qty_disc_cov
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_stats(spark, sf):
+    li = t(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 6).alias("qty_sd"),
+        F.round(F.var_samp("l_quantity"), 6).alias("qty_var"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias("qty_disc_cov"),
+    )
+
+
+# --------------------------------------------------------------- TPC-H Q3 shape
+@query(
+    "q_shipping_priority",
+    """
+    SELECT l.l_orderkey,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderpriority
+    ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+)
+def q_shipping_priority(spark, sf):
+    """TPC-H Q3-shaped: selective 3-way join + agg + top-k."""
+    c = t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = t(spark, sf, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15 00:00:00").cast("timestamp")
+    )
+    li = t(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15 00:00:00").cast("timestamp")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------- TPC-H Q5 shape
+@query(
+    "q_local_supplier_volume",
+    """
+    SELECT n.n_name AS nation,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def q_local_supplier_volume(spark, sf):
+    """TPC-H Q5-shaped: 5-way join, dims broadcast."""
+    c = t(spark, sf, "customer")
+    o = t(spark, sf, "orders")
+    li = t(spark, sf, "lineitem")
+    s = t(spark, sf, "supplier")
+    n = t(spark, sf, "nation")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+# --------------------------------------------------------------- histogram
+@query(
+    "q_histogram",
+    """
+    SELECT CAST(floor(value / 50.0) AS BIGINT) AS bin,
+           COUNT(*) AS n,
+           ROUND(AVG(value), 4) AS bin_avg
+    FROM events GROUP BY 1
+    """,
+)
+def q_histogram(spark, sf):
+    e = t(spark, sf, "events")
+    return (
+        e.groupBy(F.floor(F.col("value") / 50.0).cast("long").alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 4).alias("bin_avg"),
+        )
+    )

@@ -1,0 +1,131 @@
+"""IcebergSink — the cluster adapter for the proven sink protocol
+(SURVEY.md §7.4 M9).
+
+Maps the same interface the engine drives against ``SnapshotSink`` onto
+Iceberg SQL. Everything subtle (exactly-once manifests, LWW merge
+condition, schema-evolution rule, salting) is engine-side and already
+fault-injection-tested against the snapshot sink; this adapter is a
+thin SQL mapping:
+
+- MERGE:        ``MERGE INTO … ON t.doc_id = s.doc_id
+                 WHEN MATCHED AND s.op_sequence > t.op_sequence …``
+- evolution:    ``ALTER TABLE … ADD COLUMN / ALTER COLUMN … TYPE``
+                (the exact DDL strings ``evolve_schema`` emits)
+- exactly-once: batch-id stamped into the snapshot summary via
+                ``snapshot-property.`` write options; re-delivery is
+                detected from the table's snapshot history.
+
+Requires iceberg-spark-runtime on the classpath and a configured
+catalog — neither exists in this sandbox, so the adapter import-guards
+and every method raises a clear error when Iceberg isn't available.
+The SQL below is exercised only as string construction in unit tests
+here; on a cluster it runs verbatim.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from beehive_data_etl_spark.operators.lww import lww_dedup
+from beehive_data_etl_spark.operators.schema_evolution import evolve_schema
+
+BATCH_PROP = "beehive.batch-id"
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    try:
+        # py4j attribute chains resolve lazily — forName is the real probe
+        spark._jvm.java.lang.Class.forName("org.apache.iceberg.Table")
+        return True
+    except Exception:
+        return False
+
+
+class IcebergSink:
+    """Same contract as SnapshotSink.apply_batch, over an Iceberg table.
+
+    Bucketing comes from the table's own partition spec
+    (``bucket(n, doc_id)``) — storage-partitioned joins co-locate the
+    MERGE without an extra shuffle on clusters with SPJ enabled.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        table: str,
+        n_buckets: int = 4096,
+        salt_partials: int = 0,
+    ) -> None:
+        self.spark = spark
+        self.table = table
+        self.n_buckets = n_buckets
+        self.salt_partials = salt_partials
+        if not iceberg_available(spark):
+            raise RuntimeError(
+                "iceberg-spark-runtime not on the classpath; use "
+                "sinks.snapshot.SnapshotSink in this environment"
+            )
+
+    # ---------------------------------------------------------------- DDL
+    def create_table_ddl(self, payload_ddl: str) -> str:
+        return (
+            f"CREATE TABLE IF NOT EXISTS {self.table} ("
+            f"{payload_ddl}, op_sequence BIGINT, deleted BOOLEAN) "
+            f"USING iceberg PARTITIONED BY (bucket({self.n_buckets}, doc_id)) "
+            "TBLPROPERTIES ('write.merge.mode'='merge-on-read', "
+            "'write.distribution-mode'='hash', 'format-version'='2')"
+        )
+
+    def evolve_ddl(self, ddl_log: list[str]) -> list[str]:
+        return [f"ALTER TABLE {self.table} {stmt}" for stmt in ddl_log]
+
+    def merge_sql(self) -> str:
+        """The LWW MERGE — identical semantics to the snapshot sink's
+        single LWW aggregation: newer op_sequence wins, deletes
+        tombstone (kept as rows so late stale updates cannot resurrect;
+        readers filter ``NOT deleted``)."""
+        return f"""
+        MERGE INTO {self.table} t
+        USING __beehive_batch s
+        ON t.doc_id = s.doc_id
+        WHEN MATCHED AND s.op_sequence > t.op_sequence THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *
+        """
+
+    # ------------------------------------------------------------- protocol
+    def committed(self, batch_id: str) -> bool:
+        rows = self.spark.sql(
+            f"SELECT summary['{BATCH_PROP}'] AS b FROM {self.table}.snapshots"
+        ).collect()
+        return any(r.b == str(batch_id) for r in rows)
+
+    def apply_batch(self, batch_df: DataFrame, batch_id: str | int) -> dict:
+        batch_id = str(batch_id)
+        if self.committed(batch_id):
+            return {"batch_id": batch_id, "skipped": True}
+        payload = [c for c in batch_df.columns if c not in ("op", "event_ts", "batch_hint")]
+        tbl_cols = {f.name: f for f in self.spark.table(self.table).schema.fields}
+        batch_schema = batch_df.select(*payload).schema
+        from pyspark.sql import types as T
+
+        _, ddl_log = evolve_schema(
+            T.StructType([tbl_cols[c] for c in tbl_cols if c not in ("op_sequence", "deleted")]),
+            batch_schema,
+        )
+        for stmt in self.evolve_ddl(ddl_log):
+            self.spark.sql(stmt)
+        deduped = lww_dedup(
+            batch_df.drop("event_ts", "batch_hint"),
+            "doc_id",
+            "op_sequence",
+            salt_partials=self.salt_partials,
+        )
+        src = deduped.withColumn("deleted", F.col("op") == F.lit("D")).drop("op")
+        src.createOrReplaceTempView("__beehive_batch")
+        # stamp the batch id into the Iceberg snapshot the MERGE creates
+        self.spark.conf.set(
+            f"spark.wap.snapshot-property.{BATCH_PROP}", batch_id
+        )
+        self.spark.sql(self.merge_sql())
+        return {"batch_id": batch_id, "skipped": False, "schema_ddl": ddl_log}

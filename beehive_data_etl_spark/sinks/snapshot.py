@@ -419,6 +419,100 @@ class SnapshotSink:
         with open(os.path.join(self.root, "_metrics", "commits.jsonl"), "a") as fh:
             fh.write(json.dumps(metrics) + "\n")
 
+    # ------------------------------------------------------- maintenance
+    def compact(self, buckets: list[int] | None = None) -> dict:
+        """Fold every delta of the given buckets (default: all buckets
+        holding >1 delta) into a single file each. Idempotent and
+        crash-safe: the fold writes to a staging dir and only the
+        snapshot-pointer swap publishes it — a crash leaves the old
+        snapshot live. The background-compaction analog of the inline
+        threshold compaction in apply_batch."""
+        t0 = time.time()
+        snap = self.current_snapshot()
+        if snap is None:
+            return {"compacted": []}
+        todo = [
+            b
+            for b in (buckets if buckets is not None else range(self.n_buckets))
+            if len(snap["buckets"].get(str(b), [])) > 1
+        ]
+        if not todo:
+            return {"compacted": []}
+        table_schema = T.StructType.fromDDL(snap["schema"])
+        folded = lww_dedup(
+            self._read_buckets(snap, todo, target=table_schema), KEY, SEQ
+        ).withColumn("_bucket", _bucket_expr(self.n_buckets))
+        staging = os.path.join(self.root, "data", f"_stage-{uuid.uuid4().hex}")
+        (
+            folded.repartition(self.n_buckets, "_bucket")
+            .write.mode("overwrite")
+            .partitionBy("_bucket")
+            .option("compression", self.compression)
+            .parquet(staging)
+        )
+        tag = f"compact-v{snap['version'] + 1}"
+        dest_root = os.path.join(self.root, "data", f"ingest={tag}")
+        os.makedirs(dest_root, exist_ok=True)
+        new_buckets = dict(snap["buckets"])
+        ddl = _ddl(table_schema)
+        for b in todo:
+            src_dir = os.path.join(staging, f"_bucket={b}")
+            if not os.path.isdir(src_dir):
+                continue
+            dest = os.path.join(dest_root, f"bucket={b}")
+            if os.path.isdir(dest):
+                shutil.rmtree(dest)
+            os.replace(src_dir, dest)
+            new_buckets[str(b)] = [
+                {"path": os.path.relpath(dest, self.root), "schema": ddl,
+                 "compacted": True}
+            ]
+        shutil.rmtree(staging, ignore_errors=True)
+        new_snap = dict(snap)
+        new_snap.update(
+            {
+                "version": snap["version"] + 1,
+                "buckets": new_buckets,
+                "parent": snap["version"],
+                "metrics": {"compaction": todo, "wall_s": round(time.time() - t0, 3)},
+            }
+        )
+        self._write_snapshot(new_snap)
+        return {"compacted": todo, "wall_s": round(time.time() - t0, 3)}
+
+    def vacuum(self) -> dict:
+        """Delete data directories not referenced by the CURRENT
+        snapshot: superseded deltas and orphans from crashed attempts.
+        Time-travel to earlier snapshots is given up for the vacuumed
+        files (their JSON metadata is kept). Mirrors Iceberg's
+        expire_snapshots + remove_orphan_files."""
+        snap = self.current_snapshot()
+        if snap is None:
+            return {"removed": 0}
+        live = {
+            os.path.normpath(os.path.join(self.root, e["path"]))
+            for entries in snap["buckets"].values()
+            for e in entries
+        }
+        removed = 0
+        data_root = os.path.join(self.root, "data")
+        for ingest in os.listdir(data_root):
+            ing_dir = os.path.join(data_root, ingest)
+            if not os.path.isdir(ing_dir):
+                continue
+            if ingest.startswith("_stage-"):
+                shutil.rmtree(ing_dir, ignore_errors=True)
+                removed += 1
+                continue
+            for bucket_dir in os.listdir(ing_dir):
+                full = os.path.normpath(os.path.join(ing_dir, bucket_dir))
+                if full not in live:
+                    shutil.rmtree(full, ignore_errors=True)
+                    removed += 1
+            if not os.listdir(ing_dir):
+                os.rmdir(ing_dir)
+        return {"removed": removed}
+
     def read_metrics(self) -> list[dict]:
         path = os.path.join(self.root, "_metrics", "commits.jsonl")
         if not os.path.exists(path):

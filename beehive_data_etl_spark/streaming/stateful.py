@@ -1,0 +1,74 @@
+"""Custom stateful streaming operators (SURVEY.md §2 A3/A4 in true
+streaming form).
+
+``streaming_lww_latest`` keeps, per ``doc_id``, the highest
+``op_sequence`` event seen so far and emits one updated row per key per
+micro-batch — arbitrary stateful processing via
+``applyInPandasWithState`` (Arrow-batched; state is a single scalar per
+key, so state size is O(keys), bounded further by the watermark).
+
+This is the operator to reach for when the sink needs a *changelog* of
+net-effect updates instead of full-batch merges — e.g. feeding a
+downstream cache. The batch engine path (SnapshotSink) does not use it:
+its single LWW aggregation is cheaper when the whole batch lands in one
+merge anyway.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = (
+    "doc_id string, op_sequence long, op string, n_tok long, event_ts timestamp"
+)
+STATE_SCHEMA = "max_seq long"
+
+
+def streaming_lww_latest(events: DataFrame, watermark_delay: str = "10 minutes") -> DataFrame:
+    """events (streaming DF with the CDC envelope) → changelog of
+    net-new latest versions per key. State: one int64 per live key.
+
+    The stateful function is a nested closure ON PURPOSE: cloudpickle
+    serializes local functions by value, so Python workers need no
+    import of this package (module-level functions pickle by reference
+    and fail on workers without ``--py-files``/PYTHONPATH)."""
+
+    def _latest_per_key(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (doc_id,) = key
+        max_seq = state.get[0] if state.exists else -1
+        best = None
+        for pdf in pdfs:  # Arrow batches for this key in this micro-batch
+            cand = pdf.loc[pdf["op_sequence"].idxmax()]
+            if cand["op_sequence"] > max_seq:
+                max_seq = int(cand["op_sequence"])
+                best = cand
+        if best is None:  # everything in this batch was stale — no output
+            return
+        state.update((max_seq,))
+        yield pd.DataFrame(
+            {
+                "doc_id": [doc_id],
+                "op_sequence": [max_seq],
+                "op": [best["op"]],
+                "n_tok": [None if pd.isna(best["n_tok"]) else int(best["n_tok"])],
+                "event_ts": [best["event_ts"]],
+            }
+        )
+
+    return (
+        events.withWatermark("event_ts", watermark_delay)
+        .groupBy("doc_id")
+        .applyInPandasWithState(
+            _latest_per_key,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

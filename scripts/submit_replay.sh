@@ -1,0 +1,32 @@
+#!/usr/bin/env bash
+# Cluster deployment (BASELINE.json:14: "run via spark-submit --py-files
+# on a multi-executor cluster at two cluster sizes").
+#
+# Usage: scripts/submit_replay.sh <wal_dir> <table_or_sink_root> <executors>
+#
+# The same zip + entry script runs unchanged at N and 4N executors; the
+# engine has no Catalyst extensions or native code (pure PySpark), so
+# --py-files is the complete deployment unit.
+set -euo pipefail
+
+WAL_DIR=${1:?wal dir}
+TARGET=${2:?target table (iceberg: cat.db.tbl) or sink root path}
+EXECUTORS=${3:?executor count}
+
+REPO_DIR="$(cd "$(dirname "$0")/.." && pwd)"
+ZIP=/tmp/beehive_data_etl_spark.zip
+(cd "$REPO_DIR" && zip -qr "$ZIP" beehive_data_etl_spark -x '*__pycache__*')
+
+exec spark-submit \
+  --master "${SPARK_MASTER:-yarn}" \
+  --deploy-mode client \
+  --num-executors "$EXECUTORS" \
+  --executor-cores "${EXECUTOR_CORES:-4}" \
+  --executor-memory "${EXECUTOR_MEM:-8g}" \
+  --conf spark.sql.adaptive.enabled=true \
+  --conf spark.sql.adaptive.skewJoin.enabled=true \
+  --conf spark.sql.shuffle.partitions="${SHUFFLE_PARTITIONS:-512}" \
+  --conf spark.sql.session.timeZone=UTC \
+  --conf spark.sql.execution.arrow.pyspark.enabled=true \
+  --py-files "$ZIP" \
+  "$REPO_DIR/scripts/replay_job.py" "$WAL_DIR" "$TARGET"

@@ -1,0 +1,50 @@
+"""Table maintenance: background compaction and vacuum (orphan/
+superseded-file removal) keep the MoR sink's read path bounded."""
+
+import glob
+import os
+
+from beehive_data_etl_spark.sinks.snapshot import SnapshotSink
+from beehive_data_etl_spark.streaming.replay import replay_incremental
+from beehive_data_etl_spark.verify import compare_final, oracle_final_spark
+
+
+def test_compact_and_vacuum_preserve_state(spark, smoke_log, tmp_path):
+    root = str(tmp_path / "sink")
+    # high threshold → pure-append ingest, all folding left to compact()
+    sink = SnapshotSink(spark, root, n_buckets=8, compact_threshold=100)
+    replay_incremental(spark, smoke_log, sink, files_per_batch=2)
+    snap = sink.current_snapshot()
+    assert all(len(v) >= 2 for v in snap["buckets"].values()), "expected deltas"
+
+    before = {r.doc_id: r.op_sequence for r in sink.read_state().collect()}
+    res = sink.compact()
+    assert res["compacted"]
+    snap2 = sink.current_snapshot()
+    assert all(len(v) == 1 for v in snap2["buckets"].values())
+    after = {r.doc_id: r.op_sequence for r in sink.read_state().collect()}
+    assert before == after
+
+    n_dirs_before = len(glob.glob(os.path.join(root, "data", "ingest=*", "bucket=*")))
+    removed = sink.vacuum()["removed"]
+    assert removed > 0
+    n_dirs_after = len(glob.glob(os.path.join(root, "data", "ingest=*", "bucket=*")))
+    assert n_dirs_after == n_dirs_before - removed
+    # state still byte-correct after vacuum
+    state = sink.read_state()
+    report = compare_final(
+        state.filter(~state.deleted), oracle_final_spark(spark, smoke_log)
+    )
+    assert report["ok"], report
+
+
+def test_vacuum_keeps_everything_when_fully_live(spark, smoke_log, tmp_path):
+    root = str(tmp_path / "sink")
+    sink = SnapshotSink(spark, root, n_buckets=8, compact_threshold=1)  # CoW
+    replay_incremental(spark, smoke_log, sink, files_per_batch=4)
+    sink.vacuum()
+    state = sink.read_state()
+    report = compare_final(
+        state.filter(~state.deleted), oracle_final_spark(spark, smoke_log)
+    )
+    assert report["ok"], report

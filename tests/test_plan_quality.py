@@ -1,0 +1,109 @@
+"""Physical-plan assertions (SURVEY.md §4): the optimizations the engine
+relies on must actually appear in the plans — predicate pushdown to the
+parquet scan, column pruning, broadcast joins for dims, whole-stage
+codegen, and a bounded shuffle count in the CDC merge."""
+
+import io
+import re
+from contextlib import redirect_stdout
+
+from pyspark.sql import functions as F
+
+from beehive_data_etl_spark.plans.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = plan_of(QUERIES["q_filter"](spark, SF))
+    assert "PushedFilters" in plan
+    pushed = re.search(r"PushedFilters: \[(.*?)\]", plan).group(1)
+    assert "o_totalprice" in pushed or "o_orderstatus" in pushed, pushed
+
+
+def test_column_pruning_in_projection(spark):
+    plan = plan_of(QUERIES["q_project"](spark, SF))
+    m = re.search(r"ReadSchema: struct<(.*?)>", plan)
+    cols = m.group(1)
+    # only the 4 referenced columns are read, not all 11
+    assert "l_comment" not in cols and "l_shipdate" not in cols
+    assert cols.count(":") <= 4, cols
+
+
+def test_dim_join_is_broadcast(spark):
+    plan = plan_of(QUERIES["q_join_broadcast"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("BroadcastExchange") >= 2  # nation AND region
+
+
+def test_semi_anti_join_strategies(spark):
+    semi = plan_of(QUERIES["q_join_semi"](spark, SF))
+    anti = plan_of(QUERIES["q_join_anti"](spark, SF))
+    assert "LeftSemi" in semi
+    assert "LeftAnti" in anti
+
+
+def test_agg_has_partial_final_split(spark):
+    plan = plan_of(QUERIES["q_agg_basic"](spark, SF))
+    # Catalyst plans map-side partial + final HashAggregate
+    # (AQE's formatted output hides WholeStageCodegen markers; the
+    # HashAggregate pair is the codegen-able shape)
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_topk_uses_take_ordered(spark):
+    plan = plan_of(QUERIES["q_topk"](spark, SF))
+    assert "TakeOrderedAndProject" in plan  # no global sort for LIMIT k
+
+
+def test_builtin_queries_have_no_python_eval(spark):
+    """'No per-row Python' (BASELINE.json:6): every non-UDF query plan
+    must stay JVM-side — no BatchEvalPython / PythonUDF nodes."""
+    udf_queries = {
+        "q_pandas_udf", "q_grouped_map", "q_udaf", "q_multimodal_features",
+        "q_keyword_classify",
+    }
+    for name, fn in QUERIES.items():
+        if name in udf_queries:
+            continue
+        plan = plan_of(fn(spark, SF))
+        assert "BatchEvalPython" not in plan, name
+        assert "PythonUDF" not in plan, name
+
+
+def test_cdc_merge_shuffle_count(spark, smoke_log, tmp_path):
+    """The append-path merge dataflow must contain exactly ONE
+    data-bearing shuffle (the LWW aggregation) plus the bucket
+    repartition — no more. Regression guard for the single-job merge."""
+    from beehive_data_etl_spark.operators.lww import lww_dedup
+    from beehive_data_etl_spark.sinks.snapshot import _bucket_expr
+
+    df = spark.read.parquet(smoke_log).drop("event_ts", "batch_hint")
+    state = df.withColumn("deleted", F.col("op") == F.lit("D")).drop("op")
+    merged = lww_dedup(state, "doc_id", "op_sequence").withColumn(
+        "_bucket", _bucket_expr(8)
+    ).repartition(8, "_bucket")
+    plan = plan_of(merged)
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges <= 2, f"merge plan grew extra shuffles:\n{plan}"
+    # and the partial (map-side) LWW reduction runs BEFORE the shuffle —
+    # the property that makes Zipf-hot keys harmless
+    assert re.search(r"partial_max\(struct\(op_sequence", plan), plan
+
+
+def test_salted_dedup_two_phase_shape(spark, smoke_log):
+    """Explicit salting (A8) must produce two aggregation levels."""
+    from beehive_data_etl_spark.operators.lww import lww_dedup
+
+    df = spark.read.parquet(smoke_log).drop("event_ts", "batch_hint")
+    plan = plan_of(lww_dedup(df, "doc_id", "op_sequence", salt_partials=8))
+    # partial+final per phase → ≥4 aggregate nodes (Sort/ObjectHash)
+    n_aggs = len(re.findall(r"(SortAggregate|ObjectHashAggregate|HashAggregate)", plan))
+    assert n_aggs >= 4, plan
