@@ -35,29 +35,53 @@ def portable_hash32_sql(expr: str, salt: str = "") -> str:
     return f"(('0x' || substr(md5({inner}), 1, 8))::BIGINT)"
 
 
+_MERSENNE31 = (1 << 31) - 1
+
+
+def _permutation_params(k: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for k universal-hash permutations,
+    derived from splitmix-style mixing of the index — identical
+    literals land in the SQL oracle."""
+    params = []
+    for i in range(k):
+        x = (i + 1) * 0x9E3779B97F4A7C15 % (1 << 64)
+        x ^= x >> 30
+        a = (x % (_MERSENNE31 - 1)) + 1  # a in [1, p-1]
+        b = (x >> 33) % _MERSENNE31
+        params.append((a, b))
+    return params
+
+
 def minhash_signature(shingles: Column, k: int) -> Column:
-    """k-permutation MinHash over an array<string> of shingles: the i-th
-    component is min over shingles of H(shingle || '#i'). Pure
-    expression — evaluated JVM-side per row, no shuffle, no UDF."""
-    def _component(salt: str) -> Column:
-        # closure (NOT a default arg: a 2-param lambda would be called
-        # by transform() with (element, index) and swallow the salt)
+    """k-permutation MinHash over an array<string> of shingles.
+
+    One md5-derived base hash per shingle, then k cheap universal-hash
+    permutations ``(a_i*h + b_i) mod (2^31-1)`` — the classic
+    implementation (Broder '97): k x fewer digest evaluations than
+    hashing ``shingle||salt_i`` per component, and every intermediate
+    stays < 2^62 so a DuckDB oracle evaluates the identical arithmetic.
+    Pure expression: JVM-side per row, no shuffle, no UDF."""
+    base = F.transform(
+        shingles,
+        lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"),
+    )
+
+    def _component(a: int, b: int) -> Column:
         return F.array_min(
-            F.transform(
-                shingles,
-                lambda s: F.conv(
-                    F.substring(F.md5(F.concat(s, F.lit(salt))), 1, 8), 16, 10
-                ).cast("long"),
-            )
+            F.transform(base, lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE31))
         )
 
-    return F.array(*[_component(f"#{i}") for i in range(k)])
+    return F.array(*[_component(a, b) for a, b in _permutation_params(k)])
 
 
 def minhash_signature_sql(shingles_expr: str, k: int) -> str:
+    base = (
+        f"list_transform({shingles_expr}, "
+        "s -> ('0x' || substr(md5(s), 1, 8))::BIGINT)"
+    )
     comps = ", ".join(
-        f"list_aggregate(list_transform({shingles_expr}, "
-        f"s -> ('0x' || substr(md5(s || '#{i}'), 1, 8))::BIGINT), 'min')"
-        for i in range(k)
+        f"list_aggregate(list_transform({base}, "
+        f"h -> (h * {a} + {b}) % {_MERSENNE31}), 'min')"
+        for a, b in _permutation_params(k)
     )
     return f"[{comps}]"

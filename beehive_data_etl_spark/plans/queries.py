@@ -1465,3 +1465,63 @@ def q_histogram(spark, sf):
             F.round(F.avg("value"), 4).alias("bin_avg"),
         )
     )
+
+
+# --------------------------------------------------------------- hash sampling
+@query(
+    "q_sample_hash",
+    """
+    SELECT doc_id, lang
+    FROM documents
+    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 20
+    """,
+)
+def q_sample_hash(spark, sf):
+    """Deterministic 20% sample by content-hash bucket — reproducible
+    across engines and runs (training pipelines need sampling decisions
+    that survive re-execution; `TABLESAMPLE` does not)."""
+    from beehive_data_etl_spark.functions.hashing import portable_hash32
+
+    d = t(spark, sf, "documents")
+    return d.filter(
+        portable_hash32(F.col("doc_id").cast("string")) % 100 < 20
+    ).select("doc_id", "lang")
+
+
+# --------------------------------------------------------------- dedup canonical
+@query(
+    "q_dedup_canonical",
+    """
+    WITH pairs AS (
+        SELECT l.doc_id AS id_a, r.doc_id AS id_b
+        FROM documents l JOIN documents r
+          ON l.lang = r.lang
+         AND md5(l.text) = md5(r.text)
+         AND l.doc_id < r.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(MIN(p.id_a), d.doc_id) AS canonical_id
+    FROM documents d LEFT JOIN pairs p ON p.id_b = d.doc_id
+    GROUP BY d.doc_id
+    """,
+)
+def q_dedup_canonical(spark, sf):
+    """Canonical-doc assignment from duplicate pairs (1-hop union:
+    every duplicate points at its smallest exact-dup partner; full
+    connected components would iterate this join to fixpoint — at this
+    granularity exact dups are transitive through the equal hash, so
+    one hop IS the fixpoint)."""
+    d = t(spark, sf, "documents")
+    h = d.select("doc_id", "lang", F.md5("text").alias("h"))
+    left, right = h.alias("l"), h.alias("r")
+    pairs = left.join(
+        right,
+        (F.col("l.lang") == F.col("r.lang"))
+        & (F.col("l.h") == F.col("r.h"))
+        & (F.col("l.doc_id") < F.col("r.doc_id")),
+    ).select(F.col("l.doc_id").alias("id_a"), F.col("r.doc_id").alias("id_b"))
+    return (
+        d.join(pairs, d.doc_id == pairs.id_b, "left")
+        .groupBy(d.doc_id)
+        .agg(F.coalesce(F.min("id_a"), F.first(d.doc_id)).alias("canonical_id"))
+    )

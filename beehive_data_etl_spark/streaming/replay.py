@@ -92,6 +92,8 @@ def replay_stream(
     *correct* regardless (they lose the op_sequence comparison), the
     watermark only bounds any stateful operators added upstream.
     """
+    from beehive_data_etl_spark.metrics import ProgressJsonlListener, observe_envelope
+
     reader = (
         spark.readStream.schema(schema_ddl)
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -102,6 +104,7 @@ def replay_stream(
         reader = reader.withWatermark(*watermark)
     if transform is not None:
         reader = transform(reader)
+    reader = observe_envelope(reader)  # in-plan counters (A12), free
 
     def _apply(df: DataFrame, epoch_id: int) -> None:
         sink.apply_batch(df, f"stream-{epoch_id:06d}")
@@ -113,3 +116,11 @@ def replay_stream(
         .start()
     )
     query.awaitTermination()
+    # progress capture from the query's own buffer — synchronous and
+    # complete, unlike listener callbacks (async delivery). The
+    # ProgressJsonlListener in metrics.py serves long-running jobs whose
+    # progress outgrows the buffer.
+    ProgressJsonlListener.append_progresses(
+        os.path.join(sink.root, "_metrics", "stream_progress.jsonl"),
+        query.recentProgress,
+    )

@@ -58,3 +58,23 @@ def test_stream_resume_from_checkpoint(spark, smoke_log, tmp_path):
         state.filter(~state.deleted), oracle_final_spark(spark, smoke_log)
     )
     assert report["ok"], report
+
+
+def test_stream_progress_metrics_emitted(spark, smoke_log, tmp_path):
+    """A12: every streaming micro-batch lands in stream_progress.jsonl
+    with row counts and the in-plan observed envelope counters."""
+    from beehive_data_etl_spark.metrics import read_stream_progress
+
+    root = str(tmp_path / "sink")
+    sink = SnapshotSink(spark, root, n_buckets=8)
+    replay_stream(
+        spark, smoke_log, sink, str(tmp_path / "ckpt"),
+        BASE_ENVELOPE_DDL, max_files_per_trigger=4,
+    )
+    progress = read_stream_progress(
+        spark, f"{root}/_metrics/stream_progress.jsonl"
+    )
+    batches = [p for p in progress if p["num_input_rows"] > 0]
+    assert len(batches) >= 2
+    assert sum(p["num_input_rows"] for p in batches) >= 3000
+    assert any("cdc_envelope" in p["observed"] for p in batches)
