@@ -45,3 +45,36 @@ def test_streaming_lww_changelog(spark, smoke_log, tmp_path):
         assert last_seq == expected[doc], doc
         # …and updates are monotone: at most one emit per micro-batch
         assert n_updates >= 1
+
+
+def test_drop_duplicates_within_watermark(spark, smoke_log, tmp_path):
+    """Arrival-order dedup of verbatim duplicate deliveries via
+    dropDuplicatesWithinWatermark (B30 streaming form): duplicates in
+    the log collapse to one row per (doc_id, op_sequence)."""
+    from beehive_data_etl_spark.sources.eventlog import BASE_ENVELOPE_DDL
+
+    ev = (
+        spark.readStream.schema(BASE_ENVELOPE_DDL)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(smoke_log)
+        .select("doc_id", "op_sequence", "event_ts")
+        .withWatermark("event_ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["doc_id", "op_sequence"])
+    )
+    q = (
+        ev.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    n_out = spark.sql("select count(*) c from dedup_stream").collect()[0].c
+    log = spark.read.parquet(smoke_log)
+    n_raw = log.count()
+    n_unique = log.select("doc_id", "op_sequence").distinct().count()
+    assert n_raw > n_unique  # the fixture really contains duplicates
+    assert n_out == n_unique
