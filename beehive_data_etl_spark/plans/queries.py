@@ -22,10 +22,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from beehive_data_etl_spark.functions import dedup as D
-from beehive_data_etl_spark.functions import similarity as S
 from beehive_data_etl_spark.functions import text as TX
-from beehive_data_etl_spark.functions.hashing import portable_hash32_sql
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
@@ -1524,4 +1521,87 @@ def q_dedup_canonical(spark, sf):
         d.join(pairs, d.doc_id == pairs.id_b, "left")
         .groupBy(d.doc_id)
         .agg(F.coalesce(F.min("id_a"), F.first(d.doc_id)).alias("canonical_id"))
+    )
+
+
+# --------------------------------------------------------------- min_by/max_by
+@query(
+    "q_minmax_by",
+    """
+    SELECT o_orderstatus,
+           arg_min(o_orderkey, o_totalprice) AS cheapest_order,
+           arg_max(o_orderkey, o_totalprice) AS priciest_order,
+           ROUND(MIN(o_totalprice), 2) AS min_total,
+           ROUND(MAX(o_totalprice), 2) AS max_total
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_minmax_by(spark, sf):
+    o = t(spark, sf, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.min_by("o_orderkey", "o_totalprice").alias("cheapest_order"),
+        F.max_by("o_orderkey", "o_totalprice").alias("priciest_order"),
+        F.round(F.min("o_totalprice"), 2).alias("min_total"),
+        F.round(F.max("o_totalprice"), 2).alias("max_total"),
+    )
+
+
+# --------------------------------------------------------------- ordered collect
+@query(
+    "q_collect_sorted",
+    """
+    SELECT n_regionkey,
+           list_sort(list(n_name)) AS nations
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def q_collect_sorted(spark, sf):
+    """collect_list is arrival-ordered (nondeterministic under
+    parallelism) — sorting makes the aggregation deterministic and
+    cross-engine comparable."""
+    n = t(spark, sf, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.array_sort(F.collect_list("n_name")).alias("nations")
+    )
+
+
+# --------------------------------------------------------------- batch sessionize
+@query(
+    "q_sessionize_batch",
+    """
+    WITH flagged AS (
+        SELECT user_id, ts, event_type,
+               CASE WHEN ts - lag(ts) OVER w <= INTERVAL '30 minutes'
+                    THEN 0 ELSE 1 END AS new_session
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no,
+           CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch,
+           event_type
+    FROM flagged
+    """,
+)
+def q_sessionize_batch(spark, sf):
+    """Gaps-and-islands sessionization in batch form (the window-based
+    twin of session_window; SURVEY.md guide pattern)."""
+    e = t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wcum = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    flagged = e.withColumn(
+        "new_session",
+        F.when(
+            F.col("ts") - F.lag(F.col("ts")).over(w)
+            <= F.expr("INTERVAL 30 MINUTES"),
+            0,
+        ).otherwise(1),
+    )
+    return flagged.select(
+        "user_id",
+        F.sum("new_session").over(wcum).alias("session_no"),
+        F.floor(F.unix_timestamp("ts")).cast("long").alias("ts_epoch"),
+        "event_type",
     )
