@@ -144,12 +144,13 @@ def _cdc_worker(cores: int) -> None:
     spark.range(10_000_000).selectExpr("sum(id)").collect()
 
     def _replay(
-        log: str, files_per_batch: int, transform=None, max_batches=None
+        log: str, files_per_batch: int, transform=None, max_batches=None,
+        n_buckets: int = 64,
     ) -> list[dict]:
         sink_dir = os.path.join(sink_root, f"sink_{cores}")
         shutil.rmtree(sink_dir, ignore_errors=True)
         sink = SnapshotSink(
-            spark, sink_dir, n_buckets=64, lineage=False, compact_threshold=4
+            spark, sink_dir, n_buckets=n_buckets, lineage=False, compact_threshold=4
         )
         return replay_incremental(
             spark,
@@ -163,8 +164,11 @@ def _cdc_worker(cores: int) -> None:
     # JIT warmup on the real code path (a small slice of the tier log)
     _replay(tier_log, files_per_batch=2, max_batches=2)
 
+    # table sized to tier state (~100 MB → 16 buckets, SCALE.md rule);
+    # the 6M-event pipeline table (~1 GB state) uses 64. Identical at
+    # both parallelism levels either way.
     merge_best, merge_m = _best_of(
-        1, lambda: _replay(tier_log, max(1, cfg["n_files"] // 5))
+        3, lambda: _replay(tier_log, max(1, cfg["n_files"] // 5), n_buckets=16)
     )
     pipe_best, pipe_m = _best_of(
         3,
@@ -223,9 +227,16 @@ def _run_cdc_scaling() -> dict:
     out["steady_state_speedup"] = round(p50_8 / p50_32, 2)
     out["steady_state_efficiency_4x"] = round(p50_8 / (4 * p50_32), 3)
     out["protocol"] = (
-        "same job + same input + same plan (shuffle=64, buckets=64) at "
-        "local[8] vs local[32]; heap ∝ cores; tmpfs sink (per-node disks "
-        "on a real cluster) — BASELINE.md sandbox proxy for N vs 4N executors"
+        "same job + same input + same plan at local[8] vs local[32]; heap "
+        "∝ cores; tmpfs sink (per-node disks on a real cluster) — "
+        "BASELINE.md sandbox proxy for N vs 4N executors"
+    )
+    out["note"] = (
+        "merge_only (600k events, per the sf0.1 fixture) sits at the "
+        "~1 s/batch stage-latency floor, so core count cannot help — use "
+        "the pipeline section (6M events, vectorized transforms + merge) "
+        "for the scaling-efficiency criterion; single-box memory-bus "
+        "ceiling applies (see BENCH/BASELINE.md)"
     )
     return out
 
