@@ -1605,3 +1605,65 @@ def q_sessionize_batch(spark, sf):
         F.floor(F.unix_timestamp("ts")).cast("long").alias("ts_epoch"),
         "event_type",
     )
+
+
+# ----------------------------------------------------- §2C geo/dim enrichment
+@query(
+    "q_geo_enrich",
+    """
+    WITH dim(src, org_type, weight) AS (
+        VALUES ('src0', 'charity', 1.0), ('src1', 'company', 0.8),
+               ('src2', 'public', 0.5), ('src3', 'charity', 1.2)
+    )
+    SELECT d.doc_id, d.source,
+           COALESCE(m.org_type, 'unknown') AS org_type,
+           COALESCE(m.weight, 0.0) AS weight
+    FROM documents d LEFT JOIN dim m ON d.source = m.src
+    """,
+)
+def q_geo_enrich(spark, sf):
+    """The reference's geo/dim lookup stage (SURVEY.md §2C: postcode →
+    region codes) as a broadcast-join enrichment against a small dim."""
+    d = t(spark, sf, "documents")
+    dim = spark.createDataFrame(
+        [("src0", "charity", 1.0), ("src1", "company", 0.8),
+         ("src2", "public", 0.5), ("src3", "charity", 1.2)],
+        "src string, org_type string, weight double",
+    )
+    return d.join(F.broadcast(dim), d.source == dim.src, "left").select(
+        "doc_id",
+        "source",
+        F.coalesce("org_type", F.lit("unknown")).alias("org_type"),
+        F.coalesce("weight", F.lit(0.0)).alias("weight"),
+    )
+
+
+# ----------------------------------------------------- §2C dates + duration
+@query(
+    "q_duration_bucket",
+    """
+    SELECT o_orderkey,
+           CAST(trunc(datediff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) / 30.0) AS BIGINT)
+             AS months_since,
+           CASE WHEN datediff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) / 30 < 6 THEN 'short'
+                WHEN datediff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) / 30 < 18 THEN 'medium'
+                WHEN datediff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) / 30 < 36 THEN 'long'
+                ELSE 'multi-year' END AS duration_class
+    FROM orders
+    """,
+)
+def q_duration_bucket(spark, sf):
+    """The reference's award-duration bucketing (SURVEY.md §2C): date
+    parse → month arithmetic → when-ladder classification."""
+    from beehive_data_etl_spark.functions.transforms import duration_bucket
+
+    o = t(spark, sf, "orders")
+    months = (
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date"))
+        / 30
+    ).cast("long")
+    return o.select(
+        "o_orderkey",
+        months.alias("months_since"),
+        duration_bucket(months).alias("duration_class"),
+    )

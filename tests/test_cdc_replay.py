@@ -81,3 +81,33 @@ def test_lineage_and_metrics_emitted(replayed):
         assert "lineage" in m and all("input_files" in v for v in m["lineage"].values())
         assert m["wall_s"] > 0
     assert len(sink.read_metrics()) >= len(applied)
+
+
+def test_replay_with_transform_stage(spark, smoke_log, tmp_path):
+    """A5 integration: the beehive-style vectorized transform stage runs
+    inside the replay (before the merge) and its derived columns land in
+    the final table via schema evolution."""
+    from beehive_data_etl_spark.functions.transforms import cdc_bench_transform
+
+    root = str(tmp_path / "sink")
+    sink = SnapshotSink(spark, root, n_buckets=8)
+    replay_incremental(
+        spark, smoke_log, sink, files_per_batch=2, transform=cdc_bench_transform
+    )
+    final = sink.read_final()
+    assert "tok_fingerprint" in final.columns and "payload_valid" in final.columns
+    live = final.filter(final.payload_valid.isNotNull())
+    assert live.filter(~final.payload_valid).count() == 0  # every payload valid
+    # fingerprints recomputable from the stored tokens
+    from pyspark.sql import functions as F
+
+    recheck = final.filter(
+        final.tok_fingerprint != F.xxhash64("tokens")
+    ).count()
+    assert recheck == 0
+    # and the payload itself still matches the oracle
+    state = sink.read_state()
+    report = compare_final(
+        state.filter(~state.deleted), oracle_final_spark(spark, smoke_log)
+    )
+    assert report["ok"], report
