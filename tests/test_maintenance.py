@@ -48,3 +48,23 @@ def test_vacuum_keeps_everything_when_fully_live(spark, smoke_log, tmp_path):
         state.filter(~state.deleted), oracle_final_spark(spark, smoke_log)
     )
     assert report["ok"], report
+
+
+def test_stale_staging_dirs_ignored_and_vacuumed(spark, smoke_log, tmp_path):
+    """A crash mid-write leaves an orphan _stage- directory: replay must
+    ignore it (only the snapshot pointer defines the table) and vacuum
+    must remove it."""
+    root = str(tmp_path / "sink")
+    sink = SnapshotSink(spark, root, n_buckets=8)
+    stale = os.path.join(root, "data", "_stage-deadbeef")
+    os.makedirs(os.path.join(stale, "_bucket=0"), exist_ok=True)
+    with open(os.path.join(stale, "_bucket=0", "junk.parquet"), "wb") as fh:
+        fh.write(b"not a real parquet file")
+    replay_incremental(spark, smoke_log, sink, files_per_batch=4)
+    state = sink.read_state()
+    report = compare_final(
+        state.filter(~state.deleted), oracle_final_spark(spark, smoke_log)
+    )
+    assert report["ok"], report
+    assert sink.vacuum()["removed"] >= 1
+    assert not os.path.isdir(stale)
