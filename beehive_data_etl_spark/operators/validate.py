@@ -22,7 +22,14 @@ REASON_COL = "_reject_reason"
 
 def _reason_expr():
     return (
-        F.when(~F.col("op").isin("I", "U", "D"), F.lit("bad_op"))
+        F.when(
+            # isNull first: for a null op the isin() predicate is NULL
+            # (not true), and a bare negation would let the row through
+            # every later branch too — a null-op event would merge with
+            # deleted=NULL and act as a silent delete (ADVICE round 1)
+            F.col("op").isNull() | ~F.col("op").isin("I", "U", "D"),
+            F.lit("bad_op"),
+        )
         .when(F.col("doc_id").isNull(), F.lit("null_doc_id"))
         .when(F.col("op_sequence").isNull(), F.lit("null_op_sequence"))
         .when(
@@ -53,7 +60,11 @@ def validating_transform(quarantine_dir: str | None = None):
 
     def _apply(batch: DataFrame) -> DataFrame:
         valid, rejected = validate_envelope(batch)
-        if quarantine_dir is not None and not rejected.isEmpty():
+        if quarantine_dir is not None:
+            # no isEmpty() probe: that was a third scan of the source
+            # per batch (probe + quarantine write + valid path). An
+            # append of zero rows just writes metadata — cheaper than
+            # the extra job, and the valid path stays a single scan.
             rejected.write.mode("append").parquet(quarantine_dir)
         return valid
 

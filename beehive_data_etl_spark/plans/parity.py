@@ -1,13 +1,23 @@
 """Local replica of the driver's correctness harness: run a Spark query
-and its DuckDB oracle side-by-side, compare row count, column names, and
-order-insensitive values (exact for ints/strings; 1e-9-tolerant for
-floats — both sides round before output, so this is belt-and-braces)."""
+and its DuckDB oracle side-by-side and compare row count, column names,
+and an order-insensitive canonicalization of every value.
+
+The comparison is deliberately TYPE-EXACT (round-1 lesson, VERDICT.md
+"What's wrong" #2): the driver hashes dtype-canonicalized cells, so an
+int64 ``25`` vs a float64 ``25.0`` is a mismatch even though the values
+are numerically equal. The old 1e-9 ``isclose`` check masked exactly
+that bug class (q_math's CEIL returning BIGINT in Spark but DOUBLE in
+DuckDB). Every cell is canonicalized to a (type-tag, value) pair and
+compared with plain ``==`` — local green now implies driver green.
+"""
 
 from __future__ import annotations
 
+import datetime
 import math
 
 import duckdb
+import numpy as np
 import pandas as pd
 
 TABLES = [
@@ -25,23 +35,51 @@ def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
-def _norm_cell(v):
-    if v is None or (isinstance(v, float) and math.isnan(v)):
+def _canon_cell(v):
+    """Canonicalize one cell to a hashable (type-tag, value) pair.
+
+    Type tags keep int/float/bool/str/decimal distinct — the property
+    the driver's hash has and the old comparison lacked. Floats are
+    compared by exact bits (both engines' queries round before output;
+    round 1 proved the suite is bit-exact, so no tolerance is needed or
+    wanted)."""
+    if v is None:
         return None
-    if isinstance(v, float):
-        return round(v, 9)
-    if hasattr(v, "tolist"):  # numpy arrays / list cells
-        return tuple(_norm_cell(x) for x in v.tolist())
+    # pandas NaT / NaN / NA umbrella — but NOT for arrays (pd.isna is
+    # elementwise there)
+    if not isinstance(v, (list, tuple, np.ndarray)) and pd.isna(v):
+        if isinstance(v, float) or isinstance(v, np.floating):
+            return None  # NaN-as-null (pandas nullable-int → float path)
+        return None
+    if isinstance(v, (bool, np.bool_)):
+        return ("b", bool(v))
+    if isinstance(v, (int, np.integer)):
+        return ("i", int(v))
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        return ("f", f if not math.isnan(f) else "nan")
+    if isinstance(v, (pd.Timestamp, datetime.datetime)):
+        return ("t", pd.Timestamp(v).isoformat())
+    if isinstance(v, datetime.date):
+        return ("d", v.isoformat())
+    if isinstance(v, bytes):
+        return ("y", v)
+    if isinstance(v, np.ndarray):
+        return tuple(_canon_cell(x) for x in v.tolist())
     if isinstance(v, (list, tuple)):
-        return tuple(_norm_cell(x) for x in v)
-    return v
+        return tuple(_canon_cell(x) for x in v)
+    if isinstance(v, str):
+        return ("s", v)
+    # Decimal and anything else: stringify with its type name so a
+    # DECIMAL-vs-DOUBLE divergence still fails loudly
+    return (type(v).__name__, str(v))
 
 
 def _normalize(df: pd.DataFrame) -> list[tuple]:
     cols = sorted(df.columns)
     out = []
     for row in df[cols].itertuples(index=False):
-        out.append(tuple(_norm_cell(v) for v in row))
+        out.append(tuple(_canon_cell(v) for v in row))
     return sorted(out, key=lambda r: tuple(str(x) for x in r))
 
 
@@ -56,30 +94,11 @@ def compare(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> dict:
         report["ok"] = False
         return report
     a, b = _normalize(spark_pdf), _normalize(oracle_pdf)
-    mismatches = [(x, y) for x, y in zip(a, b) if not _row_eq(x, y)]
+    mismatches = [(x, y) for x, y in zip(a, b) if x != y]
     report["n_value_mismatches"] = len(mismatches)
     report["first_mismatches"] = mismatches[:3]
     report["ok"] = len(mismatches) == 0
     return report
-
-
-def _cell_eq(x, y) -> bool:
-    if x is None and y is None:
-        return True
-    if isinstance(x, tuple) and isinstance(y, tuple):
-        return len(x) == len(y) and all(_cell_eq(a, b) for a, b in zip(x, y))
-    if isinstance(x, float) or isinstance(y, float):
-        try:
-            if x is None or y is None:
-                return False
-            return math.isclose(float(x), float(y), rel_tol=1e-9, abs_tol=1e-9)
-        except (TypeError, ValueError):
-            return False
-    return x == y
-
-
-def _row_eq(x: tuple, y: tuple) -> bool:
-    return len(x) == len(y) and all(_cell_eq(a, b) for a, b in zip(x, y))
 
 
 def run_parity(spark, sf_dir: str, names: list[str] | None = None) -> dict[str, dict]:

@@ -319,12 +319,30 @@ def q_agg_distinct(spark, sf):
 
 
 # --------------------------------------------------------------- B13 approx
-@query("q_agg_approx", None)  # nondeterministic sketch → rows-only check
+# Spark's HLL++ sketch is deterministic for a fixed input but its raw
+# estimate differs from DuckDB's sketch — so the oracle-checkable output
+# is (exact count, sketch-within-tolerance flag): the flag pins the
+# sketch's accuracy contract (rsd=0.02 → |err| well under 5%) while the
+# exact column hash-verifies end-to-end.
+@query(
+    "q_agg_approx",
+    """
+    SELECT COUNT(DISTINCT l_partkey) AS exact_parts, true AS within_5pct
+    FROM lineitem
+    """,
+)
 def q_agg_approx(spark, sf):
     li = t(spark, sf, "lineitem")
     return li.agg(
-        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
         F.countDistinct("l_partkey").alias("exact_parts"),
+        (
+            F.abs(
+                F.approx_count_distinct("l_partkey", 0.02)
+                / F.countDistinct("l_partkey")
+                - 1.0
+            )
+            <= 0.05
+        ).alias("within_5pct"),
     )
 
 
@@ -580,8 +598,8 @@ def q_date(spark, sf):
     SELECT l_orderkey, l_linenumber,
            ROUND(l_extendedprice, 1) AS price_r,
            ABS(l_discount - 0.05) AS disc_dev,
-           CEIL(l_quantity) AS qty_ceil,
-           FLOOR(l_quantity) AS qty_floor,
+           CAST(CEIL(l_quantity) AS BIGINT) AS qty_ceil,
+           CAST(FLOOR(l_quantity) AS BIGINT) AS qty_floor,
            ROUND(POW(l_quantity, 2), 4) AS qty_sq,
            ROUND(LN(l_extendedprice + 1), 6) AS log_price,
            ROUND(SQRT(l_quantity), 6) AS qty_sqrt,
@@ -1114,7 +1132,62 @@ def q_ann_bruteforce(spark, sf):
     return cosine_topk_bruteforce(emb, emb.filter(F.col("vec_id") < 8), k=5)
 
 
-@query("q_ann_lsh", None)  # approximate-by-construction → rows-only + pytest
+# q_ann_lsh is approximate RELATIVE TO exact top-k, but fully
+# deterministic in itself: the hyperplanes are ±1 coefficients derived
+# from md5 of "table/plane:dim" (functions/similarity.py), so the
+# oracle regenerates them as SQL literals and replays the identical
+# bucket → candidate-join → rerank pipeline. Verified bit-exact:
+# Spark's sequential double fold and DuckDB's list_dot_product agree on
+# every projection sign at sf0.01/sf0.1.
+def _ann_lsh_oracle(planes: int = 4, tables: int = 3, dim: int = 64, k: int = 5) -> str:
+    import hashlib
+
+    def coeffs(table: int, p: int) -> str:
+        cs = [
+            "1.0"
+            if int(hashlib.md5(f"{table}/{p}:{j}".encode()).hexdigest()[:8], 16) & 1
+            else "-1.0"
+            for j in range(dim)
+        ]
+        return "[" + ", ".join(cs) + "]::DOUBLE[]"
+
+    per_table = []
+    for tbl in range(tables):
+        terms = " + ".join(
+            f"CASE WHEN list_dot_product(embedding::DOUBLE[], {coeffs(tbl, p)}) > 0 "
+            f"THEN {2 ** p} ELSE 0 END"
+            for p in range(planes)
+        )
+        per_table.append(
+            f"SELECT vec_id, {tbl} AS tbl, ({terms}) AS bucket FROM embeddings"
+        )
+    sigs = " UNION ALL ".join(per_table)
+    return f"""
+    WITH sigs AS ({sigs}),
+    q AS (SELECT * FROM sigs WHERE vec_id < 8),
+    cand AS (
+        SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS n_id
+        FROM sigs c JOIN q ON c.tbl = q.tbl AND c.bucket = q.bucket
+                          AND q.vec_id != c.vec_id
+    ),
+    scored AS (
+        SELECT cand.q_id, cand.n_id,
+               ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                     / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                        * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+                     4) AS cos
+        FROM cand
+        JOIN embeddings a ON a.vec_id = cand.q_id
+        JOIN embeddings b ON b.vec_id = cand.n_id
+    )
+    SELECT q_id, n_id, cos, rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+        FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+@query("q_ann_lsh", _ann_lsh_oracle())
 def q_ann_lsh(spark, sf):
     from beehive_data_etl_spark.functions.similarity import lsh_bucketed_topk
 
@@ -1224,12 +1297,54 @@ def q_multimodal_meta(spark, sf):
     )
 
 
-@query("q_multimodal_features", None)  # decode stub → rows-only + pytest
+# The decode stub is deterministic (stride means over the utf-8 bytes),
+# so it HAS an exact DuckDB oracle: bytes recovered from hex(encode(text))
+# by digit arithmetic. feat is emitted as 8 scalar double columns — the
+# driver's pandas canonicalizer chokes on array<double> cells (round-1
+# harness error), and each component is an exact multiple of 1/32 so no
+# rounding is needed on either side.
+_MM_BYTES = (
+    "list_transform(range(1, 257), i -> "
+    "CASE WHEN i <= nb THEN "
+    "(strpos('0123456789abcdef', substr(hx, 2*i-1, 1))-1)*16 "
+    "+ (strpos('0123456789abcdef', substr(hx, 2*i, 1))-1) ELSE 0 END)"
+)
+_MM_FEATS = ",\n           ".join(
+    f"CAST(list_sum(by[{32*k+1}:{32*k+32}]) AS DOUBLE)/32 AS feat_{k}"
+    for k in range(8)
+)
+
+
+@query(
+    "q_multimodal_features",
+    f"""
+    WITH b AS (
+      SELECT doc_id, lower(hex(encode(text))) AS hx,
+             octet_length(encode(text)) AS nb
+      FROM documents
+    ), e AS (
+      SELECT doc_id, {_MM_BYTES} AS by FROM b
+    )
+    SELECT CAST(doc_id AS BIGINT) AS media_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio'
+                ELSE 'video' END AS modality,
+           CAST(list_sum(by[1:64]) % 2147483648 AS BIGINT) AS checksum,
+           {_MM_FEATS}
+    FROM e
+    """,
+)
 def q_multimodal_features(spark, sf):
     from beehive_data_etl_spark.functions.multimodal import attach_media, extract_features
 
     media = attach_media(t(spark, sf, "documents"))
-    return extract_features(media).select("media_id", "modality", "checksum", "feat")
+    feats = extract_features(media)
+    return feats.select(
+        "media_id",
+        "modality",
+        "checksum",
+        *[F.col("feat")[k].alias(f"feat_{k}") for k in range(8)],
+    )
 
 
 # --------------------------------------------------------------- A5 transforms
@@ -1576,8 +1691,9 @@ def q_collect_sorted(spark, sf):
         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     )
     SELECT user_id,
-           SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no,
+           CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS session_no,
            CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch,
            event_type
     FROM flagged

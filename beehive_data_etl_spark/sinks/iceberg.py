@@ -28,7 +28,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from beehive_data_etl_spark.operators.lww import lww_dedup
-from beehive_data_etl_spark.operators.schema_evolution import evolve_schema
+from beehive_data_etl_spark.operators.schema_evolution import (
+    align_to_schema,
+    evolve_schema,
+)
 
 BATCH_PROP = "beehive.batch-id"
 
@@ -122,6 +125,13 @@ class IcebergSink:
             salt_partials=self.salt_partials,
         )
         src = deduped.withColumn("deleted", F.col("op") == F.lit("D")).drop("op")
+        # align the batch to the table's POST-DDL schema (same contract
+        # as SnapshotSink.apply_batch): `UPDATE SET * / INSERT *` star
+        # assignment requires the source to cover every target column,
+        # so a batch missing a previously-added column (e.g. `lang`)
+        # must project typed nulls, and narrower columns must widen.
+        evolved_table_schema = self.spark.table(self.table).schema
+        src = align_to_schema(src, evolved_table_schema)
         src.createOrReplaceTempView("__beehive_batch")
         # stamp the batch id into the Iceberg snapshot the MERGE creates
         self.spark.conf.set(

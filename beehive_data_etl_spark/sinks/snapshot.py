@@ -140,8 +140,20 @@ class SnapshotSink:
         d = os.path.join(self.root, "_manifests", str(batch_id))
         if not os.path.isdir(d):
             return set()
-        return {
+        found = {
             int(f.split(".")[0]) for f in os.listdir(d) if f.endswith(".json")
+        }
+        # a manifest is only reusable if its data directory still
+        # exists: vacuum() after a crash removes uncommitted bucket dirs
+        # (they're unreferenced by CURRENT), and trusting the stale
+        # manifest would commit pointers to deleted paths — silent data
+        # loss (ADVICE round 1). Missing data ⇒ recompute the bucket.
+        return {
+            b
+            for b in found
+            if os.path.isdir(
+                os.path.join(self.root, "data", f"ingest={batch_id}", f"bucket={b}")
+            )
         }
 
     def _write_manifest(self, batch_id: str, bucket: int, body: dict) -> None:
@@ -511,7 +523,19 @@ class SnapshotSink:
                     removed += 1
             if not os.listdir(ing_dir):
                 os.rmdir(ing_dir)
-        return {"removed": removed}
+        # remove manifests of batches that never committed: their data
+        # dirs were just deleted above (unreferenced by CURRENT), so a
+        # surviving manifest would make a later replay of that batch_id
+        # reuse buckets whose files are gone (ADVICE round 1 — the
+        # crash→vacuum→restart sequence). Committed batches keep theirs.
+        committed = set(snap["committed_batches"])
+        man_root = os.path.join(self.root, "_manifests")
+        orphan_manifests = 0
+        for batch_dir in os.listdir(man_root):
+            if batch_dir not in committed:
+                shutil.rmtree(os.path.join(man_root, batch_dir), ignore_errors=True)
+                orphan_manifests += 1
+        return {"removed": removed, "orphan_manifests": orphan_manifests}
 
     def read_metrics(self) -> list[dict]:
         path = os.path.join(self.root, "_metrics", "commits.jsonl")

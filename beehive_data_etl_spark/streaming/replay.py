@@ -29,10 +29,19 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from beehive_data_etl_spark.sinks.snapshot import SnapshotSink
 from beehive_data_etl_spark.sources.readers import read_wal
 
 Transform = Callable[[DataFrame], DataFrame]
+
+# Both replayers drive the shared sink contract (committed / apply_batch)
+# and work against SnapshotSink (sandbox) or IcebergSink (cluster) alike.
+from typing import Protocol
+
+
+class CdcSink(Protocol):
+    def committed(self, batch_id: str) -> bool: ...
+
+    def apply_batch(self, batch_df: DataFrame, batch_id): ...
 
 
 def _log_files(log_dir: str) -> list[str]:
@@ -45,7 +54,7 @@ def _log_files(log_dir: str) -> list[str]:
 def replay_incremental(
     spark: SparkSession,
     log_dir: str,
-    sink: SnapshotSink,
+    sink: CdcSink,
     files_per_batch: int = 1,
     transform: Transform | None = None,
     max_batches: int | None = None,
@@ -74,7 +83,7 @@ def replay_incremental(
 def replay_stream(
     spark: SparkSession,
     log_dir: str,
-    sink: SnapshotSink,
+    sink: CdcSink,
     checkpoint_dir: str,
     schema_ddl: str,
     max_files_per_trigger: int = 1,
@@ -119,8 +128,12 @@ def replay_stream(
     # progress capture from the query's own buffer — synchronous and
     # complete, unlike listener callbacks (async delivery). The
     # ProgressJsonlListener in metrics.py serves long-running jobs whose
-    # progress outgrows the buffer.
-    ProgressJsonlListener.append_progresses(
-        os.path.join(sink.root, "_metrics", "stream_progress.jsonl"),
-        query.recentProgress,
-    )
+    # progress outgrows the buffer. Only filesystem sinks have a root to
+    # write under; IcebergSink (cluster) has none — skip rather than
+    # crash the deployment entry point after a successful run.
+    sink_root = getattr(sink, "root", None)
+    if sink_root is not None:
+        ProgressJsonlListener.append_progresses(
+            os.path.join(sink_root, "_metrics", "stream_progress.jsonl"),
+            query.recentProgress,
+        )

@@ -5,7 +5,13 @@ streaming form).
 ``op_sequence`` event seen so far and emits one updated row per key per
 micro-batch — arbitrary stateful processing via
 ``applyInPandasWithState`` (Arrow-batched; state is a single scalar per
-key, so state size is O(keys), bounded further by the watermark).
+key). State is bounded by an EVENT-TIME TIMEOUT tied to the watermark:
+a key idle for ``state_ttl_ms`` past the watermark has its state
+removed, so state size is O(recently-active keys), not O(all keys ever
+seen). After removal a very-late event for that key re-emits into the
+changelog, which is safe: the downstream sink merge still enforces the
+global LWW floor via its ``op_sequence`` comparison — this operator's
+state is a dedup optimization, not the correctness boundary.
 
 This is the operator to reach for when the sink needs a *changelog* of
 net-effect updates instead of full-batch merges — e.g. feeding a
@@ -28,9 +34,14 @@ OUTPUT_SCHEMA = (
 STATE_SCHEMA = "max_seq long"
 
 
-def streaming_lww_latest(events: DataFrame, watermark_delay: str = "10 minutes") -> DataFrame:
+def streaming_lww_latest(
+    events: DataFrame,
+    watermark_delay: str = "10 minutes",
+    state_ttl_ms: int = 30 * 60 * 1000,
+) -> DataFrame:
     """events (streaming DF with the CDC envelope) → changelog of
-    net-new latest versions per key. State: one int64 per live key.
+    net-new latest versions per key. State: one int64 per active key,
+    expired ``state_ttl_ms`` past the event-time watermark.
 
     The stateful function is a nested closure ON PURPOSE: cloudpickle
     serializes local functions by value, so Python workers need no
@@ -40,6 +51,9 @@ def streaming_lww_latest(events: DataFrame, watermark_delay: str = "10 minutes")
     def _latest_per_key(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:  # watermark passed the TTL — drop the key
+            state.remove()
+            return
         (doc_id,) = key
         max_seq = state.get[0] if state.exists else -1
         best = None
@@ -51,6 +65,9 @@ def streaming_lww_latest(events: DataFrame, watermark_delay: str = "10 minutes")
         if best is None:  # everything in this batch was stale — no output
             return
         state.update((max_seq,))
+        # re-arm expiry relative to the CURRENT watermark so active keys
+        # keep sliding forward and idle ones age out
+        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + state_ttl_ms)
         yield pd.DataFrame(
             {
                 "doc_id": [doc_id],
@@ -69,6 +86,6 @@ def streaming_lww_latest(events: DataFrame, watermark_delay: str = "10 minutes")
             outputStructType=OUTPUT_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )

@@ -98,3 +98,35 @@ def test_stale_events_lose_lww(spark, smoke_log, tmp_path):
         state.filter(~state.deleted), oracle_final_spark(spark, smoke_log)
     )
     assert report["ok"], report
+
+
+@pytest.mark.parametrize(
+    "crash_point", ["after_data_write", "after_manifest", "before_pointer_swap"]
+)
+def test_crash_then_vacuum_then_restart(spark, smoke_log, tmp_path, crash_point):
+    """Round-1 ADVICE (high): vacuum() after a crash removes the
+    uncommitted batch's data dirs but used to LEAVE its manifests, so
+    the restarted replay reused manifested buckets whose files were
+    gone — committing pointers to deleted paths (silent data loss).
+    Now vacuum drops orphan manifests AND _manifested_buckets ignores
+    manifests whose data dir is missing."""
+    root = str(tmp_path / "sink")
+    sink = SnapshotSink(spark, root, n_buckets=8)
+    sink.crash_hook = _crash_once_at(crash_point)
+    with pytest.raises(_Boom):
+        replay_incremental(spark, smoke_log, sink, files_per_batch=2)
+    # maintenance runs BEFORE the restart — the sequence that lost data
+    sink_m = SnapshotSink(spark, root, n_buckets=8)
+    sink_m.vacuum()
+    sink2 = SnapshotSink(spark, root, n_buckets=8)
+    replay_incremental(spark, smoke_log, sink2, files_per_batch=2)
+    state = sink2.read_state()
+    report = compare_final(
+        state.filter(~state.deleted), oracle_final_spark(spark, smoke_log)
+    )
+    assert report["ok"], (crash_point, report)
+    # every bucket path referenced by CURRENT must exist on disk
+    snap = sink2.current_snapshot()
+    for entries in snap["buckets"].values():
+        for e in entries:
+            assert os.path.isdir(os.path.join(root, e["path"])), e["path"]

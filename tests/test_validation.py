@@ -26,6 +26,9 @@ ENVELOPE = (
 def _bad_rows(spark):
     rows = [
         ("X", 100, "doc-1", [1, 2], 2, "s"),          # bad_op
+        (None, 107, "doc-8", [1], 1, "s"),            # bad_op: NULL op (a
+        # JSON envelope missing only `op` parses to null — must NOT pass
+        # as valid-with-NULL-deleted, which would act as a silent delete)
         ("U", 101, None, [1], 1, "s"),                # null_doc_id
         ("U", None, "doc-2", [1], 1, "s"),            # null_op_sequence
         ("I", 102, "doc-3", None, 0, "s"),            # missing_payload
@@ -42,6 +45,7 @@ def test_validate_envelope_reasons(spark):
     reasons = {r.doc_id: r[REASON_COL] for r in rejected.collect()}
     assert reasons == {
         "doc-1": "bad_op",
+        "doc-8": "bad_op",
         None: "null_doc_id",
         "doc-2": "null_op_sequence",
         "doc-3": "missing_payload",
@@ -65,7 +69,10 @@ def test_replay_with_validation_quarantines(spark, smoke_log, tmp_path):
         state.filter(~state.deleted), oracle_final_spark(spark, smoke_log)
     )
     assert report["ok"], report
-    assert not glob.glob(qdir + "/*.parquet")
+    # the quarantine write always runs (no isEmpty probe — that was a
+    # second scan per batch), so empty part files may exist; the
+    # invariant is zero quarantined ROWS
+    assert spark.read.parquet(qdir).count() == 0
 
 
 def test_replay_quarantines_injected_bad_events(spark, smoke_log, tmp_path):
