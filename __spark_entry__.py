@@ -34,7 +34,10 @@ def entry(spark: SparkSession) -> DataFrame:
         F.col("event_type"),
         F.col("value"),
     )
-    final = lww_dedup(log, key="doc_id", seq="op_sequence", salt_partials=4)
+    # salt_partials=0: salting is opt-in for measured hot-key skew (see
+    # q_dedup_lww_salted); paying the two-phase double shuffle on an
+    # unskewed log was a round-1 wart
+    final = lww_dedup(log, key="doc_id", seq="op_sequence")
     return final.filter(F.col("op") != "D").select(
         "doc_id",
         F.col("op_sequence").alias("last_seq"),

@@ -69,10 +69,18 @@ def minhash_lsh_pairs(
     Returns (id_a, id_b, n_shared_bands). Never materializes all pairs —
     only same-bucket ones (the LSH point)."""
     rows = k // bands
-    # spread the expression-heavy signature computation: small corpora
-    # arrive as one parquet file (= one task) and the k×md5-per-shingle
-    # work would serialize on a single core
-    spread = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    # spread the expression-heavy signature computation ONLY when the
+    # input arrives under-partitioned (a small corpus in one parquet
+    # file = one task serializing the k×md5-per-shingle work). At scale
+    # the scan is already wide and an unconditional repartition would
+    # full-shuffle the whole corpus' text for nothing (round-1 wart);
+    # getNumPartitions is plan metadata, no job.
+    parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    spread = (
+        docs.repartition(parallelism)
+        if docs.rdd.getNumPartitions() < parallelism
+        else docs
+    )
     sig = (
         spread.select(F.col(id_col).alias("id"), word_shingles(text_col, shingle_n).alias("sh"))
         .select("id", minhash_signature(F.col("sh"), k).alias("sig"))
@@ -144,17 +152,39 @@ def ngram_jaccard_pairs(
     group_col: str | None = "lang",
     shingle_n: int = 3,
     threshold: float = 0.12,
+    max_df: int = 1000,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity via shingle inverted index:
-    explode shingles → self-join on shingle (within ``group_col`` to
-    bound the blowup) → |A∩B| by count → Jaccard from the distinct
-    shingle counts. Returns pairs ≥ threshold (rounded 4dp)."""
+    explode shingles → drop shingles shared by more than ``max_df``
+    docs (within a group) → self-join on shingle → |A∩B| by count →
+    Jaccard over the FILTERED shingle space. Returns pairs ≥ threshold
+    (rounded 4dp).
+
+    The document-frequency cap is the scale guard (round-1 verdict): a
+    stop-word shingle shared by 10^6 docs makes the inverted-index
+    self-join quadratic in that posting list. Dropping ultra-common
+    shingles bounds every posting list at ``max_df`` — the standard
+    trick (it discards near-zero-information shingles, and the oracle
+    applies the identical cap, so results stay exact). At corpus scale
+    set max_df ≈ 0.01-0.1% of the corpus."""
     base = docs.select(
         F.col(id_col).alias("id"),
         *( [F.col(group_col).alias("grp")] if group_col else [F.lit(1).alias("grp")] ),
         word_shingles(text_col, shingle_n).alias("sh"),
-    ).withColumn("n_sh", F.size("sh"))
-    inv = base.select("id", "grp", "n_sh", F.explode("sh").alias("shingle"))
+    )
+    inv_all = base.select("id", "grp", F.explode("sh").alias("shingle"))
+    # posting-list sizes: one map-side-combined count per (grp, shingle)
+    rare = (
+        inv_all.groupBy("grp", "shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= max_df)
+        .select("grp", "shingle")
+    )
+    inv = inv_all.join(rare, ["grp", "shingle"], "left_semi")
+    # per-doc sizes over the filtered space (shingles are distinct per
+    # doc already, so count == set size)
+    sizes = inv.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    inv = inv.join(sizes, "id")
     l, r = inv.alias("l"), inv.alias("r")
     inter = (
         l.join(

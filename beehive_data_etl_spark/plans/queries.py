@@ -896,11 +896,13 @@ def q_pandas_udf(spark, sf):
 
     clean_udf = make_clean_text_pandas()
     d = t(spark, sf, "documents")
+    # ONE UDF invocation: clean once, derive the length from the alias
+    # in a second projection (round 1 ran the Arrow round-trip twice —
+    # ~half the query's cost; Catalyst does not CSE duplicate
+    # non-deterministic-marked Python UDF calls)
     return d.select(
-        "doc_id",
-        clean_udf(F.col("text")).alias("clean"),
-        F.length(clean_udf(F.col("text"))).alias("clean_len"),
-    )
+        "doc_id", clean_udf(F.col("text")).alias("clean")
+    ).select("doc_id", "clean", F.length("clean").alias("clean_len"))
 
 
 # --------------------------------------------------------------- B32 grouped map
@@ -1051,17 +1053,29 @@ def q_dedup_simhash(spark, sf):
 
 
 # --------------------------------------------------------------- ngram jaccard
-def _jaccard_oracle(shingle_n: int = 3, threshold: float = 0.12) -> str:
+def _jaccard_oracle(shingle_n: int = 3, threshold: float = 0.12, max_df: int = 1000) -> str:
+    # mirrors ngram_jaccard_pairs exactly, INCLUDING the document-
+    # frequency shingle cap (the scale guard) — Jaccard is computed
+    # over the filtered shingle space on both sides
     from beehive_data_etl_spark.functions.dedup import word_shingles_sql
 
     sh = word_shingles_sql("text", shingle_n)
     return f"""
     WITH base AS (
-        SELECT doc_id AS id, lang AS grp, {sh} AS sh,
-               len({sh}) AS n_sh
+        SELECT doc_id AS id, lang AS grp, {sh} AS sh
         FROM documents
+    ), inv_all AS (
+        SELECT id, grp, unnest(sh) AS shingle FROM base
+    ), rare AS (
+        SELECT grp, shingle FROM inv_all
+        GROUP BY grp, shingle HAVING COUNT(*) <= {max_df}
+    ), inv0 AS (
+        SELECT i.* FROM inv_all i
+        SEMI JOIN rare r ON i.grp = r.grp AND i.shingle = r.shingle
+    ), sizes AS (
+        SELECT id, COUNT(*) AS n_sh FROM inv0 GROUP BY id
     ), inv AS (
-        SELECT id, grp, n_sh, unnest(sh) AS shingle FROM base
+        SELECT inv0.*, sizes.n_sh FROM inv0 JOIN sizes USING (id)
     ), inter AS (
         SELECT l.id AS id_a, r.id AS id_b, l.n_sh AS n_a, r.n_sh AS n_b,
                COUNT(*) AS n_common

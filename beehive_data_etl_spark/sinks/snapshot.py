@@ -287,6 +287,19 @@ class SnapshotSink:
         ).withColumn("_bucket", _bucket_expr(self.n_buckets))
         if manifested:
             state_rows = state_rows.filter(~F.col("_bucket").isin(sorted(manifested)))
+        obs = None
+        if self.lineage:
+            # lineage rides the merge job itself (A12 with ZERO extra
+            # scans — round 1 re-read the whole batch + collect()ed):
+            # event count via an in-plan Observation, input files from
+            # plan metadata (inputFiles(), no job), per-bucket rows from
+            # the written parquet footers (bucket_rows below).
+            from pyspark.sql import Observation
+
+            obs = Observation(f"lineage-{batch_id}-{uuid.uuid4().hex[:8]}")
+            state_rows = state_rows.observe(
+                obs, F.count(F.lit(1)).alias("events")
+            )
         merge_in = state_rows
         if compact_candidates:
             tgt = self._read_buckets(snap, compact_candidates, target=table_schema)
@@ -386,32 +399,16 @@ class SnapshotSink:
             else:
                 prev_buckets[key_b] = list(prev_buckets.get(key_b, [])) + [entry]
         metrics["bucket_rows"] = bucket_rows
-        if self.lineage:
-            metrics["lineage"] = self._batch_lineage(batch_df)
+        if obs is not None:
+            metrics["lineage"] = {
+                "events": obs.get["events"],
+                "input_files": sorted(
+                    os.path.basename(f) for f in batch_df.inputFiles()
+                ),
+            }
         self._commit(version, snap, prev_buckets, committed, batch_id,
                      table_schema, schema_version, metrics, t0)
         return metrics
-
-    def _batch_lineage(self, batch_df: DataFrame) -> dict:
-        """Per-partition lineage (A12): which input files fed which
-        bucket, with event counts. Bounded output: ≤ n_buckets rows."""
-        rows = (
-            batch_df.withColumn("_bucket", _bucket_expr(self.n_buckets))
-            .withColumn("_src", F.input_file_name())  # materialize pre-agg (non-deterministic expr)
-            .groupBy("_bucket")
-            .agg(
-                F.count(F.lit(1)).alias("events"),
-                F.array_sort(F.collect_set("_src")).alias("input_files"),
-            )
-            .collect()
-        )
-        return {
-            str(r["_bucket"]): {
-                "events": r["events"],
-                "input_files": [os.path.basename(f) for f in r["input_files"] if f],
-            }
-            for r in rows
-        }
 
     def _commit(self, version, snap, buckets, committed, batch_id,
                 table_schema, schema_version, metrics, t0) -> None:

@@ -78,7 +78,11 @@ def test_lineage_and_metrics_emitted(replayed):
     assert applied
     for m in applied:
         assert m["bucket_rows"]
-        assert "lineage" in m and all("input_files" in v for v in m["lineage"].values())
+        # lineage now rides the merge job (observe + plan metadata; no
+        # second scan): total events + the batch's input files
+        assert "lineage" in m
+        assert m["lineage"]["events"] > 0
+        assert m["lineage"]["input_files"]
         assert m["wall_s"] > 0
     assert len(sink.read_metrics()) >= len(applied)
 

@@ -107,3 +107,69 @@ def test_salted_dedup_two_phase_shape(spark, smoke_log):
     # partial+final per phase → ≥4 aggregate nodes (Sort/ObjectHash)
     n_aggs = len(re.findall(r"(SortAggregate|ObjectHashAggregate|HashAggregate)", plan))
     assert n_aggs >= 4, plan
+
+
+def test_minhash_no_gratuitous_corpus_shuffle(spark):
+    """minhash_lsh_pairs must NOT round-robin-repartition an input that
+    is already at least as wide as the default parallelism — at corpus
+    scale that was a full shuffle of all text (round-1 wart). An
+    under-partitioned input (1 file = 1 task) still gets spread."""
+    from beehive_data_etl_spark.functions.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    par = spark.sparkContext.defaultParallelism
+
+    # the LSH band self-join prints each join side's subtree, so every
+    # repartition in the input appears TWICE in the formatted plan
+    wide = docs.repartition(par)  # simulate a well-partitioned scan
+    plan_wide = plan_of(minhash_lsh_pairs(wide))
+    # only the 2 input-simulation nodes — a failed gate would add 2 more
+    assert len(re.findall(r"RoundRobinPartitioning", plan_wide)) == 2, plan_wide
+
+    narrow = docs.coalesce(1)
+    plan_narrow = plan_of(minhash_lsh_pairs(narrow))
+    # the gate spreads the 1-task input: 2 nodes (one per join side)
+    assert len(re.findall(r"RoundRobinPartitioning", plan_narrow)) == 2, plan_narrow
+
+
+def test_lineage_adds_zero_jobs(spark, smoke_log, tmp_path):
+    """A12 lineage must ride the merge job: apply_batch with
+    lineage=True launches EXACTLY as many Spark jobs as lineage=False
+    (AQE materializes each query stage as its own job, so the absolute
+    count varies — the invariant is the delta). Round 1 re-scanned the
+    batch and collect()ed an extra job per batch."""
+    from beehive_data_etl_spark.sinks.snapshot import SnapshotSink
+    from beehive_data_etl_spark.streaming.replay import _log_files
+    from beehive_data_etl_spark.sources.readers import read_wal
+
+    files = _log_files(smoke_log)[:2]
+    df = read_wal(spark, files)
+    sc = spark.sparkContext
+
+    def jobs_for(lineage: bool, tag: str) -> tuple[int, dict]:
+        sink = SnapshotSink(
+            spark, str(tmp_path / f"sink-{tag}"), n_buckets=8, lineage=lineage
+        )
+        sc.setJobGroup(tag, "merge job count probe")
+        try:
+            metrics = sink.apply_batch(df, "probe-0")
+        finally:
+            sc.setJobGroup(None, None)
+        return len(sc.statusTracker().getJobIdsForGroup(tag)), metrics
+
+    n_off, _ = jobs_for(False, "lineage-off")
+    n_on, metrics = jobs_for(True, "lineage-on")
+    assert n_on == n_off, f"lineage added jobs: {n_off} -> {n_on}"
+    assert metrics["lineage"]["events"] > 0
+    assert metrics["lineage"]["input_files"]
+
+
+def test_pandas_udf_single_invocation(spark):
+    """q_pandas_udf must evaluate the Arrow UDF ONCE and derive
+    clean_len from the same attribute (round 1 ran the Arrow round-trip
+    twice — Catalyst does not CSE duplicated Python UDF calls)."""
+    plan = plan_of(QUERIES["q_pandas_udf"](spark, "/root/testdata/sf0.001"))
+    calls = re.findall(r"clean_text_pandas\(text#\d+\)", plan)
+    # the formatted plan prints the ArrowEvalPython node's argument list
+    # once in the details section
+    assert len(calls) == 1, plan
