@@ -105,7 +105,12 @@ def test_no_per_row_python_in_engine_paths():
     banned = [
         re.compile(r"\bF\.udf\("),
         re.compile(r"@udf\b"),
-        re.compile(r"\.rdd\."),
+        # per-row RDD ops only: .rdd.getNumPartitions() is plan
+        # metadata (used to gate the minhash spread) and stays legal
+        re.compile(
+            r"\.rdd\.(map|flatMap|filter|foreach|mapPartitions"
+            r"|reduce|aggregate|collect|zip)"
+        ),
         re.compile(r"\.toLocalIterator\("),
     ]
     offenders = []
