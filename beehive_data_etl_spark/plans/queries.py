@@ -1002,7 +1002,10 @@ def q_dedup_exact(spark, sf):
 
 
 # --------------------------------------------------------------- minhash LSH
-def _minhash_oracle(k: int = 16, bands: int = 4, shingle_n: int = 3) -> str:
+def _minhash_ctes(k: int = 16, bands: int = 4, shingle_n: int = 3) -> tuple[str, str]:
+    """Shared CTE body for the MinHash-pair oracles: returns
+    ``(ctes, pair_select)`` so q_dedup_minhash and the recursive
+    q_dedup_cluster oracle replay the identical signature pipeline."""
     from beehive_data_etl_spark.functions.dedup import word_shingles_sql
     from beehive_data_etl_spark.functions.hashing import minhash_signature_sql
 
@@ -1017,16 +1020,22 @@ def _minhash_oracle(k: int = 16, bands: int = 4, shingle_n: int = 3) -> str:
     unions = " UNION ALL ".join(
         f"SELECT id, {b} AS band, band_{b} AS band_hash FROM banded" for b in range(bands)
     )
-    return f"""
-    WITH shingled AS (SELECT doc_id AS id, {sh} AS sh FROM documents),
+    ctes = f"""shingled AS (SELECT doc_id AS id, {sh} AS sh FROM documents),
     sigs AS (SELECT id, {sig} AS sig FROM shingled),
     banded AS (SELECT id, {band_exprs} FROM sigs),
-    long AS ({unions})
+    long AS ({unions})"""
+    pair_select = """
     SELECT l.id AS id_a, r.id AS id_b, COUNT(*) AS n_shared_bands
     FROM long l JOIN long r
       ON l.band = r.band AND l.band_hash = r.band_hash AND l.id < r.id
     GROUP BY l.id, r.id
     """
+    return ctes, pair_select
+
+
+def _minhash_oracle(k: int = 16, bands: int = 4, shingle_n: int = 3) -> str:
+    ctes, pair_select = _minhash_ctes(k, bands, shingle_n)
+    return f"WITH {ctes} {pair_select}"
 
 
 @query("q_dedup_minhash", _minhash_oracle())
@@ -1034,6 +1043,52 @@ def q_dedup_minhash(spark, sf):
     from beehive_data_etl_spark.functions.dedup import minhash_lsh_pairs
 
     return minhash_lsh_pairs(t(spark, sf, "documents"), k=16, bands=4)
+
+
+# ------------------------------------------------- connected-component dedup
+def _cluster_oracle() -> str:
+    # transitive closure over the MinHash candidate-pair graph via a
+    # recursive CTE: reach(node, r) enumerates every node reachable
+    # from `node`; the cluster id is the min of the node and everything
+    # it reaches — exactly the fixpoint the Spark min-label propagation
+    # converges to. Docs in no pair are their own singleton cluster.
+    ctes, pair_select = _minhash_ctes()
+    return f"""
+    WITH RECURSIVE {ctes},
+    pairs AS ({pair_select}),
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION
+        SELECT id_b AS a, id_a AS b FROM pairs
+    ),
+    reach(node, r) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT reach.node, edges.b FROM reach JOIN edges ON reach.r = edges.a
+    ),
+    comp AS (
+        SELECT node, LEAST(node, MIN(r)) AS comp FROM reach GROUP BY node
+    )
+    SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS cluster_id
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+    """
+
+
+@query("q_dedup_cluster", _cluster_oracle())
+def q_dedup_cluster(spark, sf):
+    """Near-dup CLUSTERS, not pairs: connected components over the
+    MinHash+LSH candidate-pair graph (min-id propagation to fixpoint,
+    functions/graph.py) — A~B and B~C collapse into one cluster even
+    when A~C was never emitted. Singletons map to themselves."""
+    from beehive_data_etl_spark.functions.dedup import minhash_lsh_pairs
+    from beehive_data_etl_spark.functions.graph import connected_components
+
+    docs = t(spark, sf, "documents")
+    pairs = minhash_lsh_pairs(docs, k=16, bands=4)
+    cc = connected_components(pairs, "id_a", "id_b")
+    return docs.join(cc, docs["doc_id"] == cc["node"], "left").select(
+        "doc_id", F.coalesce("comp", "doc_id").alias("cluster_id")
+    )
 
 
 # --------------------------------------------------------------- simhash

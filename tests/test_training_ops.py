@@ -120,3 +120,20 @@ def test_no_per_row_python_in_engine_paths():
             if pat.search(text):
                 offenders.append((str(py), pat.pattern))
     assert not offenders, offenders
+
+
+def test_connected_components_transitive(spark):
+    """A~B, B~C, C~D must collapse into one cluster (min id) even with
+    no direct A~D edge; disjoint pairs stay separate; convergence on a
+    chain takes multiple propagation rounds (the 1-hop round-1
+    canonicalizer fails exactly this)."""
+    from beehive_data_etl_spark.functions.graph import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 20)],
+        "id_a long, id_b long",
+    )
+    got = {
+        r.node: r.comp for r in connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
