@@ -78,3 +78,77 @@ def test_stream_progress_metrics_emitted(spark, smoke_log, tmp_path):
     assert len(batches) >= 2
     assert sum(p["num_input_rows"] for p in batches) >= 3000
     assert any("cdc_envelope" in p["observed"] for p in batches)
+
+
+def test_streaming_session_window_matches_batch(spark, tmp_path):
+    """B29 under REAL readStream (round-1 verdict: the session query was
+    batch-twinned only): session_window + watermark + AvailableNow over
+    a time-ordered multi-file source. Append mode only emits sessions
+    the watermark has closed, so the streamed result must be a SUBSET of
+    the batch result and cover everything but the final-batch tail."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    stream_dir = str(tmp_path / "stream_src")
+    # four ts-ordered files with increasing mtimes → the file source
+    # feeds them oldest-first and the watermark advances between batches
+    bounds = events.selectExpr(
+        "percentile_approx(ts, array(0.25, 0.5, 0.75), 10000) AS q"
+    ).collect()[0]["q"]
+    lows = [None, *bounds]
+    highs = [*bounds, None]
+    for i, (lo, hi) in enumerate(zip(lows, highs)):
+        part = events
+        if lo is not None:
+            part = part.filter(F.col("ts") > lo)
+        if hi is not None:
+            part = part.filter(F.col("ts") <= hi)
+        part.coalesce(1).write.mode("append").parquet(stream_dir)
+        time.sleep(1.1)  # distinct mtimes for deterministic file order
+
+    def sessionize(df):
+        return (
+            df.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 2).alias("session_value"),
+            )
+            .select(
+                "user_id",
+                F.unix_timestamp(F.col("session_window.start")).alias("session_start"),
+                "n_events",
+                "session_value",
+            )
+        )
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(stream_dir)
+        # the fixture's ts is TIMESTAMP_NTZ; watermarks need TIMESTAMP
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "0 seconds")
+    )
+    q = (
+        sessionize(stream)
+        .writeStream.format("memory")
+        .queryName("sess_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    streamed = {tuple(r) for r in spark.table("sess_stream").collect()}
+    batch_src = spark.read.parquet(stream_dir).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    batch = {tuple(r) for r in sessionize(batch_src).collect()}
+    assert streamed, "streaming emitted nothing"
+    assert streamed <= batch, "streamed sessions disagree with batch"
+    # only sessions still open at the final watermark may be missing
+    assert len(streamed) >= 0.8 * len(batch), (len(streamed), len(batch))
