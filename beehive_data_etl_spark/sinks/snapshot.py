@@ -43,8 +43,10 @@ import glob
 import json
 import os
 import shutil
+import threading
 import time
 import uuid
+from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -91,6 +93,14 @@ class SnapshotSink:
         self.compression = compression
         # test-only fault injection: called at named protocol points
         self.crash_hook = crash_hook or (lambda point: None)
+        # pipelined replay (replay_incremental inflight>1): concurrent
+        # batch JOBS are safe because merge-on-read appends are
+        # independent and the LWW fold is order-insensitive; only the
+        # snapshot COMMIT is a critical section (re-read head, merge
+        # entries, swap pointer). _compacting prevents two in-flight
+        # batches folding the same bucket concurrently.
+        self._commit_lock = threading.Lock()
+        self._compacting: set[int] = set()
         for d in ("_snapshots", "_manifests", "_metrics", "data"):
             os.makedirs(os.path.join(root, d), exist_ok=True)
         snap = self.current_snapshot()
@@ -231,32 +241,12 @@ class SnapshotSink:
         ]
         batch_payload_schema = T.StructType(payload_fields)
 
-        # -- schema evolution (A9): widen/extend BEFORE touching data
-        if snap is None:
-            table_schema = T.StructType(
-                list(batch_payload_schema.fields)
-                + [
-                    T.StructField(SEQ, T.LongType(), False),
-                    T.StructField("deleted", T.BooleanType(), False),
-                ]
-            )
-            schema_version, ddl_log = 0, []
-            prev_buckets, committed = {}, []
-            version = 0
-        else:
-            table_schema = T.StructType.fromDDL(snap["schema"])
-            payload_only = T.StructType(
-                [f for f in table_schema.fields if f.name not in _INTERNAL]
-            )
-            evolved, ddl_log = evolve_schema(payload_only, batch_payload_schema)
-            table_schema = T.StructType(
-                list(evolved.fields)
-                + [f for f in table_schema.fields if f.name in _INTERNAL]
-            )
-            schema_version = snap["schema_version"] + (1 if ddl_log else 0)
-            prev_buckets = dict(snap["buckets"])
-            committed = list(snap["committed_batches"])
-            version = snap["version"]
+        # -- schema evolution (A9): widen/extend BEFORE touching data.
+        # This is the PLANNING schema (head as visible now); the commit
+        # re-evolves against the then-current head under the commit
+        # lock — safe because every delta records its own schema and is
+        # aligned at read time.
+        table_schema = self._evolved_schema(snap, batch_payload_schema)[0]
 
         # -- in-batch LWW dedup (A3) with explicit hot-key salting (A8)
         events = batch_df.drop(*[c for c in _ENVELOPE_META if c in batch_df.columns and c != "op"])
@@ -269,13 +259,48 @@ class SnapshotSink:
         # batch into one file); everything else APPENDS its delta —
         # ingest cost ∝ batch size, not table size.
         # compact_threshold=1 degenerates to classic copy-on-write.
-        compact_candidates = [
-            b
-            for b in range(self.n_buckets)
-            if len(prev_buckets.get(str(b), [])) >= self.compact_threshold
-            and b not in manifested
-        ]
+        # consumed_paths records exactly which delta files a compaction
+        # folds, so the commit replaces ONLY those and keeps any delta a
+        # concurrent pipelined batch appended meanwhile (the LWW fold is
+        # idempotent, so even an overlap would only cost read
+        # amplification, never correctness).
+        with self._commit_lock:
+            prev_buckets = {} if snap is None else dict(snap["buckets"])
+            compact_candidates = [
+                b
+                for b in range(self.n_buckets)
+                if len(prev_buckets.get(str(b), [])) >= self.compact_threshold
+                and b not in manifested
+                and b not in self._compacting
+            ]
+            self._compacting |= set(compact_candidates)
+        consumed_paths: dict[str, set[str]] = {
+            str(b): {e["path"] for e in prev_buckets.get(str(b), [])}
+            for b in compact_candidates
+        }
+        # a reused (crash-replayed) compacted bucket folded the deltas
+        # visible when IT planned; plan-time list is the sync-replay
+        # truth and at worst keeps a concurrent append alive
+        for b in manifested:
+            consumed_paths.setdefault(
+                str(b), {e["path"] for e in prev_buckets.get(str(b), [])}
+            )
 
+        try:
+            return self._run_and_publish(
+                batch_df, batch_id, snap, events, table_schema,
+                batch_payload_schema, manifested, compact_candidates,
+                consumed_paths, t0,
+            )
+        finally:
+            with self._commit_lock:
+                self._compacting -= set(compact_candidates)
+
+    def _run_and_publish(
+        self, batch_df, batch_id, snap, events, table_schema,
+        batch_payload_schema, manifested, compact_candidates,
+        consumed_paths, t0,
+    ) -> dict:
         # the ENTIRE batch dataflow is ONE Spark job:
         #   scan batch → union with (delta files of compactable buckets,
         #   semi-joined to the batch's touched buckets) → single
@@ -337,8 +362,6 @@ class SnapshotSink:
             "batch_id": batch_id,
             "skipped": False,
             "touched_buckets": sorted(set(written) | manifested),
-            "schema_ddl": ddl_log,
-            "schema_version": schema_version,
             "compacted_buckets": [b for b in written if b in compact_candidates],
             "appended_buckets": [b for b in written if b not in compact_candidates],
             "reused_buckets": sorted(manifested),
@@ -354,7 +377,22 @@ class SnapshotSink:
             if os.path.isdir(dest):
                 shutil.rmtree(dest)  # leftover from a crashed, un-manifested attempt
             os.replace(src_dir, dest)
-            rows, files = _parquet_stats(dest)
+        # footer stats in parallel: 64 sequential pyarrow footer reads
+        # were a measurable slice of the per-batch publish critical path
+        with ThreadPoolExecutor(max_workers=min(16, max(1, len(written)))) as ex:
+            stats = dict(
+                zip(
+                    written,
+                    ex.map(
+                        lambda b: _parquet_stats(
+                            os.path.join(dest_root, f"bucket={b}")
+                        ),
+                        written,
+                    ),
+                )
+            ) if written else {}
+        for b in written:
+            rows, files = stats[b]
             bucket_rows[b] = rows
             self._write_manifest(
                 batch_id,
@@ -371,7 +409,9 @@ class SnapshotSink:
             )
             self.crash_hook("after_manifest")
             new_entries[str(b)] = {
-                "path": os.path.relpath(dest, self.root),
+                "path": os.path.relpath(
+                    os.path.join(dest_root, f"bucket={b}"), self.root
+                ),
                 "schema": schema_ddl_payload,
                 "compacted": b in compact_candidates,
             }
@@ -391,13 +431,6 @@ class SnapshotSink:
             "merge_write_job": round(t_job - t_plan, 3),
             "publish": round(time.time() - t_job, 3),
         }
-        # delta-list bookkeeping: a compacted bucket's new file REPLACES
-        # its delta list; an appended delta extends it
-        for key_b, entry in new_entries.items():
-            if entry["compacted"]:
-                prev_buckets[key_b] = [entry]
-            else:
-                prev_buckets[key_b] = list(prev_buckets.get(key_b, [])) + [entry]
         metrics["bucket_rows"] = bucket_rows
         if obs is not None:
             metrics["lineage"] = {
@@ -406,27 +439,87 @@ class SnapshotSink:
                     os.path.basename(f) for f in batch_df.inputFiles()
                 ),
             }
-        self._commit(version, snap, prev_buckets, committed, batch_id,
-                     table_schema, schema_version, metrics, t0)
+        self._commit(
+            batch_id, batch_payload_schema, new_entries, consumed_paths,
+            metrics, t0,
+        )
         return metrics
 
-    def _commit(self, version, snap, buckets, committed, batch_id,
-                table_schema, schema_version, metrics, t0) -> None:
-        metrics["wall_s"] = round(time.time() - t0, 4)
-        metrics["commit_ts"] = time.time()
-        new_snap = {
-            "version": version + 1,
-            "n_buckets": self.n_buckets,
-            "schema": _ddl(table_schema),
-            "schema_version": schema_version,
-            "buckets": buckets,
-            "committed_batches": committed + [batch_id],
-            "parent": None if snap is None else snap["version"],
-            "metrics": {k: v for k, v in metrics.items() if k != "lineage"},
-        }
-        self._write_snapshot(new_snap)
-        with open(os.path.join(self.root, "_metrics", "commits.jsonl"), "a") as fh:
-            fh.write(json.dumps(metrics) + "\n")
+    def _evolved_schema(
+        self, snap: dict | None, batch_payload_schema: T.StructType
+    ) -> tuple[T.StructType, list[str], int]:
+        """(table schema incl. internal cols, DDL log, schema version)
+        after merging the batch's payload schema into ``snap``'s."""
+        if snap is None:
+            return (
+                T.StructType(
+                    list(batch_payload_schema.fields)
+                    + [
+                        T.StructField(SEQ, T.LongType(), False),
+                        T.StructField("deleted", T.BooleanType(), False),
+                    ]
+                ),
+                [],
+                0,
+            )
+        table_schema = T.StructType.fromDDL(snap["schema"])
+        payload_only = T.StructType(
+            [f for f in table_schema.fields if f.name not in _INTERNAL]
+        )
+        evolved, ddl_log = evolve_schema(payload_only, batch_payload_schema)
+        return (
+            T.StructType(
+                list(evolved.fields)
+                + [f for f in table_schema.fields if f.name in _INTERNAL]
+            ),
+            ddl_log,
+            snap["schema_version"] + (1 if ddl_log else 0),
+        )
+
+    def _commit(
+        self, batch_id, batch_payload_schema, new_entries, consumed_paths,
+        metrics, t0,
+    ) -> None:
+        """The commit critical section (pipelined-replay safe): re-read
+        the CURRENT head under the lock — concurrent batches may have
+        committed since this batch planned — re-evolve the table schema
+        against it, merge this batch's bucket entries (a compacted
+        bucket replaces exactly the delta files it folded and keeps any
+        newer concurrent appends), and swap the pointer."""
+        with self._commit_lock:
+            head = self.current_snapshot()
+            table_schema, ddl_log, schema_version = self._evolved_schema(
+                head, batch_payload_schema
+            )
+            buckets = {} if head is None else dict(head["buckets"])
+            committed = [] if head is None else list(head["committed_batches"])
+            version = 0 if head is None else head["version"]
+            for key_b, entry in new_entries.items():
+                cur = list(buckets.get(key_b, []))
+                if entry["compacted"]:
+                    folded = consumed_paths.get(key_b, set())
+                    buckets[key_b] = [entry] + [
+                        e for e in cur if e["path"] not in folded
+                    ]
+                else:
+                    buckets[key_b] = cur + [entry]
+            metrics["schema_ddl"] = ddl_log
+            metrics["schema_version"] = schema_version
+            metrics["wall_s"] = round(time.time() - t0, 4)
+            metrics["commit_ts"] = time.time()
+            new_snap = {
+                "version": version + 1,
+                "n_buckets": self.n_buckets,
+                "schema": _ddl(table_schema),
+                "schema_version": schema_version,
+                "buckets": buckets,
+                "committed_batches": committed + [batch_id],
+                "parent": None if head is None else head["version"],
+                "metrics": {k: v for k, v in metrics.items() if k != "lineage"},
+            }
+            self._write_snapshot(new_snap)
+            with open(os.path.join(self.root, "_metrics", "commits.jsonl"), "a") as fh:
+                fh.write(json.dumps(metrics) + "\n")
 
     # ------------------------------------------------------- maintenance
     def compact(self, buckets: list[int] | None = None) -> dict:

@@ -58,26 +58,45 @@ def replay_incremental(
     files_per_batch: int = 1,
     transform: Transform | None = None,
     max_batches: int | None = None,
+    inflight: int = 1,
 ) -> list[dict]:
     """Replay an ordered WAL directory through the sink, one schema-aware
     micro-batch per ``files_per_batch`` files. Resumable: batch ids are
     deterministic functions of the file list, and committed ids are
-    skipped inside the sink. Returns per-batch commit metrics."""
+    skipped inside the sink. Returns per-batch commit metrics.
+
+    ``inflight > 1`` PIPELINES micro-batches: up to that many batch
+    jobs run concurrently (driver threads submitting to the shared
+    scheduler — exactly what a cluster's queued micro-batches do).
+    Correct because the sink is merge-on-read with an order-insensitive
+    idempotent LWW fold: concurrent batches append independent delta
+    files and the snapshot commit is the sink's serialized critical
+    section. Batches may COMMIT out of log order; exactly-once per
+    batch_id and final-state correctness are unaffected (a crash leaves
+    some later batch committed and an earlier one not — the resume
+    replays exactly the uncommitted ids). Use inflight=1 (default) when
+    strict commit order matters, e.g. a downstream consumer tailing the
+    snapshot log."""
     files = _log_files(log_dir)
     chunks = [files[i : i + files_per_batch] for i in range(0, len(files), files_per_batch)]
-    out = []
-    for i, chunk in enumerate(chunks):
-        if max_batches is not None and i >= max_batches:
-            break
+    if max_batches is not None:
+        chunks = chunks[:max_batches]
+
+    def _one(i: int, chunk: list[str]) -> dict:
         batch_id = f"wal-{i:06d}-{os.path.basename(chunk[0])}"
         if sink.committed(batch_id):
-            out.append({"batch_id": batch_id, "skipped": True})
-            continue
+            return {"batch_id": batch_id, "skipped": True}
         df = read_wal(spark, chunk)
         if transform is not None:
             df = transform(df)
-        out.append(sink.apply_batch(df, batch_id))
-    return out
+        return sink.apply_batch(df, batch_id)
+
+    if inflight <= 1:
+        return [_one(i, chunk) for i, chunk in enumerate(chunks)]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=inflight) as ex:
+        return list(ex.map(_one, range(len(chunks)), chunks))
 
 
 def replay_stream(
