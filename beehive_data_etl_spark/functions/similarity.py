@@ -177,3 +177,68 @@ def cosine_neardup_pairs(
             F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"), F.col("cos")
         )
     )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the other classic ANN
+    scale path next to LSH: partition the corpus into ``n_centroids``
+    cells by nearest centroid, probe only the query's ``nprobe``
+    closest cells, exact-cosine re-rank inside them.
+
+    Centroids are model-free and deterministic: the corpus vectors with
+    the ``n_centroids`` smallest ids act as seeds (they are i.i.d.
+    samples of the distribution, which is all k-means initialization
+    needs; a trained-centroid variant would broadcast its codebook the
+    same way). Cell assignment uses the ROUNDED cosine (4dp) with
+    centroid-id tie-break so an oracle reproduces it bit-for-bit.
+
+    Scale shape: the centroid set is broadcast (tiny); assignment is a
+    map-side expression + one map-side-combined groupBy per corpus row
+    — the corpus is shuffled once on ``n_id`` and once on the cell
+    equi-join, never all-pairs. Query count × nprobe bounds the probe
+    fan-out."""
+    cents = corpus.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")
+    )
+    c = corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"))
+    scored = c.crossJoin(F.broadcast(cents)).withColumn(
+        "a_cos", cosine_expr(F.col("n_vec"), F.col("c_vec"))
+    )
+    # argmax per corpus row WITHOUT a window: max_by over a struct is a
+    # plain aggregate (partial/final, map-side combined) — a window here
+    # would shuffle corpus × n_centroids rows
+    assign = scored.groupBy("n_id").agg(
+        F.max_by(
+            "c_id", F.struct(F.col("a_cos"), (-F.col("c_id")).alias("nc"))
+        ).alias("cell"),
+        F.any_value("n_vec").alias("n_vec"),
+    )
+    q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
+    q_scored = q.crossJoin(F.broadcast(cents)).withColumn(
+        "a_cos", cosine_expr(F.col("q_vec"), F.col("c_vec"))
+    )
+    wq = Window.partitionBy("q_id").orderBy(F.desc("a_cos"), F.asc("c_id"))
+    probes = (
+        q_scored.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe)
+        .select("q_id", "q_vec", F.col("c_id").alias("cell"))
+    )
+    cand = (
+        assign.join(F.broadcast(probes), "cell")
+        .filter(F.col("q_id") != F.col("n_id"))
+        .withColumn("cos", cosine_expr(F.col("q_vec"), F.col("n_vec")))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "cos", "rank")
+    )

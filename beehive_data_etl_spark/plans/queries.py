@@ -1264,6 +1264,63 @@ def q_ann_lsh(spark, sf):
     return lsh_bucketed_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
 
 
+# IVF is deterministic end-to-end (seed centroids = lowest vec_ids,
+# rounded-cosine assignment with centroid-id tie-break), so the oracle
+# replays the identical cells → probes → re-rank pipeline in SQL.
+_IVF_COS = (
+    "ROUND(list_dot_product({a}::DOUBLE[], {b}::DOUBLE[])"
+    " / (sqrt(list_dot_product({a}::DOUBLE[], {a}::DOUBLE[]))"
+    " * sqrt(list_dot_product({b}::DOUBLE[], {b}::DOUBLE[]))), 4)"
+)
+
+
+def _ann_ivf_oracle(k: int = 5, n_centroids: int = 16, nprobe: int = 4) -> str:
+    cos_nc = _IVF_COS.format(a="n.embedding", b="c.c_vec")
+    cos_qc = _IVF_COS.format(a="q.embedding", b="c.c_vec")
+    cos_qn = _IVF_COS.format(a="p.q_vec", b="a.n_vec")
+    return f"""
+    WITH cents AS (
+        SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings
+        WHERE vec_id < {n_centroids}
+    ),
+    assign AS (
+        SELECT n_id, n_vec, c_id AS cell FROM (
+            SELECT n.vec_id AS n_id, n.embedding AS n_vec, c.c_id,
+                   row_number() OVER (PARTITION BY n.vec_id
+                       ORDER BY {cos_nc} DESC, c.c_id) AS rn
+            FROM embeddings n CROSS JOIN cents c
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT q_id, q_vec, c_id AS cell FROM (
+            SELECT q.vec_id AS q_id, q.embedding AS q_vec, c.c_id,
+                   row_number() OVER (PARTITION BY q.vec_id
+                       ORDER BY {cos_qc} DESC, c.c_id) AS rn
+            FROM embeddings q CROSS JOIN cents c
+            WHERE q.vec_id < 8
+        ) WHERE rn <= {nprobe}
+    ),
+    cand AS (
+        SELECT p.q_id, a.n_id, {cos_qn} AS cos
+        FROM assign a JOIN probes p ON a.cell = p.cell
+        WHERE p.q_id != a.n_id
+    )
+    SELECT q_id, n_id, cos, rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id
+            ORDER BY cos DESC, n_id) AS rank
+        FROM cand
+    ) WHERE rank <= {k}
+    """
+
+
+@query("q_ann_ivf", _ann_ivf_oracle())
+def q_ann_ivf(spark, sf):
+    from beehive_data_etl_spark.functions.similarity import ivf_topk
+
+    emb = t(spark, sf, "embeddings")
+    return ivf_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
+
+
 # --------------------------------------------------------------- language ID
 def _langid_oracle() -> str:
     from beehive_data_etl_spark.functions.text import LANG_MARKERS

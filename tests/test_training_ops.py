@@ -137,3 +137,20 @@ def test_connected_components_transitive(spark):
         r.node: r.comp for r in connected_components(pairs).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_ann_ivf_recall_vs_bruteforce(spark):
+    """IVF with nprobe=4 of 16 cells must recover a solid fraction of
+    the exact top-5 (cells not probed are invisible by construction)."""
+    from beehive_data_etl_spark.functions.similarity import (
+        cosine_topk_bruteforce,
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.filter(emb.vec_id < 8)
+    exact = {(r.q_id, r.n_id) for r in cosine_topk_bruteforce(emb, q, k=5).collect()}
+    approx = {(r.q_id, r.n_id) for r in ivf_topk(emb, q, k=5).collect()}
+    assert len(approx) > 0
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, recall
