@@ -119,3 +119,73 @@ def fingerprint_sql(expr: str, mod: int = 1_000_000_007) -> str:
         f"w -> (length(w) * 7 + coalesce(ascii(substr(w, 1, 1)), 0))::BIGINT), "
         f"(acc, v) -> (acc * 31 + v) % {mod})"
     )
+
+
+def repetition_ratio_expr(col: Column | str, n: int = 3) -> Column:
+    """Gopher/C4-style repetition signal: the fraction of word n-grams
+    that are duplicates of an earlier one in the same document —
+    ``1 - distinct_ngrams / total_ngrams`` (0.0 for docs shorter than
+    n words). Pure JVM expressions; the classic quality filter drops
+    docs above ~0.2."""
+    c = F.col(col) if isinstance(col, str) else col
+    words = F.split(F.trim(F.lower(c)), r"\s+")
+    total = F.greatest(F.size(words) - (n - 1), F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(total, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+    )
+    distinct = F.size(F.array_distinct(grams))
+    return F.when(total <= 0, F.lit(0.0)).otherwise(
+        F.round(1.0 - distinct / total, 4)
+    )
+
+
+def repetition_ratio_sql(expr: str, n: int = 3) -> str:
+    """DuckDB twin of repetition_ratio_expr."""
+    w = f"string_split_regex(trim(lower({expr})), '\\s+')"
+    total = f"greatest(len({w}) - {n - 1}, 0)"
+    grams = (
+        f"list_transform(generate_series(1, greatest({total}, 1)), "
+        f"i -> array_to_string(list_slice({w}, i, i + {n - 1}), ' '))"
+    )
+    return (
+        f"CASE WHEN {total} <= 0 THEN 0.0 ELSE "
+        f"ROUND(1.0 - len(list_distinct({grams})) / {total}, 4) END"
+    )
+
+
+# one pattern per PII class, kept regex-dialect-portable (no lookarounds,
+# no shorthand classes that differ between Java and RE2/DuckDB)
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9][0-9()\- ]{7,}[0-9]",
+}
+
+
+def pii_redact_expr(col: Column | str) -> Column:
+    """Replace email- and phone-shaped spans with typed placeholder
+    tokens — the standard pre-training scrub. Vectorized JVM regex;
+    patterns are portable so an oracle applies the identical ones."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = c
+    for name, pat in PII_PATTERNS.items():
+        out = F.regexp_replace(out, pat, f"<{name.upper()}>")
+    return out
+
+
+def pii_count_expr(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    total = F.lit(0)
+    for pat in PII_PATTERNS.values():
+        total = total + F.regexp_count(c, F.lit(pat))
+    return total.cast("long")
+
+
+def pii_redact_sql(expr: str) -> tuple[str, str]:
+    """(redacted_sql, count_sql) — DuckDB twins."""
+    red = expr
+    cnt_terms = []
+    for name, pat in PII_PATTERNS.items():
+        red = f"regexp_replace({red}, '{pat}', '<{name.upper()}>', 'g')"
+        cnt_terms.append(f"len(regexp_extract_all({expr}, '{pat}'))")
+    return red, "(" + " + ".join(cnt_terms) + ")::BIGINT"
