@@ -1403,6 +1403,44 @@ def q_fingerprint(spark, sf):
     )
 
 
+def _repetition_oracle() -> str:
+    from beehive_data_etl_spark.functions.text import repetition_ratio_sql
+
+    return (
+        f"SELECT doc_id, {repetition_ratio_sql('text', 3)} AS rep_ratio "
+        "FROM documents"
+    )
+
+
+@query("q_repetition", _repetition_oracle())
+def q_repetition(spark, sf):
+    """Gopher/C4-style repetition quality signal: fraction of duplicate
+    word 3-grams per document (docs above ~0.2 get filtered from
+    training corpora)."""
+    return t(spark, sf, "documents").select(
+        "doc_id", TX.repetition_ratio_expr("text", 3).alias("rep_ratio")
+    )
+
+
+def _pii_oracle() -> str:
+    from beehive_data_etl_spark.functions.text import pii_redact_sql
+
+    red, cnt = pii_redact_sql("text")
+    return f"SELECT doc_id, {red} AS redacted, {cnt} AS n_pii FROM documents"
+
+
+@query("q_pii_redact", _pii_oracle())
+def q_pii_redact(spark, sf):
+    """Pre-training PII scrub: email/phone-shaped spans replaced with
+    typed placeholders + per-doc redaction count; dialect-portable
+    regexes so the oracle applies the identical patterns."""
+    return t(spark, sf, "documents").select(
+        "doc_id",
+        TX.pii_redact_expr("text").alias("redacted"),
+        TX.pii_count_expr("text").alias("n_pii"),
+    )
+
+
 # --------------------------------------------------------------- multimodal
 @query(
     "q_multimodal_meta",

@@ -154,3 +154,47 @@ def test_ann_ivf_recall_vs_bruteforce(spark):
     assert len(approx) > 0
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.3, recall
+
+
+def test_pii_redaction_on_synthetic_pii(spark):
+    from beehive_data_etl_spark.functions.text import pii_count_expr, pii_redact_expr
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            (1, "contact alice.smith+x@example.co.uk or +44 (20) 7946-0958 now"),
+            (2, "no pii here, just text"),
+        ],
+        "id long, text string",
+    )
+    out = {
+        r.id: (r.red, r.n)
+        for r in df.select(
+            "id",
+            pii_redact_expr("text").alias("red"),
+            pii_count_expr("text").alias("n"),
+        ).collect()
+    }
+    assert out[1][0] == "contact <EMAIL> or <PHONE> now"
+    assert out[1][1] == 2
+    assert out[2] == ("no pii here, just text", 0)
+
+
+def test_repetition_ratio_bounds(spark):
+    from beehive_data_etl_spark.functions.text import repetition_ratio_expr
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c a b c a b c a b c"),   # highly repetitive
+            (2, "one two three four five six"),  # all distinct
+            (3, "hi"),                         # shorter than n
+        ],
+        "id long, text string",
+    )
+    got = {
+        r.id: r.rep
+        for r in df.select("id", repetition_ratio_expr("text", 3).alias("rep")).collect()
+    }
+    assert got[2] == 0.0 and got[3] == 0.0
+    assert got[1] > 0.5
