@@ -96,16 +96,32 @@ def minhash_lsh_pairs(
             )
         ).alias("band", "band_hash"),
     )
-    left = banded.alias("l")
-    right = banded.alias("r")
-    return (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.band_hash") == F.col("r.band_hash"))
-            & (F.col("l.id") < F.col("r.id")),
+    # pair generation by BUCKET GROUPING, not a self-join: a self-join
+    # scans the corpus and computes every signature TWICE (measured: no
+    # exchange reuse fires across the join's two identical subtrees).
+    # Grouping shuffles the tiny (id, band, hash) projection once and
+    # emits in-bucket pairs with a higher-order expression. Bucket
+    # member lists are bounded by the LSH design (that is its point);
+    # a degenerate all-identical-docs bucket is quadratic in EITHER
+    # formulation, so grouping loses nothing.
+    buckets = (
+        banded.groupBy("band", "band_hash")
+        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
         )
-        .groupBy(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+    )
+    return (
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
+        .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_shared_bands"))
     )
 

@@ -119,17 +119,19 @@ def test_minhash_no_gratuitous_corpus_shuffle(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     par = spark.sparkContext.defaultParallelism
 
-    # the LSH band self-join prints each join side's subtree, so every
-    # repartition in the input appears TWICE in the formatted plan
     wide = docs.repartition(par)  # simulate a well-partitioned scan
     plan_wide = plan_of(minhash_lsh_pairs(wide))
-    # only the 2 input-simulation nodes — a failed gate would add 2 more
-    assert len(re.findall(r"RoundRobinPartitioning", plan_wide)) == 2, plan_wide
+    # only the input-simulation node — a failed gate would add a second
+    assert len(re.findall(r"RoundRobinPartitioning", plan_wide)) == 1, plan_wide
 
     narrow = docs.coalesce(1)
     plan_narrow = plan_of(minhash_lsh_pairs(narrow))
-    # the gate spreads the 1-task input: 2 nodes (one per join side)
-    assert len(re.findall(r"RoundRobinPartitioning", plan_narrow)) == 2, plan_narrow
+    # the gate spreads the 1-task input
+    assert len(re.findall(r"RoundRobinPartitioning", plan_narrow)) == 1, plan_narrow
+
+    # bucket-grouped pair generation scans the corpus exactly once (the
+    # old self-join scanned + re-signed it twice; no exchange reuse)
+    assert plan_wide.count("Scan parquet") == 1, plan_wide
 
 
 def test_lineage_adds_zero_jobs(spark, smoke_log, tmp_path):
