@@ -130,8 +130,9 @@ def test_minhash_no_gratuitous_corpus_shuffle(spark):
     assert len(re.findall(r"RoundRobinPartitioning", plan_narrow)) == 1, plan_narrow
 
     # bucket-grouped pair generation scans the corpus exactly once (the
-    # old self-join scanned + re-signed it twice; no exchange reuse)
-    assert plan_wide.count("Scan parquet") == 1, plan_wide
+    # old self-join scanned + re-signed it twice; no exchange reuse).
+    # explain("formatted") prints every node twice: tree + details.
+    assert plan_wide.count("Scan parquet") == 2, plan_wide
 
 
 def test_lineage_adds_zero_jobs(spark, smoke_log, tmp_path):
