@@ -83,3 +83,37 @@ def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
             yield pdf
 
     return media.mapInPandas(_extract, schema=FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = "media_id long, frame_no int, frame_off long, frame_checksum long"
+
+
+def sample_frames(
+    media: DataFrame, n_frames: int = 4, frame_size: int = 32
+) -> DataFrame:
+    """Frame sampling over opaque video/audio payloads: ``n_frames``
+    evenly-strided ``frame_size``-byte windows per payload (fewer when
+    the payload is short), emitted as (media_id, frame_no, offset,
+    checksum). A real decoder would replace the checksum with decoded
+    pixels — the Spark-side plumbing (batch iteration, per-row frame
+    fan-out, long-form output schema) is exactly what it would need.
+    Deterministic byte arithmetic, so a SQL oracle replays it."""
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "frame_no": [], "frame_off": [], "frame_checksum": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                n = len(payload)
+                k = min(n_frames, max(n // frame_size, 1 if n else 0))
+                stride = max((n - frame_size) // max(k - 1, 1), 1) if k > 1 else 0
+                for f in range(k):
+                    off = f * stride
+                    window = payload[off : off + frame_size]
+                    s = int(np.frombuffer(window, dtype=np.uint8).sum())
+                    out["media_id"].append(int(mid))
+                    out["frame_no"].append(f)
+                    out["frame_off"].append(off)
+                    out["frame_checksum"].append(s)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(_frames, schema=FRAME_SCHEMA)

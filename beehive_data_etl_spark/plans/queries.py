@@ -1511,6 +1511,49 @@ def q_multimodal_features(spark, sf):
     )
 
 
+# frame sampling: evenly-strided byte windows per payload with per-frame
+# checksums — deterministic, so the oracle replays the stride arithmetic
+# and byte sums from hex(encode(text)).
+@query(
+    "q_multimodal_frames",
+    """
+    WITH b AS (
+      SELECT doc_id, lower(hex(encode(text))) AS hx,
+             octet_length(encode(text)) AS n
+      FROM documents
+    ), p AS (
+      SELECT doc_id, hx, n,
+             least(4, greatest(n // 32,
+                               CASE WHEN n > 0 THEN 1 ELSE 0 END)) AS k
+      FROM b
+    ), f AS (
+      SELECT doc_id, hx, n, k, unnest(range(k)) AS frame_no
+      FROM p WHERE k > 0
+    ), g AS (
+      SELECT doc_id, frame_no, hx, n,
+             CASE WHEN k > 1
+                  THEN frame_no * greatest((n - 32) // (k - 1), 1)
+                  ELSE 0 END AS off
+      FROM f
+    )
+    SELECT doc_id AS media_id,
+           CAST(frame_no AS INT) AS frame_no,
+           CAST(off AS BIGINT) AS frame_off,
+           CAST(list_sum(list_transform(range(1, 33), i ->
+             CASE WHEN off + i <= n THEN
+               (strpos('0123456789abcdef', substr(hx, 2*(off+i)-1, 1))-1)*16
+               + (strpos('0123456789abcdef', substr(hx, 2*(off+i), 1))-1)
+             ELSE 0 END)) AS BIGINT) AS frame_checksum
+    FROM g
+    """,
+)
+def q_multimodal_frames(spark, sf):
+    from beehive_data_etl_spark.functions.multimodal import attach_media, sample_frames
+
+    media = attach_media(t(spark, sf, "documents"))
+    return sample_frames(media, n_frames=4, frame_size=32)
+
+
 # --------------------------------------------------------------- A5 transforms
 @query(
     "q_keyword_classify",

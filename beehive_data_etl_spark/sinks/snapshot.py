@@ -529,6 +529,27 @@ class SnapshotSink:
         snapshot-pointer swap publishes it — a crash leaves the old
         snapshot live. The background-compaction analog of the inline
         threshold compaction in apply_batch."""
+        return self._rewrite_buckets(buckets, min_deltas=2, row_filter=None)
+
+    def expire_tombstones(
+        self, min_op_sequence: int, buckets: list[int] | None = None
+    ) -> dict:
+        """Tombstone GC: drop delete tombstones with ``op_sequence <
+        min_op_sequence`` while folding the given buckets (default:
+        all). A tombstone exists to stop a LATE stale update from
+        resurrecting a deleted doc; once the source guarantees no event
+        below the floor can still arrive (a retention watermark, e.g.
+        the binlog retention horizon), tombstones below it are dead
+        weight in every read and compaction. Caller owns the floor —
+        expiring below an event that later arrives WOULD resurrect.
+        Same staged-snapshot publish as compact(): crash-safe,
+        idempotent."""
+        drop = F.col("deleted") & (F.col(SEQ) < F.lit(min_op_sequence))
+        return self._rewrite_buckets(buckets, min_deltas=1, row_filter=~drop)
+
+    def _rewrite_buckets(
+        self, buckets: list[int] | None, min_deltas: int, row_filter
+    ) -> dict:
         t0 = time.time()
         snap = self.current_snapshot()
         if snap is None:
@@ -536,14 +557,17 @@ class SnapshotSink:
         todo = [
             b
             for b in (buckets if buckets is not None else range(self.n_buckets))
-            if len(snap["buckets"].get(str(b), [])) > 1
+            if len(snap["buckets"].get(str(b), [])) >= min_deltas
         ]
         if not todo:
             return {"compacted": []}
         table_schema = T.StructType.fromDDL(snap["schema"])
         folded = lww_dedup(
             self._read_buckets(snap, todo, target=table_schema), KEY, SEQ
-        ).withColumn("_bucket", _bucket_expr(self.n_buckets))
+        )
+        if row_filter is not None:
+            folded = folded.filter(row_filter)
+        folded = folded.withColumn("_bucket", _bucket_expr(self.n_buckets))
         staging = os.path.join(self.root, "data", f"_stage-{uuid.uuid4().hex}")
         (
             folded.repartition(self.n_buckets, "_bucket")
@@ -552,34 +576,62 @@ class SnapshotSink:
             .option("compression", self.compression)
             .parquet(staging)
         )
-        tag = f"compact-v{snap['version'] + 1}"
+        tag = f"compact-v{snap['version'] + 1}-{uuid.uuid4().hex[:8]}"
         dest_root = os.path.join(self.root, "data", f"ingest={tag}")
         os.makedirs(dest_root, exist_ok=True)
-        new_buckets = dict(snap["buckets"])
         ddl = _ddl(table_schema)
+        moved: dict[str, list] = {}
         for b in todo:
             src_dir = os.path.join(staging, f"_bucket={b}")
             if not os.path.isdir(src_dir):
+                # every row of the bucket was dropped (e.g. all expired
+                # tombstones): the rewrite leaves it EMPTY — but only a
+                # filtering rewrite may conclude that; plain compaction
+                # of a bucket never loses rows
+                if row_filter is not None:
+                    moved[str(b)] = []
                 continue
             dest = os.path.join(dest_root, f"bucket={b}")
             if os.path.isdir(dest):
                 shutil.rmtree(dest)
             os.replace(src_dir, dest)
-            new_buckets[str(b)] = [
+            moved[str(b)] = [
                 {"path": os.path.relpath(dest, self.root), "schema": ddl,
                  "compacted": True}
             ]
         shutil.rmtree(staging, ignore_errors=True)
-        new_snap = dict(snap)
-        new_snap.update(
-            {
-                "version": snap["version"] + 1,
-                "buckets": new_buckets,
-                "parent": snap["version"],
-                "metrics": {"compaction": todo, "wall_s": round(time.time() - t0, 3)},
-            }
-        )
-        self._write_snapshot(new_snap)
+        # publish under the commit lock (pipelined ingest may be
+        # appending concurrently): re-read the head and replace only the
+        # delta lists this rewrite actually folded — appends that landed
+        # since planning stay listed (duplicate rows across a fold and a
+        # kept delta are harmless: the LWW read fold is idempotent)
+        folded_paths = {
+            str(b): {e["path"] for e in snap["buckets"].get(str(b), [])}
+            for b in todo
+        }
+        with self._commit_lock:
+            head = self.current_snapshot()
+            new_buckets = dict(head["buckets"])
+            for key_b, entries in moved.items():
+                kept = [
+                    e
+                    for e in new_buckets.get(key_b, [])
+                    if e["path"] not in folded_paths.get(key_b, set())
+                ]
+                new_buckets[key_b] = entries + kept
+            new_snap = dict(head)
+            new_snap.update(
+                {
+                    "version": head["version"] + 1,
+                    "buckets": new_buckets,
+                    "parent": head["version"],
+                    "metrics": {
+                        "compaction": todo,
+                        "wall_s": round(time.time() - t0, 3),
+                    },
+                }
+            )
+            self._write_snapshot(new_snap)
         return {"compacted": todo, "wall_s": round(time.time() - t0, 3)}
 
     def vacuum(self) -> dict:

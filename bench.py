@@ -77,9 +77,16 @@ def _run_headline_queries() -> dict[str, float]:
     spark.range(10_000_000).selectExpr("sum(id)").collect()  # JVM warmup
     times: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.time()
-        QUERIES[name](spark, SF_DIR).write.mode("overwrite").format("noop").save()
-        times[name] = round(time.time() - t0, 3)
+        # best-of-2, rebuilding the plan each attempt (a reused DataFrame
+        # object would reuse shuffle stages and undertime): the sandbox
+        # host has sporadic 2× slow periods that poison single-shot runs
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            QUERIES[name](spark, SF_DIR).write.mode("overwrite").format("noop").save()
+            dt = time.time() - t0
+            best = dt if best is None or dt < best else best
+        times[name] = round(best, 3)
     spark.stop()
     return times
 

@@ -68,3 +68,44 @@ def test_stale_staging_dirs_ignored_and_vacuumed(spark, smoke_log, tmp_path):
     assert report["ok"], report
     assert sink.vacuum()["removed"] >= 1
     assert not os.path.isdir(stale)
+
+
+def test_expire_tombstones(spark, smoke_log, tmp_path):
+    """Tombstone GC: deletes below the retention floor disappear from
+    state; live rows are untouched; the op is idempotent and the
+    resulting table still matches the oracle's LIVE rows."""
+    from beehive_data_etl_spark.verify import compare_final, oracle_final_spark
+
+    sink = SnapshotSink(spark, str(tmp_path / "sink"), n_buckets=8)
+    replay_incremental(spark, smoke_log, sink, files_per_batch=2)
+    pre = sink.read_state()
+    n_tombstones = pre.filter(pre.deleted).count()
+    assert n_tombstones > 0, "fixture produced no deletes"
+    max_seq = pre.agg({"op_sequence": "max"}).collect()[0][0]
+
+    out = sink.expire_tombstones(max_seq + 1)
+    assert out["compacted"]
+    post = sink.read_state()
+    assert post.filter(post.deleted).count() == 0
+    report = compare_final(
+        post.filter(~post.deleted), oracle_final_spark(spark, smoke_log)
+    )
+    assert report["ok"], report
+    # idempotent
+    sink.expire_tombstones(max_seq + 1)
+    assert sink.read_state().filter("deleted").count() == 0
+
+
+def test_expire_tombstones_respects_floor(spark, smoke_log, tmp_path):
+    """Tombstones AT or ABOVE the floor are kept — they still guard
+    against in-retention late updates."""
+    sink = SnapshotSink(spark, str(tmp_path / "sink"), n_buckets=8)
+    replay_incremental(spark, smoke_log, sink, files_per_batch=2)
+    pre = sink.read_state()
+    seqs = sorted(r.op_sequence for r in pre.filter(pre.deleted).collect())
+    assert len(seqs) >= 2, "need at least two tombstones for a split floor"
+    floor = seqs[len(seqs) // 2]
+    sink.expire_tombstones(floor)
+    post = sink.read_state().filter("deleted")
+    remaining = sorted(r.op_sequence for r in post.collect())
+    assert remaining == [s for s in seqs if s >= floor]
