@@ -122,21 +122,29 @@ def lsh_bucketed_topk(
     the classic LSH recall/cost dial."""
 
     def sig(df: DataFrame, a: str, b: str) -> DataFrame:
-        per_table = [
+        # ONE scan for all hash tables: the per-table signatures are
+        # computed as an array of (tbl, bucket) structs in a single
+        # projection and exploded — a per-table union would rescan the
+        # corpus (and recompute the shared projection) `tables` times
+        per_table = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("tbl"),
+                    hyperplane_signature(
+                        F.col(vec_col), planes, dim, table=t
+                    ).alias("bucket"),
+                )
+                for t in range(tables)
+            ]
+        )
+        return (
             df.select(
                 F.col(id_col).alias(a),
                 F.col(vec_col).alias(b),
-                F.lit(t).alias("tbl"),
-                hyperplane_signature(F.col(vec_col), planes, dim, table=t).alias(
-                    "bucket"
-                ),
+                F.explode(per_table).alias("s"),
             )
-            for t in range(tables)
-        ]
-        out = per_table[0]
-        for p in per_table[1:]:
-            out = out.unionByName(p)
-        return out
+            .select(a, b, F.col("s.tbl").alias("tbl"), F.col("s.bucket").alias("bucket"))
+        )
 
     c = sig(corpus, "n_id", "n_vec")
     q = sig(queries, "q_id", "q_vec")
@@ -241,4 +249,58 @@ def ivf_topk(
         cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("q_id", "n_id", "cos", "rank")
+    )
+
+
+def cosine_neardup_pairs_lsh(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    planes: int = 6,
+    tables: int = 2,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding near-duplicate pairs blocked by hyperplane LSH buckets
+    instead of a metadata group — the corpus-scale path (the grouped
+    variant needs a natural blocking key and still goes quadratic
+    inside big groups). Candidates share a bucket in ANY of ``tables``
+    hash tables; exact cosine then filters at ``threshold``. Same
+    deterministic model-free hyperplanes as ``lsh_bucketed_topk``, so
+    the oracle replays the blocking exactly. Recall rises with
+    ``tables`` and falls with ``planes`` — at cos ≥ 0.9 the collision
+    probability per table is (1 - arccos(0.9)/π)^planes ≈ 0.45, so two
+    tables catch ~70% of true pairs; production settings push tables
+    higher."""
+    base = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    per_table = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                hyperplane_signature(F.col("vec"), planes, dim, table=t).alias("bucket"),
+            )
+            for t in range(tables)
+        ]
+    )
+    sig = base.select(
+        "id", "vec", F.explode(per_table).alias("s")
+    ).select("id", "vec", F.col("s.tbl").alias("tbl"), F.col("s.bucket").alias("bucket"))
+    l, r = sig.alias("l"), sig.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.tbl") == F.col("r.tbl"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.vec").alias("va"),
+            F.col("r.vec").alias("vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("cos", cosine_expr(F.col("va"), F.col("vb")))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
     )

@@ -1313,6 +1313,65 @@ def _ann_ivf_oracle(k: int = 5, n_centroids: int = 16, nprobe: int = 4) -> str:
     """
 
 
+# LSH-blocked near-dup: same deterministic hyperplanes as q_ann_lsh
+# (planes=4, tables=3) so the oracle rebuilds the blocking, then the
+# exact-cosine threshold filter.
+def _neardup_lsh_oracle(threshold: float = 0.4, planes: int = 4, tables: int = 3) -> str:
+    import hashlib
+
+    def coeffs(table: int, p: int, dim: int = 64) -> str:
+        cs = [
+            "1.0"
+            if int(hashlib.md5(f"{table}/{p}:{j}".encode()).hexdigest()[:8], 16) & 1
+            else "-1.0"
+            for j in range(dim)
+        ]
+        return "[" + ", ".join(cs) + "]::DOUBLE[]"
+
+    per_table = []
+    for tbl in range(tables):
+        terms = " + ".join(
+            f"CASE WHEN list_dot_product(embedding::DOUBLE[], {coeffs(tbl, p)}) > 0 "
+            f"THEN {2 ** p} ELSE 0 END"
+            for p in range(planes)
+        )
+        per_table.append(
+            f"SELECT vec_id, {tbl} AS tbl, ({terms}) AS bucket FROM embeddings"
+        )
+    sigs = " UNION ALL ".join(per_table)
+    return f"""
+    WITH sigs AS ({sigs}),
+    cand AS (
+        SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
+        FROM sigs l JOIN sigs r
+          ON l.tbl = r.tbl AND l.bucket = r.bucket AND l.vec_id < r.vec_id
+    )
+    SELECT c.id_a, c.id_b,
+           ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                 / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+                 4) AS cos
+    FROM cand c
+    JOIN embeddings a ON a.vec_id = c.id_a
+    JOIN embeddings b ON b.vec_id = c.id_b
+    WHERE ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                   * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+                4) >= {threshold}
+    """
+
+
+@query("q_neardup_lsh", _neardup_lsh_oracle())
+def q_neardup_lsh(spark, sf):
+    """Corpus-scale near-dup pairs: LSH-bucket blocking (no metadata
+    group needed) + exact cosine threshold — the scale path the grouped
+    q_neardup_cosine docstring promised."""
+    from beehive_data_etl_spark.functions.similarity import cosine_neardup_pairs_lsh
+
+    emb = t(spark, sf, "embeddings")
+    return cosine_neardup_pairs_lsh(emb, threshold=0.4, planes=4, tables=3)
+
+
 @query("q_ann_ivf", _ann_ivf_oracle())
 def q_ann_ivf(spark, sf):
     from beehive_data_etl_spark.functions.similarity import ivf_topk
