@@ -92,3 +92,53 @@ def test_lww_dedup_salted_equals_unsalted(spark, skew_log):
     salted = lww_dedup(df, "doc_id", "op_sequence", salt_partials=8).orderBy("doc_id")
     assert plain.subtract(salted).count() == 0
     assert salted.subtract(plain).count() == 0
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ops=_ops_strategy(),
+    shuffle_seed=st.integers(0, 2**16),
+    n_batches=st.integers(2, 4),
+)
+def test_pipelined_replay_matches_fold_left_model(
+    spark, tmp_path_factory, ops, shuffle_seed, n_batches
+):
+    """The same fold-left model must hold when the batches are applied
+    CONCURRENTLY (pipelined replay): commit order is arbitrary, so this
+    exercises the order-insensitivity claim the pipelining rests on."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    arrived = _to_events(ops, shuffle_seed)
+    model = _fold_left_model(arrived)
+
+    pdf = pd.DataFrame(arrived)
+    schema = (
+        "op string, op_sequence long, doc_id string, "
+        "tokens array<int>, n_tok int, source string"
+    )
+    root = str(tmp_path_factory.mktemp("prop_pipe_sink"))
+    sink = SnapshotSink(spark, root, n_buckets=4, lineage=False, compact_threshold=2)
+    size = max(1, len(pdf) // n_batches)
+    chunks = [pdf.iloc[i : i + size] for i in range(0, len(pdf), size)]
+    with ThreadPoolExecutor(max_workers=len(chunks)) as ex:
+        list(
+            ex.map(
+                lambda ic: sink.apply_batch(
+                    spark.createDataFrame(ic[1], schema=schema), f"pb{ic[0]}"
+                ),
+                enumerate(chunks),
+            )
+        )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in sink.read_state().filter("NOT deleted").collect()
+    }
+    assert set(got) == set(model)
+    for k, m in model.items():
+        assert got[k]["tokens"] == m["tokens"], k
+        assert got[k]["op_sequence"] == m["op_sequence"], k
