@@ -201,11 +201,24 @@ class SnapshotSink:
             out = out.unionByName(p)
         return out
 
-    def read_state(self, buckets: list[int] | None = None) -> DataFrame:
-        """Current state, one row per key (payload + op_sequence +
-        deleted tombstones): LWW-merges any un-compacted deltas at read
-        time — the merge-on-read contract."""
-        snap = self.current_snapshot()
+    def snapshot(self, version: int) -> dict:
+        """Load a specific committed snapshot for time travel. Raises if
+        it was never written; vacuum() trades old snapshots' DATA for
+        space, so a time-travel read after vacuum may reference removed
+        files (the JSON metadata itself is always kept)."""
+        with open(
+            os.path.join(self.root, "_snapshots", f"v{version:06d}.json")
+        ) as fh:
+            return json.load(fh)
+
+    def read_state(
+        self, buckets: list[int] | None = None, version: int | None = None
+    ) -> DataFrame:
+        """State at CURRENT (default) or a time-travel ``version``, one
+        row per key (payload + op_sequence + deleted tombstones):
+        LWW-merges any un-compacted deltas at read time — the
+        merge-on-read contract."""
+        snap = self.current_snapshot() if version is None else self.snapshot(version)
         if snap is None:
             raise ValueError("no snapshot yet")
         buckets = buckets if buckets is not None else list(range(self.n_buckets))
@@ -213,6 +226,38 @@ class SnapshotSink:
         if df is None:
             return self.spark.createDataFrame([], T.StructType.fromDDL(snap["schema"]))
         return lww_dedup(df, KEY, SEQ)
+
+    def read_changes(self, from_version: int, to_version: int) -> DataFrame:
+        """Row-level changelog between two committed snapshots — the
+        incremental read a downstream consumer tails instead of
+        re-scanning the table: one row per doc whose LIVE state differs,
+        tagged ``change_type`` I (absent/deleted → live), U (live →
+        live with a newer op_sequence), or D (live → deleted/absent).
+        Computed as a full-outer join of the two LWW states on the key;
+        both sides prune to their own bucket lists, so cost is
+        O(state), never O(history)."""
+        old = self.read_state(version=from_version)
+        new = self.read_state(version=to_version)
+        o = old.select(
+            F.col(KEY),
+            F.col(SEQ).alias("_old_seq"),
+            F.col("deleted").alias("_old_del"),
+        )
+        payload = [c for c in new.columns if c != KEY]
+        n = new.select(KEY, *payload)
+        j = n.join(o, KEY, "full_outer")
+        old_live = F.col("_old_del").isNotNull() & ~F.col("_old_del")
+        new_live = F.col("deleted").isNotNull() & ~F.col("deleted")
+        change = (
+            F.when(new_live & ~old_live, F.lit("I"))
+            .when(new_live & old_live & (F.col(SEQ) > F.col("_old_seq")), F.lit("U"))
+            .when(~new_live & old_live, F.lit("D"))
+        )
+        return (
+            j.withColumn("change_type", change)
+            .filter(F.col("change_type").isNotNull())
+            .drop("_old_seq", "_old_del")
+        )
 
     def read_final(self) -> DataFrame:
         """The user-facing table: live rows only, internal columns dropped."""
