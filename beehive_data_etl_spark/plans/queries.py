@@ -42,6 +42,43 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+# ----------------------------------------------------- SQL front-end surface
+# The engine's queries are DataFrame-API; these two run through
+# spark.sql() with correlated subqueries — Catalyst decorrelates them
+# into the same join shapes, and the IDENTICAL SQL text runs on DuckDB,
+# demonstrating the SQL entry point end-to-end.
+_SQL_SCALAR_SUBQ = """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders o
+    WHERE o_totalprice > (
+        SELECT 1.5 * AVG(o2.o_totalprice) FROM orders o2
+        WHERE o2.o_custkey = o.o_custkey
+    )
+"""
+
+_SQL_NOT_EXISTS = """
+    SELECT s_suppkey, s_name
+    FROM supplier s
+    WHERE NOT EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_suppkey = s.s_suppkey AND l.l_extendedprice > 90000
+    )
+"""
+
+
+@query("q_sql_scalar_subquery", _SQL_SCALAR_SUBQ)
+def q_sql_scalar_subquery(spark, sf):
+    t(spark, sf, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_SQL_SCALAR_SUBQ)
+
+
+@query("q_sql_not_exists", _SQL_NOT_EXISTS)
+def q_sql_not_exists(spark, sf):
+    t(spark, sf, "supplier").createOrReplaceTempView("supplier")
+    t(spark, sf, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_SQL_NOT_EXISTS)
+
+
 # --------------------------------------------------------------- B3 projection
 @query(
     "q_project",
