@@ -152,3 +152,59 @@ def test_streaming_session_window_matches_batch(spark, tmp_path):
     assert streamed <= batch, "streamed sessions disagree with batch"
     # only sessions still open at the final watermark may be missing
     assert len(streamed) >= 0.8 * len(batch), (len(streamed), len(batch))
+
+
+def test_streaming_json_envelope_replay(spark, smoke_log, tmp_path):
+    """A1+A2 on the Kafka-shaped path UNDER readStream: the smoke log
+    re-serialized as JSON-lines (value string per record, one corrupted
+    record injected per file) streamed with from_json parsing +
+    validation into the sink — final state must equal the parquet
+    oracle, and the poisoned records must be quarantined, not kill the
+    stream."""
+    import glob as _glob
+    import json as _json
+    import os
+
+    from beehive_data_etl_spark.operators.validate import validating_transform
+    from beehive_data_etl_spark.sinks.snapshot import SnapshotSink
+    from beehive_data_etl_spark.sources.json_envelope import parse_json_envelope
+    from beehive_data_etl_spark.verify import compare_final, oracle_final_spark
+
+    jdir = str(tmp_path / "json_wal")
+    os.makedirs(jdir)
+    files = sorted(_glob.glob(os.path.join(smoke_log, "part-*.parquet")))
+    for i, f in enumerate(files):
+        rows = spark.read.parquet(f).collect()
+        with open(os.path.join(jdir, f"part-{i:05d}.jsonl"), "w") as fh:
+            for r in rows:
+                d = r.asDict()
+                d["event_ts"] = d["event_ts"].isoformat() if d.get("event_ts") else None
+                fh.write(_json.dumps(d) + "\n")
+            fh.write("{this is not json\n")  # poison pill per file
+
+    qdir = str(tmp_path / "quarantine")
+    sink = SnapshotSink(spark, str(tmp_path / "sink"), n_buckets=8)
+    validator = validating_transform(qdir)
+
+    stream = spark.readStream.schema("value string").text(jdir)
+
+    def _apply(df, epoch_id):
+        batch = validator(parse_json_envelope(df))
+        sink.apply_batch(batch, f"json-{epoch_id:06d}")
+
+    q = (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    state = sink.read_state()
+    report = compare_final(
+        state.filter(~state.deleted), oracle_final_spark(spark, smoke_log)
+    )
+    assert report["ok"], report
+    bad = spark.read.parquet(qdir)
+    assert bad.count() == len(files)  # exactly the poison pills
+    assert {r._reject_reason for r in bad.collect()} == {"bad_op"}
