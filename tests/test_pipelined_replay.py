@@ -100,3 +100,37 @@ def test_pipelined_schema_evolution(spark, evolution_log, tmp_path):
         state.filter(~state.deleted), oracle_final_spark(spark, evolution_log)
     )
     assert report["ok"], report
+
+
+def test_concurrent_compact_during_pipelined_ingest(spark, smoke_log, tmp_path):
+    """Maintenance compaction racing pipelined ingest: compact()
+    publishes under the commit lock and replaces only the delta files
+    it folded, so appends that land mid-fold survive and the final
+    state still matches the oracle."""
+    import threading
+    import time as _time
+
+    sink = SnapshotSink(
+        spark, str(tmp_path / "sink"), n_buckets=4, compact_threshold=1000
+    )
+    errors = []
+
+    def _compact_loop():
+        try:
+            for _ in range(4):
+                _time.sleep(0.4)
+                sink.compact()
+        except Exception as e:  # pragma: no cover - surfaced below
+            errors.append(e)
+
+    th = threading.Thread(target=_compact_loop)
+    th.start()
+    replay_incremental(spark, smoke_log, sink, files_per_batch=1, inflight=4)
+    th.join()
+    assert not errors, errors
+    sink.compact()
+    state = sink.read_state()
+    report = compare_final(
+        state.filter(~state.deleted), oracle_final_spark(spark, smoke_log)
+    )
+    assert report["ok"], report
