@@ -246,7 +246,7 @@ def _cdc_worker(cores: int) -> None:
     )
     weak_files_per_batch = max(1, max(5, int(60 * cores / 32)) // 5)
     weak_best, weak_m, weak_cpu = _best_of(
-        2,
+        3,
         lambda: _replay(weak_log, weak_files_per_batch, transform=cdc_bench_transform),
         cpu,
     )
