@@ -190,7 +190,13 @@ def _cdc_worker(cores: int) -> None:
         f"cdc-bench-{cores}",
         cores=cores,
         shuffle_partitions=64,
-        extra_conf={"spark.local.dir": os.path.join(sink_root, "spark-local")},
+        extra_conf={
+            "spark.local.dir": os.path.join(sink_root, "spark-local"),
+            # long-lived bench worker: reclaim shuffle files promptly
+            # (default periodic GC is 30min — tmpfs shuffle data from
+            # eight 6M-event replays would otherwise sit in RAM)
+            "spark.cleaner.periodicGC.interval": "45s",
+        },
     )
     spark.range(10_000_000).selectExpr("sum(id)").collect()
     cpu = _JvmCpu(spark)
