@@ -148,18 +148,29 @@ class _JvmCpu:
         return (int(parts[11]) + int(parts[12])) / self.tck
 
 
-def _best_of(n: int, fn, cpu: _JvmCpu | None = None) -> tuple[float, list, float]:
-    """(best wall, its metrics, its JVM cpu seconds)."""
-    best, best_m, best_cpu = None, None, 0.0
+def _attempts(n: int, fn, cpu: _JvmCpu | None = None) -> list[tuple[float, list, float]]:
+    out = []
     for _ in range(n):
         c0 = cpu.seconds() if cpu else 0.0
         t0 = time.time()
         m = fn()
         dt = time.time() - t0
         c1 = cpu.seconds() if cpu else 0.0
-        if best is None or dt < best:
-            best, best_m, best_cpu = dt, m, c1 - c0
-    return best, best_m, best_cpu
+        out.append((dt, m, c1 - c0))
+    return out
+
+
+def _best_of(n: int, fn, cpu: _JvmCpu | None = None) -> tuple[float, list, float]:
+    """(best wall, its metrics, its JVM cpu seconds)."""
+    return min(_attempts(n, fn, cpu), key=lambda a: a[0])
+
+
+def _median_of(n: int, fn, cpu: _JvmCpu | None = None) -> tuple[float, list, float]:
+    """Median attempt by wall — robust to one host slow period without
+    the min's independent-minima bias (the weak-scaling ratio divides
+    two measurements, so best-of on each side skews it)."""
+    runs = sorted(_attempts(n, fn, cpu), key=lambda a: a[0])
+    return runs[len(runs) // 2]
 
 
 def _cdc_worker(cores: int) -> None:
@@ -251,7 +262,7 @@ def _cdc_worker(cores: int) -> None:
         3, lambda: _replay(scaling_log, 12, transform=cdc_bench_transform), cpu
     )
     weak_files_per_batch = max(1, max(5, int(60 * cores / 32)) // 5)
-    weak_best, weak_m, weak_cpu = _best_of(
+    weak_best, weak_m, weak_cpu = _median_of(
         3,
         lambda: _replay(weak_log, weak_files_per_batch, transform=cdc_bench_transform),
         cpu,
