@@ -261,6 +261,70 @@ def q_join_range(spark, sf):
     )
 
 
+# Big-big interval join, banded: the broadcast-BNL shape of
+# q_join_range only works when one side is small. For fact-fact
+# proximity joins ("events by the same user within W seconds") the
+# scale-safe rewrite buckets time into W-second bands and equi-joins on
+# (user, band) with the right side exploded to {band-1, band, band+1} —
+# any pair within W differs by at most one band, and exactly one of the
+# three replicas collides, so no dedup is needed. The exact |Δt| ≤ W
+# filter then prunes band-mates farther than W. Shuffle on a compact
+# key instead of a quadratic theta join.
+@query(
+    "q_join_interval_banded",
+    """
+    SELECT a.user_id,
+           a.event_id AS id_a, b.event_id AS id_b,
+           CAST(abs(floor(epoch(a.ts)) - floor(epoch(b.ts))) AS BIGINT) AS gap_s
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id AND a.event_id < b.event_id
+     AND abs(floor(epoch(a.ts)) - floor(epoch(b.ts))) <= 600
+    """,
+)
+def q_join_interval_banded(spark, sf):
+    W = 600
+    e = t(spark, sf, "events").select(
+        "user_id", "event_id", F.unix_timestamp("ts").alias("ts_s")
+    )
+    band = F.floor(F.col("ts_s") / W)
+    left = e.withColumn("band", band)
+    right = e.withColumn(
+        "band", F.explode(F.array(band - 1, band, band + 1))
+    ).withColumnRenamed("event_id", "event_id_b").withColumnRenamed("ts_s", "ts_b")
+    return (
+        left.join(right, ["user_id", "band"])
+        .filter(
+            (F.col("event_id") < F.col("event_id_b"))
+            & (F.abs(F.col("ts_s") - F.col("ts_b")) <= W)
+        )
+        .select(
+            "user_id",
+            F.col("event_id").alias("id_a"),
+            F.col("event_id_b").alias("id_b"),
+            F.abs(F.col("ts_s") - F.col("ts_b")).alias("gap_s"),
+        )
+    )
+
+
+# GROUPING SETS beyond rollup/cube: arbitrary set lists through the SQL
+# front end, identical text on both engines.
+_SQL_GROUPING_SETS = """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           ROUND(SUM(o_totalprice), 2) AS total,
+           GROUPING(o_orderstatus) + 2 * GROUPING(o_orderpriority) AS gid
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderpriority), ())
+"""
+
+
+@query("q_grouping_sets", _SQL_GROUPING_SETS)
+def q_grouping_sets(spark, sf):
+    t(spark, sf, "orders").createOrReplaceTempView("orders")
+    out = spark.sql(_SQL_GROUPING_SETS)
+    # Spark GROUPING() yields tinyint; align with DuckDB's int64
+    return out.withColumn("gid", F.col("gid").cast("long"))
+
+
 # --------------------------------------------------------------- B10 as-of join
 @query(
     "q_join_asof",
