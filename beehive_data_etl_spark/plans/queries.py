@@ -1967,6 +1967,125 @@ def q_sample_hash(spark, sf):
     ).select("doc_id", "lang")
 
 
+# ----------------------------------------------- train/val/test assignment
+@query(
+    "q_split_assign",
+    """
+    SELECT doc_id,
+           CASE WHEN h < 95 THEN 'train' WHEN h < 99 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+        SELECT doc_id,
+               ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                 % 100 AS h
+        FROM documents
+    )
+    """,
+)
+def q_split_assign(spark, sf):
+    """Deterministic 95/4/1 train/val/test assignment by salted content
+    hash: survives re-execution, shuffling, and repartitioning — the
+    property a training pipeline's split MUST have (random splits drift
+    between runs and leak val into train)."""
+    from beehive_data_etl_spark.functions.hashing import portable_hash32
+
+    d = t(spark, sf, "documents")
+    # salt folded into the hashed string to mirror the oracle exactly
+    h = (
+        portable_hash32(F.concat(F.lit("split:"), F.col("doc_id").cast("string")))
+        % 100
+    )
+    return d.select(
+        "doc_id",
+        F.when(h < 95, "train").when(h < 99, "val").otherwise("test").alias("split"),
+    )
+
+
+# ----------------------------------------------- context-window chunking
+@query(
+    "q_token_chunks",
+    """
+    WITH w AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words
+        FROM documents
+    ), c AS (
+        SELECT doc_id, words,
+               unnest(range(0, greatest((len(words) - 16 + 8 - 1) // 8, 0) + 1))
+                 AS chunk_no
+        FROM w
+    )
+    SELECT doc_id, CAST(chunk_no AS INT) AS chunk_no,
+           CAST(least(16, len(words) - chunk_no * 8) AS INT) AS n_words,
+           words[chunk_no * 8 + 1] AS first_word
+    FROM c
+    """,
+)
+def q_token_chunks(spark, sf):
+    """Context-window chunking: split each document's token stream into
+    max_len=16 windows with stride 8 (50% overlap) — how pretraining
+    corpora are cut to fit the model context. Emitted long-form with
+    per-chunk size and anchor; the payload here is words (the testdata
+    tables carry text, the CDC path carries the real token arrays — the
+    expression shape is identical)."""
+    max_len, stride = 16, 8
+    d = t(spark, sf, "documents")
+    base = d.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("words")
+    )
+    n_chunks = F.greatest(
+        F.ceil((F.size("words") - max_len) / stride).cast("int"), F.lit(0)
+    ) + 1
+    return (
+        base.select(
+            "doc_id",
+            "words",
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_no"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_no").cast("int").alias("chunk_no"),
+            F.least(
+                F.lit(max_len), F.size("words") - F.col("chunk_no") * stride
+            ).cast("int").alias("n_words"),
+            F.col("words")[F.col("chunk_no") * stride].alias("first_word"),
+        )
+    )
+
+
+# ----------------------------------------------- sequence packing
+@query(
+    "q_pack_sequences",
+    """
+    SELECT doc_id, source,
+           CAST(FLOOR((cum - n_chars) / 4096) AS BIGINT) AS pack_id
+    FROM (
+        SELECT doc_id, source, n_chars,
+               SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM documents
+    )
+    """,
+)
+def q_pack_sequences(spark, sf):
+    """Contiguous sequence packing: within each source, documents in
+    doc_id order are packed greedily into ~4096-char bins via a running
+    total — the deterministic window-function form of the
+    pack-short-sequences step every pretraining pipeline runs (packs
+    follow from the cumulative sum, no stateful loop)."""
+    d = t(spark, sf, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = F.sum("n_chars").over(w)
+    return d.select(
+        "doc_id",
+        "source",
+        F.floor((cum - F.col("n_chars")) / 4096).cast("long").alias("pack_id"),
+    )
+
+
 # --------------------------------------------------------------- dedup canonical
 @query(
     "q_dedup_canonical",
