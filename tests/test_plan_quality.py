@@ -176,3 +176,13 @@ def test_pandas_udf_single_invocation(spark):
     # the formatted plan prints the ArrowEvalPython node's argument list
     # once in the details section
     assert len(calls) == 1, plan
+
+
+def test_interval_banded_join_is_equi_join(spark):
+    """The big-big time-proximity join must plan as a hash/sort-merge
+    EQUI-join on (user, band) — never BroadcastNestedLoop or a
+    cartesian product (the theta-join shape it replaces)."""
+    plan = plan_of(QUERIES["q_join_interval_banded"](spark, "/root/testdata/sf0.001"))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan), plan
