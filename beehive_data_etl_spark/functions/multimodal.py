@@ -85,6 +85,44 @@ def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
     return media.mapInPandas(_extract, schema=FEATURE_SCHEMA)
 
 
+RESIZE_SCHEMA = (
+    "media_id long, modality string, payload binary, mime string, n_bytes long"
+)
+
+
+def resize_stub(payload: bytes, target_bytes: int) -> bytes:
+    """Where a real resize (PIL thumbnail / audio downsample / video
+    transcode) would run. The deterministic fake: stride-sample the
+    byte stream down to ``target_bytes`` (every k-th byte) — preserves
+    the 'smaller derived artifact of the same payload' contract the
+    Spark-side plumbing cares about."""
+    if len(payload) <= target_bytes:
+        return payload
+    stride = len(payload) // target_bytes
+    return payload[::stride][:target_bytes]
+
+
+def resize_media(media: DataFrame, target_bytes: int = 64) -> DataFrame:
+    """Arrow-batched resize over opaque payloads: same schema out as in
+    (payload replaced by its downsampled derivative, n_bytes updated) so
+    resize composes with extract_features / sample_frames."""
+    _resize_src = resize_stub.__code__
+    import types as _types
+
+    _local_resize = _types.FunctionType(_resize_src, {"len": len})
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["payload"] = [
+                _local_resize(p, target_bytes) for p in pdf["payload"]
+            ]
+            pdf["n_bytes"] = [len(p) for p in pdf["payload"]]
+            yield pdf
+
+    return media.mapInPandas(_resize, schema=RESIZE_SCHEMA)
+
+
 FRAME_SCHEMA = "media_id long, frame_no int, frame_off long, frame_checksum long"
 
 

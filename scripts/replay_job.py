@@ -1,12 +1,20 @@
-"""spark-submit entry point: checkpointed Structured-Streaming replay of
-a WAL directory into the CDC sink (SURVEY.md §3.2 E1).
+"""spark-submit entry point: checkpointed replay of a WAL directory
+into the CDC sink (SURVEY.md §3.2 E1).
 
 Chooses the Iceberg adapter when the runtime is on the classpath and the
 target looks like a table identifier; otherwise the snapshot sink.
+
+REPLAY_MODE=stream (default) runs the Structured-Streaming tail
+(micro-batches are serial — Spark's foreachBatch contract).
+REPLAY_MODE=pipelined runs the incremental replayer with
+REPLAY_INFLIGHT (default 4) micro-batches in flight — the
+throughput-oriented backfill mode (BENCH/BASELINE.md); commits may land
+out of log order, which the sink's LWW semantics make safe.
 """
 
 from __future__ import annotations
 
+import os
 import sys
 
 from pyspark.sql import SparkSession
@@ -14,7 +22,7 @@ from pyspark.sql import SparkSession
 from beehive_data_etl_spark.sinks.iceberg import IcebergSink, iceberg_available
 from beehive_data_etl_spark.sinks.snapshot import SnapshotSink
 from beehive_data_etl_spark.sources.eventlog import BASE_ENVELOPE_DDL
-from beehive_data_etl_spark.streaming.replay import replay_stream
+from beehive_data_etl_spark.streaming.replay import replay_incremental, replay_stream
 
 
 def main() -> None:
@@ -24,6 +32,15 @@ def main() -> None:
         sink = IcebergSink(spark, target)
     else:
         sink = SnapshotSink(spark, target, n_buckets=4096, salt_partials=8)
+    if os.environ.get("REPLAY_MODE", "stream") == "pipelined":
+        replay_incremental(
+            spark,
+            wal_dir,
+            sink,
+            files_per_batch=int(os.environ.get("REPLAY_FILES_PER_BATCH", "8")),
+            inflight=int(os.environ.get("REPLAY_INFLIGHT", "4")),
+        )
+        return
     replay_stream(
         spark,
         wal_dir,

@@ -198,3 +198,27 @@ def test_repetition_ratio_bounds(spark):
     }
     assert got[2] == 0.0 and got[3] == 0.0
     assert got[1] > 0.5
+
+
+def test_multimodal_resize_composes(spark):
+    """resize_media keeps the media schema (so it composes with the
+    feature/frame extractors), bounds payloads at target_bytes, and is
+    deterministic across runs."""
+    from beehive_data_etl_spark.functions.multimodal import (
+        attach_media,
+        extract_features,
+        resize_media,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(50)
+    media = attach_media(docs)
+    small = resize_media(media, target_bytes=64)
+    rows = small.collect()
+    assert rows and all(r.n_bytes <= 64 for r in rows)
+    assert all(len(r.payload) == r.n_bytes for r in rows)
+    # composes: features over the resized payloads still compute
+    feats = extract_features(small).select("media_id", "checksum").collect()
+    assert len(feats) == len(rows)
+    # deterministic
+    again = {r.media_id: bytes(r.payload) for r in resize_media(media, 64).collect()}
+    assert {r.media_id: bytes(r.payload) for r in rows} == again
