@@ -56,11 +56,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL per query — EVERY queries() key has one
-    (72/72): approximate operators are expressed oracle-checkably (the
-    HLL sketch emits its exact count + a tolerance flag; LSH/IVF
-    pipelines are deterministic and replayed exactly in SQL; the
-    multimodal decode stub's byte arithmetic is recomputed from
-    hex(encode(text)))."""
+    (same key set, enforced by tests): approximate operators are
+    expressed oracle-checkably (the HLL sketch emits its exact count +
+    a tolerance flag; LSH/IVF pipelines are deterministic and replayed
+    exactly in SQL; the multimodal decode stub's byte arithmetic is
+    recomputed from hex(encode(text)))."""
     from beehive_data_etl_spark.plans.queries import ORACLES
 
     return dict(ORACLES)

@@ -39,13 +39,20 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
+    strict: bool = True,
 ) -> DataFrame:
     """``pairs`` (undirected edges) → one row per node that appears in
     any edge: ``(node, comp)`` with ``comp`` = the minimum node id
     reachable through the graph (the canonical/cluster id).
 
     Nodes with no edges don't appear — callers left-join their full id
-    universe and coalesce to self (see q_dedup_cluster)."""
+    universe and coalesce to self (see q_dedup_cluster).
+
+    ``strict=True`` (default) RAISES if ``max_iter`` rounds pass without
+    reaching the fixpoint — partially-propagated labels would silently
+    report one real component as several clusters (under-collapsed
+    dedup); a graph that deep needs a higher ``max_iter`` or the
+    large-star/small-star variant, and that must be a loud decision."""
     e = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
     sym = sym.localCheckpoint(eager=True)  # edges reused every round
@@ -56,6 +63,7 @@ def connected_components(
         .withColumn("comp", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    changed = 0
     for _ in range(max_iter):
         nbr = (
             sym.join(labels, sym["b"] == labels["node"])
@@ -76,4 +84,10 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if strict and changed != 0:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing); raise max_iter or use a "
+            "path-contracting variant for graphs this deep"
+        )
     return labels

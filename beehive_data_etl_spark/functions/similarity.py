@@ -202,19 +202,24 @@ def ivf_topk(
     closest cells, exact-cosine re-rank inside them.
 
     Centroids are model-free and deterministic: the corpus vectors with
-    the ``n_centroids`` smallest ids act as seeds (they are i.i.d.
-    samples of the distribution, which is all k-means initialization
-    needs; a trained-centroid variant would broadcast its codebook the
-    same way). Cell assignment uses the ROUNDED cosine (4dp) with
-    centroid-id tie-break so an oracle reproduces it bit-for-bit.
+    the ``n_centroids`` smallest ids act as seeds — selected by
+    ``orderBy(id).limit(n)``, NOT ``id < n`` (ids need not be dense or
+    0-based; a filter would silently yield few or zero centroids and an
+    ANN index that finds nothing). They are i.i.d. samples of the
+    distribution, which is all k-means initialization needs; a
+    trained-centroid variant would broadcast its codebook the same way.
+    Cell assignment uses the ROUNDED cosine (4dp) with centroid-id
+    tie-break so an oracle reproduces it bit-for-bit.
 
     Scale shape: the centroid set is broadcast (tiny); assignment is a
     map-side expression + one map-side-combined groupBy per corpus row
     — the corpus is shuffled once on ``n_id`` and once on the cell
     equi-join, never all-pairs. Query count × nprobe bounds the probe
     fan-out."""
-    cents = corpus.filter(F.col(id_col) < n_centroids).select(
-        F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")
+    cents = (
+        corpus.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec"))
+        .orderBy("c_id")
+        .limit(n_centroids)
     )
     c = corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"))
     scored = c.crossJoin(F.broadcast(cents)).withColumn(

@@ -45,11 +45,16 @@ def _canon_cell(v):
     wanted)."""
     if v is None:
         return None
-    # pandas NaT / NaN / NA umbrella — but NOT for arrays (pd.isna is
+    # float NaN BEFORE the pd.isna umbrella: a Spark NULL vs a DuckDB
+    # NaN is a genuine engine divergence (e.g. 0/0 arithmetic) and must
+    # NOT canonicalize identically. Caveat: a nullable-int column that
+    # pandas widened to float64 represents NULL as NaN on BOTH sides
+    # identically, so tagging NaN keeps those equal too.
+    if isinstance(v, (float, np.floating)) and math.isnan(v):
+        return ("f", "nan")
+    # pandas NaT / NA umbrella — but NOT for arrays (pd.isna is
     # elementwise there)
     if not isinstance(v, (list, tuple, np.ndarray)) and pd.isna(v):
-        if isinstance(v, float) or isinstance(v, np.floating):
-            return None  # NaN-as-null (pandas nullable-int → float path)
         return None
     if isinstance(v, (bool, np.bool_)):
         return ("b", bool(v))

@@ -1309,7 +1309,13 @@ def q_ann_bruteforce(spark, sf):
 # bucket → candidate-join → rerank pipeline. Verified bit-exact:
 # Spark's sequential double fold and DuckDB's list_dot_product agree on
 # every projection sign at sf0.01/sf0.1.
-def _ann_lsh_oracle(planes: int = 4, tables: int = 3, dim: int = 64, k: int = 5) -> str:
+def _hyperplane_sigs_sql(planes: int, tables: int, dim: int = 64) -> str:
+    """Shared SQL builder for the deterministic hyperplane signatures:
+    one UNION ALL branch per hash table, each bucket a sum of sign
+    bits against md5-literal ±1 coefficient vectors — the exact twin of
+    functions/similarity.hyperplane_signature. Used by BOTH the ANN-LSH
+    and the LSH-near-dup oracles so the plane derivation can never
+    diverge between them."""
     import hashlib
 
     def coeffs(table: int, p: int) -> str:
@@ -1331,7 +1337,11 @@ def _ann_lsh_oracle(planes: int = 4, tables: int = 3, dim: int = 64, k: int = 5)
         per_table.append(
             f"SELECT vec_id, {tbl} AS tbl, ({terms}) AS bucket FROM embeddings"
         )
-    sigs = " UNION ALL ".join(per_table)
+    return " UNION ALL ".join(per_table)
+
+
+def _ann_lsh_oracle(planes: int = 4, tables: int = 3, dim: int = 64, k: int = 5) -> str:
+    sigs = _hyperplane_sigs_sql(planes, tables, dim)
     return f"""
     WITH sigs AS ({sigs}),
     q AS (SELECT * FROM sigs WHERE vec_id < 8),
@@ -1382,7 +1392,7 @@ def _ann_ivf_oracle(k: int = 5, n_centroids: int = 16, nprobe: int = 4) -> str:
     return f"""
     WITH cents AS (
         SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings
-        WHERE vec_id < {n_centroids}
+        ORDER BY vec_id LIMIT {n_centroids}
     ),
     assign AS (
         SELECT n_id, n_vec, c_id AS cell FROM (
@@ -1418,28 +1428,8 @@ def _ann_ivf_oracle(k: int = 5, n_centroids: int = 16, nprobe: int = 4) -> str:
 # (planes=4, tables=3) so the oracle rebuilds the blocking, then the
 # exact-cosine threshold filter.
 def _neardup_lsh_oracle(threshold: float = 0.4, planes: int = 4, tables: int = 3) -> str:
-    import hashlib
-
-    def coeffs(table: int, p: int, dim: int = 64) -> str:
-        cs = [
-            "1.0"
-            if int(hashlib.md5(f"{table}/{p}:{j}".encode()).hexdigest()[:8], 16) & 1
-            else "-1.0"
-            for j in range(dim)
-        ]
-        return "[" + ", ".join(cs) + "]::DOUBLE[]"
-
-    per_table = []
-    for tbl in range(tables):
-        terms = " + ".join(
-            f"CASE WHEN list_dot_product(embedding::DOUBLE[], {coeffs(tbl, p)}) > 0 "
-            f"THEN {2 ** p} ELSE 0 END"
-            for p in range(planes)
-        )
-        per_table.append(
-            f"SELECT vec_id, {tbl} AS tbl, ({terms}) AS bucket FROM embeddings"
-        )
-    sigs = " UNION ALL ".join(per_table)
+    sigs = _hyperplane_sigs_sql(planes, tables)
+    cos_ab = _IVF_COS.format(a="a.embedding", b="b.embedding")
     return f"""
     WITH sigs AS ({sigs}),
     cand AS (
@@ -1447,18 +1437,11 @@ def _neardup_lsh_oracle(threshold: float = 0.4, planes: int = 4, tables: int = 3
         FROM sigs l JOIN sigs r
           ON l.tbl = r.tbl AND l.bucket = r.bucket AND l.vec_id < r.vec_id
     )
-    SELECT c.id_a, c.id_b,
-           ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
-                 / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
-                    * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
-                 4) AS cos
+    SELECT c.id_a, c.id_b, {cos_ab} AS cos
     FROM cand c
     JOIN embeddings a ON a.vec_id = c.id_a
     JOIN embeddings b ON b.vec_id = c.id_b
-    WHERE ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
-                / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
-                   * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
-                4) >= {threshold}
+    WHERE {cos_ab} >= {threshold}
     """
 
 

@@ -101,6 +101,10 @@ class SnapshotSink:
         # batches folding the same bucket concurrently.
         self._commit_lock = threading.Lock()
         self._compacting: set[int] = set()
+        # batch ids with published-but-uncommitted files (data dirs and
+        # manifests land BEFORE the pointer swap): vacuum() must not
+        # treat them as orphans while the batch is in flight
+        self._inflight: set[str] = set()
         for d in ("_snapshots", "_manifests", "_metrics", "data"):
             os.makedirs(os.path.join(root, d), exist_ok=True)
         snap = self.current_snapshot()
@@ -323,15 +327,18 @@ class SnapshotSink:
             str(b): {e["path"] for e in prev_buckets.get(str(b), [])}
             for b in compact_candidates
         }
-        # a reused (crash-replayed) compacted bucket folded the deltas
-        # visible when IT planned; plan-time list is the sync-replay
-        # truth and at worst keeps a concurrent append alive
-        for b in manifested:
-            consumed_paths.setdefault(
-                str(b), {e["path"] for e in prev_buckets.get(str(b), [])}
-            )
+        # Reused (crash-replayed) compacted buckets: what they folded is
+        # read from THEIR manifest (recorded at the crashed attempt's
+        # plan time) inside _run_and_publish — recomputing it from the
+        # replay-time head would also swallow deltas other batches
+        # committed after the crash and silently drop them (found by
+        # review repro). Manifests without the field (append deltas,
+        # legacy) fold nothing: keeping extra entries only duplicates
+        # rows, which the LWW read fold de-duplicates.
 
         try:
+            with self._commit_lock:
+                self._inflight.add(batch_id)
             return self._run_and_publish(
                 batch_df, batch_id, snap, events, table_schema,
                 batch_payload_schema, manifested, compact_candidates,
@@ -340,6 +347,7 @@ class SnapshotSink:
         finally:
             with self._commit_lock:
                 self._compacting -= set(compact_candidates)
+                self._inflight.discard(batch_id)
 
     def _run_and_publish(
         self, batch_df, batch_id, snap, events, table_schema,
@@ -449,6 +457,10 @@ class SnapshotSink:
                     "files": files,
                     "schema": schema_ddl_payload,
                     "compacted": b in compact_candidates,
+                    # exactly the delta files this compaction folded —
+                    # a crash-replay reusing this manifest must replace
+                    # ONLY these at commit, never the then-current list
+                    "folded": sorted(consumed_paths.get(str(b), set())),
                     "ts": time.time(),
                 },
             )
@@ -470,6 +482,10 @@ class SnapshotSink:
                 "schema": m["schema"],
                 "compacted": m.get("compacted", False),
             }
+            # consume exactly what the crashed attempt recorded it
+            # folded (may be absent in legacy manifests → fold nothing,
+            # duplicates are LWW-idempotent)
+            consumed_paths[str(b)] = set(m.get("folded", []))
 
         metrics["phase_s"] = {
             "plan": round(t_plan - t0, 3),
@@ -599,13 +615,29 @@ class SnapshotSink:
         snap = self.current_snapshot()
         if snap is None:
             return {"compacted": []}
-        todo = [
-            b
-            for b in (buckets if buckets is not None else range(self.n_buckets))
-            if len(snap["buckets"].get(str(b), [])) >= min_deltas
-        ]
+        # claim the buckets in the shared _compacting guard: without it
+        # a pipelined apply_batch's INLINE compaction of the same bucket
+        # folds the same plan-time deltas concurrently — harmless for
+        # compact() (duplicate rows, LWW-idempotent) but it would
+        # RESURRECT tombstones expire_tombstones just dropped (the
+        # concurrent fold re-includes them at their original seq)
+        with self._commit_lock:
+            todo = [
+                b
+                for b in (buckets if buckets is not None else range(self.n_buckets))
+                if len(snap["buckets"].get(str(b), [])) >= min_deltas
+                and b not in self._compacting
+            ]
+            self._compacting |= set(todo)
         if not todo:
             return {"compacted": []}
+        try:
+            return self._rewrite_buckets_run(snap, todo, row_filter, t0)
+        finally:
+            with self._commit_lock:
+                self._compacting -= set(todo)
+
+    def _rewrite_buckets_run(self, snap, todo, row_filter, t0) -> dict:
         table_schema = T.StructType.fromDDL(snap["schema"])
         folded = lww_dedup(
             self._read_buckets(snap, todo, target=table_schema), KEY, SEQ
@@ -622,6 +654,10 @@ class SnapshotSink:
             .parquet(staging)
         )
         tag = f"compact-v{snap['version'] + 1}-{uuid.uuid4().hex[:8]}"
+        # register in _inflight so a concurrent vacuum() doesn't reap
+        # the moved-but-unpublished dirs as orphans
+        with self._commit_lock:
+            self._inflight.add(tag)
         dest_root = os.path.join(self.root, "data", f"ingest={tag}")
         os.makedirs(dest_root, exist_ok=True)
         ddl = _ddl(table_schema)
@@ -677,6 +713,7 @@ class SnapshotSink:
                 }
             )
             self._write_snapshot(new_snap)
+            self._inflight.discard(tag)  # published — vacuum sees it via CURRENT
         return {"compacted": todo, "wall_s": round(time.time() - t0, 3)}
 
     def vacuum(self) -> dict:
@@ -684,10 +721,21 @@ class SnapshotSink:
         snapshot: superseded deltas and orphans from crashed attempts.
         Time-travel to earlier snapshots is given up for the vacuumed
         files (their JSON metadata is kept). Mirrors Iceberg's
-        expire_snapshots + remove_orphan_files."""
+        expire_snapshots + remove_orphan_files.
+
+        Safe alongside pipelined ingest THROUGH THIS SINK OBJECT: data
+        dirs, staging dirs, and manifests of in-flight batches (files
+        published, pointer not yet swapped) are skipped — without that
+        guard vacuum would reap them as orphans and the batch would
+        commit pointers to deleted paths. A vacuum from a DIFFERENT
+        process cannot see in-flight state; run cross-process vacuums
+        only while ingest is quiesced (Iceberg's remove_orphan_files
+        carries the same caveat and defaults to an age cutoff)."""
         snap = self.current_snapshot()
         if snap is None:
             return {"removed": 0}
+        with self._commit_lock:
+            inflight = set(self._inflight)
         live = {
             os.path.normpath(os.path.join(self.root, e["path"]))
             for entries in snap["buckets"].values()
@@ -699,7 +747,11 @@ class SnapshotSink:
             ing_dir = os.path.join(data_root, ingest)
             if not os.path.isdir(ing_dir):
                 continue
+            if ingest.startswith("ingest=") and ingest[len("ingest="):] in inflight:
+                continue  # in-flight batch's published files
             if ingest.startswith("_stage-"):
+                if inflight:
+                    continue  # staging may belong to an in-flight job
                 shutil.rmtree(ing_dir, ignore_errors=True)
                 removed += 1
                 continue
@@ -714,12 +766,13 @@ class SnapshotSink:
         # dirs were just deleted above (unreferenced by CURRENT), so a
         # surviving manifest would make a later replay of that batch_id
         # reuse buckets whose files are gone (ADVICE round 1 — the
-        # crash→vacuum→restart sequence). Committed batches keep theirs.
+        # crash→vacuum→restart sequence). Committed and in-flight
+        # batches keep theirs.
         committed = set(snap["committed_batches"])
         man_root = os.path.join(self.root, "_manifests")
         orphan_manifests = 0
         for batch_dir in os.listdir(man_root):
-            if batch_dir not in committed:
+            if batch_dir not in committed and batch_dir not in inflight:
                 shutil.rmtree(os.path.join(man_root, batch_dir), ignore_errors=True)
                 orphan_manifests += 1
         return {"removed": removed, "orphan_manifests": orphan_manifests}

@@ -65,9 +65,15 @@ def streaming_lww_latest(
         if best is None:  # everything in this batch was stale — no output
             return
         state.update((max_seq,))
-        # re-arm expiry relative to the CURRENT watermark so active keys
-        # keep sliding forward and idle ones age out
-        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + state_ttl_ms)
+        # re-arm expiry relative to max(watermark, this event's time):
+        # in the FIRST micro-batch the watermark is still 0, and arming
+        # against it would expire every batch-1 key at batch 2 (epoch
+        # 1970 + TTL) regardless of activity — the event's own time is
+        # the correct floor until the watermark catches up
+        event_ms = int(pd.Timestamp(best["event_ts"]).timestamp() * 1000)
+        state.setTimeoutTimestamp(
+            max(state.getCurrentWatermarkMs(), event_ms) + state_ttl_ms
+        )
         yield pd.DataFrame(
             {
                 "doc_id": [doc_id],

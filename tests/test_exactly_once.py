@@ -130,3 +130,35 @@ def test_crash_then_vacuum_then_restart(spark, smoke_log, tmp_path, crash_point)
     for entries in snap["buckets"].values():
         for e in entries:
             assert os.path.isdir(os.path.join(root, e["path"])), e["path"]
+
+
+def test_crash_replay_keeps_interleaved_commit(spark, tmp_path):
+    """Review-confirmed round-2 bug: a crashed compacting batch's
+    manifest reuse must replace ONLY the deltas that attempt actually
+    folded (recorded in the manifest), never the replay-time head —
+    otherwise a batch that committed to the same bucket BETWEEN crash
+    and replay has its delta silently dropped."""
+    schema = (
+        "op string, op_sequence long, doc_id string, tokens array<int>, "
+        "n_tok int, source string"
+    )
+
+    def batch(rows):
+        return spark.createDataFrame(rows, schema)
+
+    root = str(tmp_path / "sink")
+    sink = SnapshotSink(spark, root, n_buckets=1, compact_threshold=1)
+    sink.apply_batch(batch([("I", 1, "d1", [1], 1, "s")]), "b0")
+    sink.crash_hook = _crash_once_at("before_pointer_swap")
+    with pytest.raises(_Boom):
+        sink.apply_batch(batch([("I", 2, "dA", [2], 1, "s")]), "b1")
+    # an interleaved commit to the SAME bucket (pipelined out-of-order
+    # commit, or restart processing the log in a different order)
+    sink2 = SnapshotSink(spark, root, n_buckets=1, compact_threshold=1)
+    sink2.apply_batch(batch([("I", 3, "dB", [3], 1, "s")]), "b2")
+    # replay the crashed batch — the manifest-reuse path
+    sink3 = SnapshotSink(spark, root, n_buckets=1, compact_threshold=1)
+    m = sink3.apply_batch(batch([("I", 2, "dA", [2], 1, "s")]), "b1")
+    assert m["reused_buckets"] == [0]
+    docs = {r.doc_id for r in sink3.read_state().collect()}
+    assert docs == {"d1", "dA", "dB"}, docs

@@ -30,3 +30,12 @@ def test_entry_smoke(spark):
     assert set(df.columns) == {"doc_id", "last_seq", "last_type", "last_value"}
     assert set(e.queries()) == set(QUERIES)
     assert set(e.oracle_sql()) == set(ORACLES)
+
+
+def test_every_query_has_an_oracle():
+    """The queries()/oracle_sql() key sets must be identical — the
+    entry-point docstring promises full oracle coverage."""
+    from beehive_data_etl_spark.plans.queries import ORACLES, QUERIES
+
+    assert set(QUERIES) == set(ORACLES)
+    assert all(isinstance(sql, str) and sql.strip() for sql in ORACLES.values())

@@ -134,3 +134,41 @@ def test_concurrent_compact_during_pipelined_ingest(spark, smoke_log, tmp_path):
         state.filter(~state.deleted), oracle_final_spark(spark, smoke_log)
     )
     assert report["ok"], report
+
+
+def test_vacuum_racing_pipelined_ingest(spark, smoke_log, tmp_path):
+    """Review finding: vacuum() used to reap the published-but-
+    uncommitted files of in-flight batches as orphans, leaving the
+    subsequent commit pointing at deleted paths. The in-flight guard
+    must keep a racing vacuum safe (through the same sink object)."""
+    import os
+    import threading
+    import time as _time
+
+    root = str(tmp_path / "sink")
+    sink = SnapshotSink(spark, root, n_buckets=4, compact_threshold=2)
+    errors = []
+
+    def _vacuum_loop():
+        try:
+            for _ in range(8):
+                _time.sleep(0.25)
+                sink.vacuum()
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    th = threading.Thread(target=_vacuum_loop)
+    th.start()
+    replay_incremental(spark, smoke_log, sink, files_per_batch=1, inflight=4)
+    th.join()
+    assert not errors, errors
+    state = sink.read_state()
+    report = compare_final(
+        state.filter(~state.deleted), oracle_final_spark(spark, smoke_log)
+    )
+    assert report["ok"], report
+    # every bucket path referenced by CURRENT exists on disk
+    snap = sink.current_snapshot()
+    for entries in snap["buckets"].values():
+        for e in entries:
+            assert os.path.isdir(os.path.join(root, e["path"])), e["path"]
