@@ -104,6 +104,48 @@ def hyperplane_signature(
     return out.cast("int")
 
 
+
+def multi_table_signatures(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    planes: int,
+    tables: int,
+    dim: int,
+    id_alias: str = "id",
+    vec_alias: str = "vec",
+) -> DataFrame:
+    """One corpus scan → (id, vec, tbl, bucket) rows for ALL hash
+    tables: per-table signatures computed as an array of (tbl, bucket)
+    structs in a single projection and exploded. The ONE Spark-side
+    definition of the multi-table blocking — lsh_bucketed_topk and
+    cosine_neardup_pairs_lsh both call it, and the SQL oracle twin
+    (_hyperplane_sigs_sql in plans/queries.py) mirrors it; change the
+    plane/bucket derivation HERE and there together."""
+    per_table = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                hyperplane_signature(F.col(vec_col), planes, dim, table=t).alias(
+                    "bucket"
+                ),
+            )
+            for t in range(tables)
+        ]
+    )
+    return (
+        df.select(
+            F.col(id_col).alias(id_alias),
+            F.col(vec_col).alias(vec_alias),
+            F.explode(per_table).alias("s"),
+        )
+        .select(
+            id_alias, vec_alias,
+            F.col("s.tbl").alias("tbl"), F.col("s.bucket").alias("bucket"),
+        )
+    )
+
+
 def lsh_bucketed_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -121,33 +163,12 @@ def lsh_bucketed_topk(
     candidates. More tables → higher recall, linearly more candidates —
     the classic LSH recall/cost dial."""
 
-    def sig(df: DataFrame, a: str, b: str) -> DataFrame:
-        # ONE scan for all hash tables: the per-table signatures are
-        # computed as an array of (tbl, bucket) structs in a single
-        # projection and exploded — a per-table union would rescan the
-        # corpus (and recompute the shared projection) `tables` times
-        per_table = F.array(
-            *[
-                F.struct(
-                    F.lit(t).alias("tbl"),
-                    hyperplane_signature(
-                        F.col(vec_col), planes, dim, table=t
-                    ).alias("bucket"),
-                )
-                for t in range(tables)
-            ]
-        )
-        return (
-            df.select(
-                F.col(id_col).alias(a),
-                F.col(vec_col).alias(b),
-                F.explode(per_table).alias("s"),
-            )
-            .select(a, b, F.col("s.tbl").alias("tbl"), F.col("s.bucket").alias("bucket"))
-        )
-
-    c = sig(corpus, "n_id", "n_vec")
-    q = sig(queries, "q_id", "q_vec")
+    c = multi_table_signatures(
+        corpus, id_col, vec_col, planes, tables, dim, "n_id", "n_vec"
+    )
+    q = multi_table_signatures(
+        queries, id_col, vec_col, planes, tables, dim, "q_id", "q_vec"
+    )
     scored = (
         c.join(F.broadcast(q), ["tbl", "bucket"])
         .filter(F.col("q_id") != F.col("n_id"))
@@ -277,19 +298,9 @@ def cosine_neardup_pairs_lsh(
     probability per table is (1 - arccos(0.9)/π)^planes ≈ 0.45, so two
     tables catch ~70% of true pairs; production settings push tables
     higher."""
-    base = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-    per_table = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("tbl"),
-                hyperplane_signature(F.col("vec"), planes, dim, table=t).alias("bucket"),
-            )
-            for t in range(tables)
-        ]
+    sig = multi_table_signatures(
+        embeddings, id_col, vec_col, planes, tables, dim, "id", "vec"
     )
-    sig = base.select(
-        "id", "vec", F.explode(per_table).alias("s")
-    ).select("id", "vec", F.col("s.tbl").alias("tbl"), F.col("s.bucket").alias("bucket"))
     l, r = sig.alias("l"), sig.alias("r")
     return (
         l.join(

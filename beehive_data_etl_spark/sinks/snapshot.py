@@ -283,7 +283,25 @@ class SnapshotSink:
         snap = self.current_snapshot()
         if snap is not None and batch_id in snap["committed_batches"]:
             return {"batch_id": batch_id, "skipped": True, "reason": "already committed"}
+        # register in-flight BEFORE planning: _manifested_buckets below
+        # decides to reuse a crashed attempt's files, and a vacuum that
+        # fires in between would reap exactly those files as orphans
+        with self._commit_lock:
+            self._inflight.add(batch_id)
+        compact_candidates: list[int] = []
+        try:
+            return self._plan_and_apply(
+                batch_df, batch_id, snap, compact_candidates, t0
+            )
+        finally:
+            with self._commit_lock:
+                self._compacting -= set(compact_candidates)
+                self._inflight.discard(batch_id)
 
+    def _plan_and_apply(
+        self, batch_df: DataFrame, batch_id: str, snap: dict | None,
+        compact_candidates: list[int], t0: float,
+    ) -> dict:
         payload_fields = [
             f for f in batch_df.schema.fields
             if f.name not in _ENVELOPE_META and f.name not in _INTERNAL
@@ -315,13 +333,15 @@ class SnapshotSink:
         # amplification, never correctness).
         with self._commit_lock:
             prev_buckets = {} if snap is None else dict(snap["buckets"])
-            compact_candidates = [
+            # mutate the caller-owned list so its finally releases the
+            # claims even if anything below raises
+            compact_candidates.extend(
                 b
                 for b in range(self.n_buckets)
                 if len(prev_buckets.get(str(b), [])) >= self.compact_threshold
                 and b not in manifested
                 and b not in self._compacting
-            ]
+            )
             self._compacting |= set(compact_candidates)
         consumed_paths: dict[str, set[str]] = {
             str(b): {e["path"] for e in prev_buckets.get(str(b), [])}
@@ -336,18 +356,11 @@ class SnapshotSink:
         # legacy) fold nothing: keeping extra entries only duplicates
         # rows, which the LWW read fold de-duplicates.
 
-        try:
-            with self._commit_lock:
-                self._inflight.add(batch_id)
-            return self._run_and_publish(
-                batch_df, batch_id, snap, events, table_schema,
-                batch_payload_schema, manifested, compact_candidates,
-                consumed_paths, t0,
-            )
-        finally:
-            with self._commit_lock:
-                self._compacting -= set(compact_candidates)
-                self._inflight.discard(batch_id)
+        return self._run_and_publish(
+            batch_df, batch_id, snap, events, table_schema,
+            batch_payload_schema, manifested, compact_candidates,
+            consumed_paths, t0,
+        )
 
     def _run_and_publish(
         self, batch_df, batch_id, snap, events, table_schema,
@@ -631,13 +644,22 @@ class SnapshotSink:
             self._compacting |= set(todo)
         if not todo:
             return {"compacted": []}
+        # register the rewrite's tag in _inflight BEFORE any file work:
+        # a concurrent vacuum() must neither reap the _stage-* dir
+        # mid-write nor the moved-but-unpublished ingest=<tag> dirs.
+        # Discarded in finally — a crashed rewrite must not disable
+        # staging cleanup for the rest of the process lifetime.
+        tag = f"compact-v{snap['version'] + 1}-{uuid.uuid4().hex[:8]}"
+        with self._commit_lock:
+            self._inflight.add(tag)
         try:
-            return self._rewrite_buckets_run(snap, todo, row_filter, t0)
+            return self._rewrite_buckets_run(snap, todo, row_filter, tag, t0)
         finally:
             with self._commit_lock:
                 self._compacting -= set(todo)
+                self._inflight.discard(tag)
 
-    def _rewrite_buckets_run(self, snap, todo, row_filter, t0) -> dict:
+    def _rewrite_buckets_run(self, snap, todo, row_filter, tag, t0) -> dict:
         table_schema = T.StructType.fromDDL(snap["schema"])
         folded = lww_dedup(
             self._read_buckets(snap, todo, target=table_schema), KEY, SEQ
@@ -653,11 +675,6 @@ class SnapshotSink:
             .option("compression", self.compression)
             .parquet(staging)
         )
-        tag = f"compact-v{snap['version'] + 1}-{uuid.uuid4().hex[:8]}"
-        # register in _inflight so a concurrent vacuum() doesn't reap
-        # the moved-but-unpublished dirs as orphans
-        with self._commit_lock:
-            self._inflight.add(tag)
         dest_root = os.path.join(self.root, "data", f"ingest={tag}")
         os.makedirs(dest_root, exist_ok=True)
         ddl = _ddl(table_schema)
@@ -713,7 +730,8 @@ class SnapshotSink:
                 }
             )
             self._write_snapshot(new_snap)
-            self._inflight.discard(tag)  # published — vacuum sees it via CURRENT
+        # tag discarded by the caller's finally (published files are
+        # referenced by CURRENT from here on, so vacuum keeps them)
         return {"compacted": todo, "wall_s": round(time.time() - t0, 3)}
 
     def vacuum(self) -> dict:

@@ -114,21 +114,29 @@ def _scaling_log() -> str:
 INFLIGHT = int(os.environ.get("SPARK_GRAFT_INFLIGHT", "4"))
 
 
-def _weak_log(cores: int) -> str:
-    """Weak-scaling input: work ∝ cores (events, docs, and files all
-    scale), so each core level processes the same events-per-core. The
-    HPC-standard answer to 'a fixed micro-batch cannot strong-scale
-    past its latency floor': a 4N cluster's job is to sustain 4× the
-    stream rate, which is exactly what this measures."""
-    from beehive_data_etl_spark.sources.eventlog import generate_event_log
-
+def _weak_cfg(cores: int) -> dict:
+    """Weak-scaling sizing — ONE definition: work ∝ cores (events,
+    docs, and files all scale), so each core level processes the same
+    events-per-core AND the same batch count (files/5 per batch); a
+    second copy of this formula once skewed the level comparison."""
     frac = cores / 32
-    return generate_event_log(
-        os.path.join(BENCH_TMP, f"evlog_weak_{cores}"),
+    return dict(
         n_docs=int(50_000 * frac),
         n_events=int(SCALING_EVENTS * frac),
         n_files=max(5, int(60 * frac)),
-        n_jobs=CPUS,
+    )
+
+
+def _weak_log(cores: int) -> str:
+    """Weak-scaling input (see _weak_cfg). The HPC-standard answer to
+    'a fixed micro-batch cannot strong-scale past its latency floor':
+    a 4N cluster's job is to sustain 4× the stream rate, which is
+    exactly what this measures."""
+    from beehive_data_etl_spark.sources.eventlog import generate_event_log
+
+    return generate_event_log(
+        os.path.join(BENCH_TMP, f"evlog_weak_{cores}"), n_jobs=CPUS,
+        **_weak_cfg(cores),
     )
 
 
@@ -195,7 +203,8 @@ def _cdc_worker(cores: int) -> None:
     tier_log = _event_log()
     scaling_log = _scaling_log()
     weak_log = _weak_log(cores)
-    weak_events = int(SCALING_EVENTS * cores / 32)
+    weak_cfg = _weak_cfg(cores)
+    weak_events = weak_cfg["n_events"]
     sink_root = "/dev/shm/beehive_bench_sink" if os.path.isdir("/dev/shm") else BENCH_TMP
     spark = get_spark(
         f"cdc-bench-{cores}",
@@ -261,7 +270,7 @@ def _cdc_worker(cores: int) -> None:
     pipe_best, pipe_m, pipe_cpu = _best_of(
         3, lambda: _replay(scaling_log, 12, transform=cdc_bench_transform), cpu
     )
-    weak_files_per_batch = max(1, max(5, int(60 * cores / 32)) // 5)
+    weak_files_per_batch = max(1, weak_cfg["n_files"] // 5)
     weak_best, weak_m, weak_cpu = _median_of(
         3,
         lambda: _replay(weak_log, weak_files_per_batch, transform=cdc_bench_transform),
