@@ -741,19 +741,27 @@ class SnapshotSink:
         files (their JSON metadata is kept). Mirrors Iceberg's
         expire_snapshots + remove_orphan_files.
 
-        Safe alongside pipelined ingest THROUGH THIS SINK OBJECT: data
-        dirs, staging dirs, and manifests of in-flight batches (files
-        published, pointer not yet swapped) are skipped — without that
-        guard vacuum would reap them as orphans and the batch would
-        commit pointers to deleted paths. A vacuum from a DIFFERENT
-        process cannot see in-flight state; run cross-process vacuums
-        only while ingest is quiesced (Iceberg's remove_orphan_files
-        carries the same caveat and defaults to an age cutoff)."""
+        Safe alongside pipelined ingest THROUGH THIS SINK OBJECT: the
+        whole scan runs under the commit lock, so its view of CURRENT +
+        the in-flight set is consistent — every writer registers in
+        ``_inflight`` (under the lock) BEFORE touching any file, and
+        commits also serialize on the lock, so a batch is always either
+        not-yet-started (no files), in-flight (skipped), or committed
+        (referenced by CURRENT). A one-shot snapshot of that state
+        outside the lock had a TOCTOU hole: a batch registering and
+        publishing between the read and the directory scan got reaped.
+        A vacuum from a DIFFERENT process cannot see in-flight state;
+        run cross-process vacuums only while ingest is quiesced
+        (Iceberg's remove_orphan_files carries the same caveat and
+        defaults to an age cutoff)."""
+        with self._commit_lock:
+            return self._vacuum_locked()
+
+    def _vacuum_locked(self) -> dict:
         snap = self.current_snapshot()
         if snap is None:
             return {"removed": 0}
-        with self._commit_lock:
-            inflight = set(self._inflight)
+        inflight = set(self._inflight)
         live = {
             os.path.normpath(os.path.join(self.root, e["path"]))
             for entries in snap["buckets"].values()
