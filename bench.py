@@ -289,10 +289,17 @@ def _cdc_worker(cores: int) -> None:
 
 
 def _run_cdc_scaling() -> dict:
+    """Run each parallelism level TWICE, interleaved (8, 32, 8, 32),
+    and take the per-section best of a level's two worker runs: the
+    sandbox host has multi-minute ~2-3× slow periods that can swallow
+    one entire worker's lifetime — best-of-attempts inside a worker
+    cannot escape that, but interleaving decorrelates the levels from
+    the weather (a slow period then hurts BOTH levels' first pass and
+    the second pass recovers whichever it hit)."""
     _event_log()  # generate once, workers reuse the cache
     _scaling_log()
-    levels = {}
-    for cores in (8, 32):
+
+    def _worker(cores: int) -> dict:
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--cdc-worker", str(cores)],
             capture_output=True,
@@ -303,7 +310,25 @@ def _run_cdc_scaling() -> dict:
         line = [ln for ln in proc.stdout.strip().splitlines() if ln.startswith("{")]
         if not line:
             raise RuntimeError(f"cdc worker {cores} failed: {proc.stderr[-2000:]}")
-        levels[f"local{cores}"] = json.loads(line[-1])
+        return json.loads(line[-1])
+
+    runs: dict[int, list[dict]] = {8: [], 32: []}
+    for cores in (8, 32, 8, 32):
+        runs[cores].append(_worker(cores))
+
+    def _best_per_section(level_runs: list[dict]) -> dict:
+        merged = dict(level_runs[0])
+        for section in ("merge_only", "pipeline", "weak"):
+            merged[section] = max(
+                (r[section] for r in level_runs),
+                key=lambda d: d["events_per_sec"],
+            )
+        return merged
+
+    levels = {
+        "local8": _best_per_section(runs[8]),
+        "local32": _best_per_section(runs[32]),
+    }
     out: dict = dict(levels)
     for section in ("merge_only", "pipeline"):
         thr8 = levels["local8"][section]["events_per_sec"]
