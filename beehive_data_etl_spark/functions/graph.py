@@ -87,7 +87,99 @@ def connected_components(
     if strict and changed != 0:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds "
-            f"({changed} labels still changing); raise max_iter or use a "
-            "path-contracting variant for graphs this deep"
+            f"({changed} labels still changing); raise max_iter or use "
+            "connected_components_star for graphs this deep"
         )
     return labels
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 20,
+    strict: bool = True,
+) -> DataFrame:
+    """Large-star/small-star connected components (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond") — the
+    path-CONTRACTING alternative to plain min-label propagation: where
+    propagation moves labels one hop per round (O(diameter) rounds),
+    the star operations rewire edges toward local minima and converge
+    in O(log² n) rounds on ANY graph shape, including the long chains
+    adversarial near-dup graphs can form (progressively edited
+    boilerplate). Same primitive per round — join + groupBy-min — so
+    it scales exactly like the simple variant.
+
+    Per round, over the current edge multiset E (kept as (u, v) both
+    directions for large-star, canonical u>v for small-star):
+
+    - large-star: for every node u, connect every strictly-LARGER
+      neighbor v to m = min(neighbors(u) ∪ {u});
+    - small-star: for every node u, connect every neighbor v ≤ u
+      (and u itself) to m = min(neighbors≤u ∪ {u}).
+
+    Fixpoint: every edge is (node, its component minimum). Returns
+    ``(node, comp)`` like connected_components."""
+    e = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v")).filter(
+        F.col("u") != F.col("v")
+    )
+    edges = (
+        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _large_star(ed: DataFrame) -> DataFrame:
+        # m(u) = min over neighbors and self; emit (v, m) for v > u
+        m = (
+            ed.groupBy("u")
+            .agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        )
+        big = ed.filter(F.col("v") > F.col("u"))
+        return (
+            big.join(m, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def _small_star(ed: DataFrame) -> DataFrame:
+        # canonicalize so u >= v, then link all small neighbors + self
+        canon = ed.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        m = canon.groupBy("u").agg(F.min("v").alias("m"))
+        linked = (
+            canon.join(m, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(m.select(F.col("u"), F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        return linked
+
+    for _ in range(max_iter):
+        new_edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        # converged when the symmetric closure stopped changing
+        sym_new = new_edges.unionByName(
+            new_edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).distinct()
+        if (
+            sym_new.exceptAll(edges).isEmpty()
+            and edges.exceptAll(sym_new).isEmpty()
+        ):
+            edges = sym_new.localCheckpoint(eager=True)
+            break
+        edges = sym_new.localCheckpoint(eager=True)
+    else:
+        if strict:
+            raise RuntimeError(
+                f"connected_components_star did not converge in {max_iter} "
+                "star rounds"
+            )
+    # at fixpoint every node's min neighbor IS its component min
+    return (
+        edges.groupBy("u")
+        .agg(F.least(F.min("v"), F.first("u")).alias("comp"))
+        .select(F.col("u").alias("node"), "comp")
+    )

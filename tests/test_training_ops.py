@@ -222,3 +222,45 @@ def test_multimodal_resize_composes(spark):
     # deterministic
     again = {r.media_id: bytes(r.payload) for r in resize_media(media, 64).collect()}
     assert {r.media_id: bytes(r.payload) for r in rows} == again
+
+
+def test_connected_components_star_contracts_long_chains(spark):
+    """A 60-node path graph: plain min-label propagation needs ~59
+    rounds (and must RAISE at max_iter=25 rather than return wrong
+    clusters); the large-star/small-star variant contracts paths in
+    O(log^2 n) rounds and solves it."""
+    import pytest as _pytest
+
+    from beehive_data_etl_spark.functions.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(59)], "id_a long, id_b long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=10)
+
+    got = {r.node: r.comp for r in connected_components_star(chain).collect()}
+    assert got == {i: 0 for i in range(60)}
+
+
+def test_connected_components_star_matches_plain(spark):
+    """Both algorithms must produce identical components on a mixed
+    graph of cliques, stars, and short chains."""
+    from beehive_data_etl_spark.functions.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    edges = [
+        (1, 2), (2, 3), (1, 3),          # triangle
+        (10, 11), (10, 12), (10, 13),    # star
+        (20, 21), (21, 22),              # chain
+        (30, 31),                        # pair
+    ]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    plain = {r.node: r.comp for r in connected_components(pairs).collect()}
+    star = {r.node: r.comp for r in connected_components_star(pairs).collect()}
+    assert plain == star
