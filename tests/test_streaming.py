@@ -208,3 +208,54 @@ def test_streaming_json_envelope_replay(spark, smoke_log, tmp_path):
     bad = spark.read.parquet(qdir)
     assert bad.count() == len(files)  # exactly the poison pills
     assert {r._reject_reason for r in bad.collect()} == {"bad_op"}
+
+
+def test_streaming_dedup_within_watermark(spark, smoke_log, tmp_path):
+    """B30 in TRUE streaming form: duplicate deliveries (a whole WAL
+    file re-delivered mid-stream) suppressed by
+    dropDuplicatesWithinWatermark on the event key while the state
+    stays bounded by the watermark — each (doc_id, op_sequence) must
+    come out exactly once."""
+    import glob as _glob
+    import os
+    import shutil as _shutil
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    files = sorted(_glob.glob(os.path.join(smoke_log, "part-*.parquet")))
+    stream_dir = str(tmp_path / "dup_wal")
+    os.makedirs(stream_dir)
+    # deliver files in order; re-deliver file 1 (as a new file) midway —
+    # the cross-batch duplicate the in-batch distinct cannot catch
+    order = files[:3] + [files[1]] + files[3:]
+    for i, f in enumerate(order):
+        _shutil.copy(f, os.path.join(stream_dir, f"part-{i:05d}.parquet"))
+        _time.sleep(0.05)
+
+    schema = spark.read.parquet(files[0]).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(stream_dir)
+        .withColumn("event_ts", F.col("event_ts").cast("timestamp"))
+        .withWatermark("event_ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["doc_id", "op_sequence"])
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table("dedup_stream").select("doc_id", "op_sequence")
+    n_out = out.count()
+    n_distinct = out.distinct().count()
+    assert n_out == n_distinct, "streaming dedup emitted duplicates"
+    expected = (
+        spark.read.parquet(*files).select("doc_id", "op_sequence").distinct().count()
+    )
+    assert n_distinct == expected
