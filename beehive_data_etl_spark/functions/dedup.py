@@ -56,6 +56,9 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+DEFAULT_MAX_BUCKET = 10_000
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -63,11 +66,21 @@ def minhash_lsh_pairs(
     k: int = 16,
     bands: int = 4,
     shingle_n: int = 3,
+    max_bucket: int = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """MinHash + LSH candidate pairs: shingle → k-minhash → split the
     signature into ``bands`` bands → band-hash → self-join per bucket.
     Returns (id_a, id_b, n_shared_bands). Never materializes all pairs —
-    only same-bucket ones (the LSH point)."""
+    only same-bucket ones (the LSH point).
+
+    ``max_bucket`` drops buckets with more members (deterministically —
+    the DuckDB oracle applies the identical cap): a degenerate hot
+    bucket of m near-identical docs emits m²/2 pairs in EVERY
+    formulation, and its collect_list row grows with m, so past the cap
+    the pair graph is useless anyway — such clusters are exact or
+    near-exact duplicate floods that ``exact_dedup`` already collapses
+    for a single shuffle. 10k members ≈ a 0.2 MB grouped row and 50M
+    candidate pairs per bucket — the edge of sane."""
     rows = k // bands
     # spread the expression-heavy signature computation ONLY when the
     # input arrives under-partitioned (a small corpus in one parquet
@@ -100,27 +113,25 @@ def minhash_lsh_pairs(
     # scans the corpus and computes every signature TWICE (measured: no
     # exchange reuse fires across the join's two identical subtrees).
     # Grouping shuffles the tiny (id, band, hash) projection once and
-    # emits in-bucket pairs with a higher-order expression. Bucket
-    # member lists are bounded by the LSH design (that is its point);
-    # a degenerate all-identical-docs bucket is quadratic in EITHER
-    # formulation, so grouping loses nothing.
+    # emits in-bucket pairs with higher-order expressions. max_bucket
+    # bounds the grouped row and the per-bucket pair count (see
+    # docstring); within the cap, expansion streams via
+    # posexplode-then-slice — row i carries (ids[i], ids[i+1:]), so
+    # single-row memory is O(m), never the O(m²) of a one-row
+    # all-pairs array.
     buckets = (
         banded.groupBy("band", "band_hash")
         .agg(F.sort_array(F.collect_list("id")).alias("ids"))
-        .filter(F.size("ids") >= 2)
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
     )
-    pair_structs = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-                lambda y: F.struct(x.alias("a"), y.alias("b")),
-            ),
-        )
+    exploded = buckets.select(
+        "ids", F.posexplode(F.slice("ids", 1, F.size("ids") - 1)).alias("i", "id_a")
     )
     return (
-        buckets.select(F.explode(pair_structs).alias("p"))
-        .select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
+        exploded.select(
+            "id_a",
+            F.explode(F.slice("ids", F.col("i") + 2, F.size("ids"))).alias("id_b"),
+        )
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_shared_bands"))
     )

@@ -1103,10 +1103,17 @@ def q_dedup_exact(spark, sf):
 
 
 # --------------------------------------------------------------- minhash LSH
-def _minhash_ctes(k: int = 16, bands: int = 4, shingle_n: int = 3) -> tuple[str, str]:
+def _minhash_ctes(
+    k: int = 16, bands: int = 4, shingle_n: int = 3, max_bucket: int | None = None
+) -> tuple[str, str]:
     """Shared CTE body for the MinHash-pair oracles: returns
     ``(ctes, pair_select)`` so q_dedup_minhash and the recursive
-    q_dedup_cluster oracle replay the identical signature pipeline."""
+    q_dedup_cluster oracle replay the identical signature pipeline —
+    including the engine's ``max_bucket`` hot-bucket cap."""
+    if max_bucket is None:
+        from beehive_data_etl_spark.functions.dedup import DEFAULT_MAX_BUCKET
+
+        max_bucket = DEFAULT_MAX_BUCKET
     from beehive_data_etl_spark.functions.dedup import word_shingles_sql
     from beehive_data_etl_spark.functions.hashing import minhash_signature_sql
 
@@ -1124,7 +1131,15 @@ def _minhash_ctes(k: int = 16, bands: int = 4, shingle_n: int = 3) -> tuple[str,
     ctes = f"""shingled AS (SELECT doc_id AS id, {sh} AS sh FROM documents),
     sigs AS (SELECT id, {sig} AS sig FROM shingled),
     banded AS (SELECT id, {band_exprs} FROM sigs),
-    long AS ({unions})"""
+    long_all AS ({unions}),
+    bucket_ok AS (
+        SELECT band, band_hash FROM long_all
+        GROUP BY band, band_hash HAVING COUNT(*) <= {max_bucket}
+    ),
+    long AS (
+        SELECT l.* FROM long_all l
+        SEMI JOIN bucket_ok b ON l.band = b.band AND l.band_hash = b.band_hash
+    )"""
     pair_select = """
     SELECT l.id AS id_a, r.id AS id_b, COUNT(*) AS n_shared_bands
     FROM long l JOIN long r

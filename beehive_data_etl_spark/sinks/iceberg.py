@@ -24,6 +24,9 @@ here; on a cluster it runs verbatim.
 
 from __future__ import annotations
 
+import re
+import threading
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -64,6 +67,17 @@ class IcebergSink:
         self.table = table
         self.n_buckets = n_buckets
         self.salt_partials = salt_partials
+        # pipelined replay (replay_incremental inflight>1) calls
+        # apply_batch from several driver threads; the session-global
+        # spark.wap.snapshot-property conf and the MERGE's source view
+        # are shared JVM state, so commits must serialize — without
+        # this, one batch's MERGE can consume another batch's view and
+        # stamp the wrong batch id (silent event loss + corrupted
+        # exactly-once bookkeeping). Upstream LWW dedup of each batch
+        # still runs concurrently; only the commit section is serial,
+        # which on a real cluster is also what Iceberg's optimistic
+        # snapshot commit protocol enforces at the table level.
+        self._commit_lock = threading.Lock()
         if not iceberg_available(spark):
             raise RuntimeError(
                 "iceberg-spark-runtime not on the classpath; use "
@@ -83,14 +97,15 @@ class IcebergSink:
     def evolve_ddl(self, ddl_log: list[str]) -> list[str]:
         return [f"ALTER TABLE {self.table} {stmt}" for stmt in ddl_log]
 
-    def merge_sql(self) -> str:
+    def merge_sql(self, view: str = "__beehive_batch") -> str:
         """The LWW MERGE — identical semantics to the snapshot sink's
         single LWW aggregation: newer op_sequence wins, deletes
         tombstone (kept as rows so late stale updates cannot resurrect;
-        readers filter ``NOT deleted``)."""
+        readers filter ``NOT deleted``). ``view`` is the per-batch
+        source view name (unique under pipelined replay)."""
         return f"""
         MERGE INTO {self.table} t
-        USING __beehive_batch s
+        USING {view} s
         ON t.doc_id = s.doc_id
         WHEN MATCHED AND s.op_sequence > t.op_sequence THEN UPDATE SET *
         WHEN NOT MATCHED THEN INSERT *
@@ -105,19 +120,9 @@ class IcebergSink:
 
     def apply_batch(self, batch_df: DataFrame, batch_id: str | int) -> dict:
         batch_id = str(batch_id)
-        if self.committed(batch_id):
-            return {"batch_id": batch_id, "skipped": True}
-        payload = [c for c in batch_df.columns if c not in ("op", "event_ts", "batch_hint")]
-        tbl_cols = {f.name: f for f in self.spark.table(self.table).schema.fields}
-        batch_schema = batch_df.select(*payload).schema
-        from pyspark.sql import types as T
-
-        _, ddl_log = evolve_schema(
-            T.StructType([tbl_cols[c] for c in tbl_cols if c not in ("op_sequence", "deleted")]),
-            batch_schema,
-        )
-        for stmt in self.evolve_ddl(ddl_log):
-            self.spark.sql(stmt)
+        # per-key LWW fold of the batch — the only expensive part, and
+        # safe to PLAN concurrently (it is lazy; the job runs inside the
+        # MERGE under the lock below)
         deduped = lww_dedup(
             batch_df.drop("event_ts", "batch_hint"),
             "doc_id",
@@ -125,17 +130,40 @@ class IcebergSink:
             salt_partials=self.salt_partials,
         )
         src = deduped.withColumn("deleted", F.col("op") == F.lit("D")).drop("op")
-        # align the batch to the table's POST-DDL schema (same contract
-        # as SnapshotSink.apply_batch): `UPDATE SET * / INSERT *` star
-        # assignment requires the source to cover every target column,
-        # so a batch missing a previously-added column (e.g. `lang`)
-        # must project typed nulls, and narrower columns must widen.
-        evolved_table_schema = self.spark.table(self.table).schema
-        src = align_to_schema(src, evolved_table_schema)
-        src.createOrReplaceTempView("__beehive_batch")
-        # stamp the batch id into the Iceberg snapshot the MERGE creates
-        self.spark.conf.set(
-            f"spark.wap.snapshot-property.{BATCH_PROP}", batch_id
-        )
-        self.spark.sql(self.merge_sql())
+        payload = [c for c in batch_df.columns if c not in ("op", "event_ts", "batch_hint")]
+        batch_schema = batch_df.select(*payload).schema
+        view = f"__beehive_batch_{re.sub(r'[^0-9A-Za-z_]', '_', batch_id)}"
+        from pyspark.sql import types as T
+
+        with self._commit_lock:
+            if self.committed(batch_id):
+                return {"batch_id": batch_id, "skipped": True}
+            tbl_cols = {f.name: f for f in self.spark.table(self.table).schema.fields}
+            _, ddl_log = evolve_schema(
+                T.StructType(
+                    [tbl_cols[c] for c in tbl_cols if c not in ("op_sequence", "deleted")]
+                ),
+                batch_schema,
+            )
+            for stmt in self.evolve_ddl(ddl_log):
+                self.spark.sql(stmt)
+            # align the batch to the table's POST-DDL schema (same
+            # contract as SnapshotSink.apply_batch): `UPDATE SET * /
+            # INSERT *` star assignment requires the source to cover
+            # every target column, so a batch missing a previously-added
+            # column (e.g. `lang`) must project typed nulls, and
+            # narrower columns must widen.
+            evolved_table_schema = self.spark.table(self.table).schema
+            aligned = align_to_schema(src, evolved_table_schema)
+            aligned.createOrReplaceTempView(view)
+            prop = f"spark.wap.snapshot-property.{BATCH_PROP}"
+            # stamp the batch id into the Iceberg snapshot the MERGE
+            # creates; set + MERGE + unset all inside the critical
+            # section so no other batch can observe or clobber it
+            self.spark.conf.set(prop, batch_id)
+            try:
+                self.spark.sql(self.merge_sql(view))
+            finally:
+                self.spark.conf.unset(prop)
+                self.spark.catalog.dropTempView(view)
         return {"batch_id": batch_id, "skipped": False, "schema_ddl": ddl_log}

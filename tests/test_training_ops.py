@@ -264,3 +264,21 @@ def test_connected_components_star_matches_plain(spark):
     plain = {r.node: r.comp for r in connected_components(pairs).collect()}
     star = {r.node: r.comp for r in connected_components_star(pairs).collect()}
     assert plain == star
+
+
+def test_minhash_max_bucket_caps_hot_buckets(spark):
+    """ADVICE (round 2, medium): a degenerate bucket of m near-identical
+    docs is quadratic in any formulation — max_bucket drops it
+    deterministically (the DuckDB oracle applies the identical cap) and
+    leaves normal buckets untouched."""
+    from beehive_data_etl_spark.functions.dedup import minhash_lsh_pairs
+
+    docs = spark.createDataFrame(
+        [(f"d{i:02d}", "the same exact duplicate flood text repeated here") for i in range(10)],
+        "doc_id string, text string",
+    )
+    flood = minhash_lsh_pairs(docs, max_bucket=5)
+    assert flood.count() == 0  # every bucket has 10 members > cap
+    kept = minhash_lsh_pairs(docs, max_bucket=10)
+    assert kept.count() == 45  # all C(10,2) pairs, 4 shared bands each
+    assert kept.filter("n_shared_bands = 4").count() == 45
