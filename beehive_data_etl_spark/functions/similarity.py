@@ -286,6 +286,7 @@ def cosine_neardup_pairs_lsh(
     planes: int = 6,
     tables: int = 2,
     dim: int = 64,
+    max_bucket: int = 10_000,
 ) -> DataFrame:
     """Embedding near-duplicate pairs blocked by hyperplane LSH buckets
     instead of a metadata group — the corpus-scale path (the grouped
@@ -298,24 +299,35 @@ def cosine_neardup_pairs_lsh(
     probability per table is (1 - arccos(0.9)/π)^planes ≈ 0.45, so two
     tables catch ~70% of true pairs; production settings push tables
     higher."""
+    # pair generation by BUCKET GROUPING, not a signature self-join — a
+    # self-join computes every hyperplane signature TWICE (no exchange
+    # reuse across the join's identical subtrees; same measured fact as
+    # minhash_lsh_pairs): ONE corpus scan, one shuffle of the
+    # (id, vec, tbl, bucket) rows, then in-bucket pairs stream out via
+    # posexplode-then-slice (row i carries (mem[i], mem[i+1:]), so
+    # single-row memory is O(m·dim), never O(m²)). max_bucket drops
+    # degenerate hot buckets deterministically (oracle applies the
+    # identical cap); cosine is computed once per DISTINCT pair, after
+    # the (id_a, id_b) dedup, not once per shared table.
     sig = multi_table_signatures(
         embeddings, id_col, vec_col, planes, tables, dim, "id", "vec"
     )
-    l, r = sig.alias("l"), sig.alias("r")
+    buckets = (
+        sig.groupBy("tbl", "bucket")
+        .agg(F.sort_array(F.collect_list(F.struct("id", "vec"))).alias("mem"))
+        .filter((F.size("mem") >= 2) & (F.size("mem") <= max_bucket))
+    )
+    exploded = buckets.select(
+        "mem", F.posexplode(F.slice("mem", 1, F.size("mem") - 1)).alias("i", "a")
+    )
+    pairs = exploded.select(
+        "a", F.explode(F.slice("mem", F.col("i") + 2, F.size("mem"))).alias("b")
+    )
     return (
-        l.join(
-            r,
-            (F.col("l.tbl") == F.col("r.tbl"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col("l.id") < F.col("r.id")),
+        pairs.groupBy(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
         )
-        .select(
-            F.col("l.id").alias("id_a"),
-            F.col("r.id").alias("id_b"),
-            F.col("l.vec").alias("va"),
-            F.col("r.vec").alias("vb"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
+        .agg(F.any_value("a.vec").alias("va"), F.any_value("b.vec").alias("vb"))
         .withColumn("cos", cosine_expr(F.col("va"), F.col("vb")))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")

@@ -1445,11 +1445,22 @@ def _ann_ivf_oracle(k: int = 5, n_centroids: int = 16, nprobe: int = 4) -> str:
 # LSH-blocked near-dup: same deterministic hyperplanes as q_ann_lsh
 # (planes=4, tables=3) so the oracle rebuilds the blocking, then the
 # exact-cosine threshold filter.
-def _neardup_lsh_oracle(threshold: float = 0.4, planes: int = 4, tables: int = 3) -> str:
+def _neardup_lsh_oracle(
+    threshold: float = 0.4, planes: int = 4, tables: int = 3,
+    max_bucket: int = 10_000,
+) -> str:
     sigs = _hyperplane_sigs_sql(planes, tables)
     cos_ab = _IVF_COS.format(a="a.embedding", b="b.embedding")
     return f"""
-    WITH sigs AS ({sigs}),
+    WITH sigs_all AS ({sigs}),
+    bucket_ok AS (
+        SELECT tbl, bucket FROM sigs_all
+        GROUP BY tbl, bucket HAVING COUNT(*) <= {max_bucket}
+    ),
+    sigs AS (
+        SELECT s.* FROM sigs_all s
+        SEMI JOIN bucket_ok b ON s.tbl = b.tbl AND s.bucket = b.bucket
+    ),
     cand AS (
         SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
         FROM sigs l JOIN sigs r

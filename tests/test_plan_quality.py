@@ -186,3 +186,16 @@ def test_interval_banded_join_is_equi_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan), plan
+
+
+def test_neardup_lsh_single_corpus_scan(spark):
+    """cosine_neardup_pairs_lsh (round-3): bucket-grouped pair
+    generation scans + signs the embeddings corpus exactly once — the
+    old signature self-join did it twice (no exchange reuse fires
+    across a self-join's identical subtrees)."""
+    from beehive_data_etl_spark.functions.similarity import cosine_neardup_pairs_lsh
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = plan_of(cosine_neardup_pairs_lsh(emb, threshold=0.4, planes=4, tables=3))
+    # explain("formatted") prints every node twice: tree + details
+    assert plan.count("Scan parquet") == 2, plan
