@@ -14,6 +14,10 @@ over the same scan (Catalyst collapses the shared subtree), no UDFs.
 
 from __future__ import annotations
 
+import contextlib
+import os
+import time
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -65,7 +69,39 @@ def validating_transform(quarantine_dir: str | None = None):
             # per batch (probe + quarantine write + valid path). An
             # append of zero rows just writes metadata — cheaper than
             # the extra job, and the valid path stays a single scan.
-            rejected.write.mode("append").parquet(quarantine_dir)
+            # An Observation rides the SAME write job (zero extra jobs)
+            # and tells the driver whether anything was rejected; on a
+            # clean batch the metadata-only part files just written are
+            # pruned so a long-running stream doesn't accumulate one
+            # empty file per batch (ADVICE round 2).
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            t0 = time.time()
+            rejected.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
+                "append"
+            ).parquet(quarantine_dir)
+            if obs.get["n"] == 0:
+                _prune_empty_parts(quarantine_dir, since=t0 - 1.0)
         return valid
 
     return _apply
+
+
+def _prune_empty_parts(directory: str, since: float) -> None:
+    """Remove zero-row parquet part files written at/after ``since`` —
+    driver-side footer reads only, no Spark job. Concurrent (pipelined)
+    batches may race to remove the same empty file; both outcomes are
+    correct, so missing files are ignored."""
+    import pyarrow.parquet as pq
+
+    try:
+        entries = list(os.scandir(directory))
+    except FileNotFoundError:
+        return
+    for ent in entries:
+        if not ent.name.endswith(".parquet"):
+            continue
+        with contextlib.suppress(OSError):
+            if ent.stat().st_mtime >= since and pq.read_metadata(ent.path).num_rows == 0:
+                os.remove(ent.path)

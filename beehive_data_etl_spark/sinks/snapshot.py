@@ -734,7 +734,7 @@ class SnapshotSink:
         # referenced by CURRENT from here on, so vacuum keeps them)
         return {"compacted": todo, "wall_s": round(time.time() - t0, 3)}
 
-    def vacuum(self) -> dict:
+    def vacuum(self, older_than_s: float = 0.0) -> dict:
         """Delete data directories not referenced by the CURRENT
         snapshot: superseded deltas and orphans from crashed attempts.
         Time-travel to earlier snapshots is given up for the vacuumed
@@ -750,14 +750,37 @@ class SnapshotSink:
         (referenced by CURRENT). A one-shot snapshot of that state
         outside the lock had a TOCTOU hole: a batch registering and
         publishing between the read and the directory scan got reaped.
-        A vacuum from a DIFFERENT process cannot see in-flight state;
-        run cross-process vacuums only while ingest is quiesced
-        (Iceberg's remove_orphan_files carries the same caveat and
-        defaults to an age cutoff)."""
-        with self._commit_lock:
-            return self._vacuum_locked()
 
-    def _vacuum_locked(self) -> dict:
+        A vacuum from a DIFFERENT process cannot see this process's
+        in-flight set — ``older_than_s`` is the mitigation (Iceberg's
+        remove_orphan_files takes the same ``older_than``, defaulting
+        to 3 days): candidate dirs whose newest file is younger than
+        the cutoff are skipped, so another process's in-flight batch —
+        whose files are by definition fresh — survives. Set it
+        comfortably above the longest batch wall time; 0 (the default)
+        keeps the same-process behavior, where the in-flight set makes
+        the age guard redundant."""
+        with self._commit_lock:
+            return self._vacuum_locked(older_than_s)
+
+    def _vacuum_locked(self, older_than_s: float = 0.0) -> dict:
+        cutoff = time.time() - older_than_s
+
+        def _too_young(path: str) -> bool:
+            """Newest mtime under ``path`` ≥ cutoff ⇒ possibly another
+            process's in-flight work — leave it. The dir's own mtime is
+            not enough: files land inside it after mkdir."""
+            if older_than_s <= 0:
+                return False
+            try:
+                newest = max(
+                    os.path.getmtime(p)
+                    for p in [path, *glob.glob(os.path.join(path, "**"), recursive=True)]
+                )
+            except OSError:
+                return True  # changing underfoot ⇒ in-flight
+            return newest >= cutoff
+
         snap = self.current_snapshot()
         if snap is None:
             return {"removed": 0}
@@ -776,16 +799,18 @@ class SnapshotSink:
             if ingest.startswith("ingest=") and ingest[len("ingest="):] in inflight:
                 continue  # in-flight batch's published files
             if ingest.startswith("_stage-"):
-                if inflight:
+                if inflight or _too_young(ing_dir):
                     continue  # staging may belong to an in-flight job
                 shutil.rmtree(ing_dir, ignore_errors=True)
                 removed += 1
                 continue
             for bucket_dir in os.listdir(ing_dir):
                 full = os.path.normpath(os.path.join(ing_dir, bucket_dir))
-                if full not in live:
+                if full not in live and not _too_young(full):
                     shutil.rmtree(full, ignore_errors=True)
                     removed += 1
+            if _too_young(ing_dir):
+                continue
             if not os.listdir(ing_dir):
                 os.rmdir(ing_dir)
         # remove manifests of batches that never committed: their data
@@ -798,7 +823,11 @@ class SnapshotSink:
         man_root = os.path.join(self.root, "_manifests")
         orphan_manifests = 0
         for batch_dir in os.listdir(man_root):
-            if batch_dir not in committed and batch_dir not in inflight:
+            if (
+                batch_dir not in committed
+                and batch_dir not in inflight
+                and not _too_young(os.path.join(man_root, batch_dir))
+            ):
                 shutil.rmtree(os.path.join(man_root, batch_dir), ignore_errors=True)
                 orphan_manifests += 1
         return {"removed": removed, "orphan_manifests": orphan_manifests}

@@ -48,6 +48,12 @@ def streaming_lww_latest(
     import of this package (module-level functions pickle by reference
     and fail on workers without ``--py-files``/PYTHONPATH)."""
 
+    # Arrow hands the worker SESSION-TIMEZONE-NAIVE timestamps; a bare
+    # .timestamp() would read them as UTC, offsetting the armed timeout
+    # from the watermark clock by the tz offset (ADVICE round 2) —
+    # capture the session tz driver-side into the closure and localize
+    session_tz = events.sparkSession.conf.get("spark.sql.session.timeZone", "UTC")
+
     def _latest_per_key(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
@@ -70,7 +76,10 @@ def streaming_lww_latest(
         # against it would expire every batch-1 key at batch 2 (epoch
         # 1970 + TTL) regardless of activity — the event's own time is
         # the correct floor until the watermark catches up
-        event_ms = int(pd.Timestamp(best["event_ts"]).timestamp() * 1000)
+        ts = pd.Timestamp(best["event_ts"])
+        if ts.tzinfo is None:
+            ts = ts.tz_localize(session_tz, ambiguous=True, nonexistent="shift_forward")
+        event_ms = int(ts.timestamp() * 1000)
         state.setTimeoutTimestamp(
             max(state.getCurrentWatermarkMs(), event_ms) + state_ttl_ms
         )

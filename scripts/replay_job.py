@@ -31,7 +31,14 @@ def main() -> None:
     if iceberg_available(spark) and "/" not in target:
         sink = IcebergSink(spark, target)
     else:
-        sink = SnapshotSink(spark, target, n_buckets=4096, salt_partials=8)
+        sink = SnapshotSink(
+            spark,
+            target,
+            # table sizing knobs (SCALE.md): ~4096 buckets for the 10^10
+            # -event cluster table; local smokes pass a smaller count
+            n_buckets=int(os.environ.get("REPLAY_N_BUCKETS", "4096")),
+            salt_partials=int(os.environ.get("REPLAY_SALT", "8")),
+        )
     if os.environ.get("REPLAY_MODE", "stream") == "pipelined":
         replay_incremental(
             spark,

@@ -109,3 +109,57 @@ def test_expire_tombstones_respects_floor(spark, smoke_log, tmp_path):
     post = sink.read_state().filter("deleted")
     remaining = sorted(r.op_sequence for r in post.collect())
     assert remaining == [s for s in seqs if s >= floor]
+
+
+def test_cross_process_vacuum_age_cutoff(spark, smoke_log, tmp_path):
+    """Round-2 verdict item #8: a vacuum from ANOTHER process cannot see
+    this process's in-flight set — older_than_s is the Iceberg-style
+    mitigation. A second sink object (fresh instance = empty _inflight,
+    the cross-process simulation) vacuums mid-batch, exactly between
+    data publish and commit; with the age cutoff the in-flight batch's
+    fresh files survive and the replay commits byte-correct state,
+    while genuinely old orphans are still reaped."""
+    import time as _time
+
+    root = str(tmp_path / "sink")
+    sink = SnapshotSink(spark, root, n_buckets=8)
+
+    # a stale orphan from a long-dead process: backdated mtimes
+    stale = os.path.join(root, "data", "_stage-deadbeef")
+    os.makedirs(stale, exist_ok=True)
+    with open(os.path.join(stale, "junk.parquet"), "wb") as fh:
+        fh.write(b"junk")
+    old = _time.time() - 7200
+    os.utime(os.path.join(stale, "junk.parquet"), (old, old))
+    os.utime(stale, (old, old))
+
+    other = SnapshotSink(spark, root, n_buckets=8)  # "another process"
+    vacuumed = {"n": 0}
+
+    def _vacuum_midway(point):
+        # fire on a LATER batch's publish point — vacuum is a no-op
+        # before the first commit creates the snapshot pointer
+        if (
+            point == "after_data_write"
+            and vacuumed["n"] == 0
+            and sink.current_snapshot() is not None
+        ):
+            vacuumed["n"] = 1
+            res = other.vacuum(older_than_s=3600)
+            # the dead process's old orphan goes; nothing fresh does
+            assert res["removed"] == 1
+            assert not os.path.isdir(stale)
+
+    sink.crash_hook = _vacuum_midway
+    replay_incremental(spark, smoke_log, sink, files_per_batch=2)
+    assert vacuumed["n"] == 1
+    state = sink.read_state()
+    report = compare_final(
+        state.filter(~state.deleted), oracle_final_spark(spark, smoke_log)
+    )
+    assert report["ok"], report
+    # every bucket path referenced by CURRENT exists on disk
+    snap = sink.current_snapshot()
+    for entries in snap["buckets"].values():
+        for e in entries:
+            assert os.path.isdir(os.path.join(root, e["path"]))
