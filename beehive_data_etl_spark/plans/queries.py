@@ -220,12 +220,17 @@ def q_join_semi(spark, sf):
     "q_join_anti",
     """
     SELECT c_custkey, c_name FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 250000)
     """,
 )
 def q_join_anti(spark, sf):
+    # customers with NO high-value order — the >250000 filter keeps the
+    # result non-empty at sf0.01 (every customer has SOME order in the
+    # synthetic data, so a bare anti-join is a vacuous 0-row match)
     o, c = t(spark, sf, "orders"), t(spark, sf, "customer")
-    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+    big = o.filter(F.col("o_totalprice") > 250000)
+    return c.join(big, c.c_custkey == big.o_custkey, "left_anti").select(
         "c_custkey", "c_name"
     )
 
@@ -618,12 +623,19 @@ def q_intersect(spark, sf):
     """
     SELECT c_custkey AS custkey FROM customer
     EXCEPT
-    SELECT o_custkey FROM orders
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
     """,
 )
 def q_except(spark, sf):
+    # custkeys with no FINISHED order — restricting the subtrahend to
+    # status 'F' keeps the EXCEPT non-empty at sf0.01 (subtracting ALL
+    # orders left 0 rows: a vacuous driver match)
     c = t(spark, sf, "customer").select(F.col("c_custkey").alias("custkey"))
-    o = t(spark, sf, "orders").select(F.col("o_custkey").alias("custkey"))
+    o = (
+        t(spark, sf, "orders")
+        .filter("o_orderstatus = 'F'")
+        .select(F.col("o_custkey").alias("custkey"))
+    )
     return c.exceptAll(o).distinct()
 
 
@@ -2305,12 +2317,15 @@ _DRIVER_FIRST = [
     "q_duration_bucket",
     # 21 representative already-green rows: one per operator family, plus
     # every query touched by a round-3 change (cosine threshold, LSH
-    # single-scan, minhash bucket cap, star-CC convergence)
+    # single-scan, minhash bucket cap, star-CC convergence, de-vacuized
+    # anti-join / EXCEPT — q_join_anti and q_except replace the
+    # family-redundant q_dedup_exact / q_win_frame so their first
+    # non-empty run is driver-checked)
     "q_neardup_cosine", "q_neardup_lsh", "q_dedup_minhash",
-    "q_dedup_cluster", "q_dedup_exact", "q_dedup_lww",
+    "q_dedup_cluster", "q_join_anti", "q_dedup_lww",
     "q_dedup_lww_salted", "q_join_asof", "q_join_range",
     "q_join_broadcast", "q_agg_basic", "q_agg_approx", "q_rollup",
-    "q_win_rank", "q_win_frame", "q_topk", "q_stream_session",
+    "q_win_rank", "q_except", "q_topk", "q_stream_session",
     "q_pandas_udf", "q_udaf", "q_json", "q_sql_scalar_subquery",
 ]
 

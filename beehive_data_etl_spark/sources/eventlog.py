@@ -130,6 +130,7 @@ def generate_event_log(
     zipf_s: float = 1.2,
     evolution_split: int | None = None,
     n_jobs: int | None = None,
+    doc_id_offset: int = 0,
 ) -> str:
     """Write a deterministic CDC event log to ``out_dir``.
 
@@ -154,7 +155,8 @@ def generate_event_log(
         "p_out_of_order": p_out_of_order,
         "zipf_s": zipf_s,
         "evolution_split": evolution_split,
-        "version": 5,
+        "doc_id_offset": doc_id_offset,
+        "version": 6,
     }
     meta_path = os.path.join(out_dir, "_meta.json")
     if os.path.exists(meta_path):
@@ -183,7 +185,12 @@ def generate_event_log(
     lengths_eff = np.where(is_del, 0, lengths)
     n_tok_vals = lengths.astype(np.int64)
 
-    doc_ids = np.char.add("doc-", np.char.zfill(doc_idx.astype("U8"), 8))
+    # doc_id_offset shifts the printed key range (shard i of a
+    # key-partitioned deployment owns [offset, offset + n_docs)) without
+    # touching payload derivation, which keys off the local doc_idx
+    doc_ids = np.char.add(
+        "doc-", np.char.zfill((doc_idx + doc_id_offset).astype("U8"), 8)
+    )
     source = _SOURCES[_splitmix64(doc_idx.astype(np.uint64)) % np.uint64(len(_SOURCES))]
     event_ts = (
         np.int64(BASE_TS.timestamp() * 1_000_000) + op_seq * np.int64(1_000_000)

@@ -14,8 +14,10 @@ out of log order, which the sink's LWW semantics make safe.
 
 from __future__ import annotations
 
+import json
 import os
 import sys
+import time
 
 from pyspark.sql import SparkSession
 
@@ -40,12 +42,21 @@ def main() -> None:
             salt_partials=int(os.environ.get("REPLAY_SALT", "8")),
         )
     if os.environ.get("REPLAY_MODE", "stream") == "pipelined":
-        replay_incremental(
+        t0 = time.time()
+        batches = replay_incremental(
             spark,
             wal_dir,
             sink,
             files_per_batch=int(os.environ.get("REPLAY_FILES_PER_BATCH", "8")),
             inflight=int(os.environ.get("REPLAY_INFLIGHT", "4")),
+        )
+        # one machine-readable line so callers (bench smoke, cluster
+        # drivers) can separate replay throughput from JVM/submit spin-up
+        print(
+            "REPLAY_METRICS "
+            + json.dumps(
+                {"replay_wall_s": round(time.time() - t0, 2), "n_batches": len(batches)}
+            )
         )
         return
     replay_stream(

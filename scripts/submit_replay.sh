@@ -20,6 +20,7 @@ ZIP=/tmp/beehive_data_etl_spark.zip
 exec spark-submit \
   --master "${SPARK_MASTER:-yarn}" \
   --deploy-mode client \
+  --driver-memory "${DRIVER_MEM:-8g}" \
   --num-executors "$EXECUTORS" \
   --executor-cores "${EXECUTOR_CORES:-4}" \
   --executor-memory "${EXECUTOR_MEM:-8g}" \
