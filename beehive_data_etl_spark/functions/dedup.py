@@ -132,6 +132,10 @@ def minhash_lsh_pairs(
             "id_a",
             F.explode(F.slice("ids", F.col("i") + 2, F.size("ids"))).alias("id_b"),
         )
+        # ids is sorted so id_a <= id_b; equal-id pairs can only come
+        # from duplicate input ids in one bucket — drop them (the old
+        # self-join's strict a.id < b.id guard, restored)
+        .filter(F.col("id_a") != F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_shared_bands"))
     )

@@ -74,8 +74,11 @@ def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
         import pyarrow as pa
         import pyarrow.compute as pc
 
-        sliced = pc.binary_slice(pa.array(payloads, type=pa.binary()), 0, 64)
-        offsets = np.frombuffer(sliced.buffers()[1], dtype=np.int32)
+        # large_binary: 64-bit offsets, so a >2 GB batch cannot force
+        # pandas->arrow auto-chunking (pa.binary's 32-bit offsets would
+        # return a ChunkedArray here, which has no .buffers())
+        sliced = pc.binary_slice(pa.array(payloads, type=pa.large_binary()), 0, 64)
+        offsets = np.frombuffer(sliced.buffers()[1], dtype=np.int64)
         data = np.frombuffer(
             sliced.buffers()[2] or b"", dtype=np.uint8
         )

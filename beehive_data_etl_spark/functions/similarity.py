@@ -327,7 +327,11 @@ def cosine_neardup_pairs_lsh(
         pairs.groupBy(
             F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
         )
+        # mem is sorted, so id_a <= id_b; drop equal-id pairs (duplicate
+        # vec_ids in one bucket would otherwise emit (x, x) self-pairs
+        # at cos 1.0 — the old self-join's l.id < r.id guard, restored)
         .agg(F.any_value("a.vec").alias("va"), F.any_value("b.vec").alias("vb"))
+        .filter(F.col("id_a") != F.col("id_b"))
         .withColumn("cos", cosine_expr(F.col("va"), F.col("vb")))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")

@@ -100,8 +100,16 @@ def _prune_empty_parts(directory: str, since: float) -> None:
     except FileNotFoundError:
         return
     for ent in entries:
-        if not ent.name.endswith(".parquet"):
+        if not ent.name.endswith(".parquet") or ent.name.startswith("."):
             continue
-        with contextlib.suppress(OSError):
+        # ValueError covers pyarrow.ArrowInvalid (its base class) for
+        # corrupt/truncated candidates — best-effort means skip, not
+        # fail the batch
+        with contextlib.suppress(OSError, ValueError):
             if ent.stat().st_mtime >= since and pq.read_metadata(ent.path).num_rows == 0:
                 os.remove(ent.path)
+                # local filesystems write a hidden .<name>.crc sidecar
+                # per part file; orphaning one per clean batch would
+                # rebuild the very accumulation this prune removes
+                with contextlib.suppress(OSError):
+                    os.remove(os.path.join(directory, f".{ent.name}.crc"))

@@ -188,8 +188,13 @@ def generate_event_log(
     # doc_id_offset shifts the printed key range (shard i of a
     # key-partitioned deployment owns [offset, offset + n_docs)) without
     # touching payload derivation, which keys off the local doc_idx
+    # np.char.zfill TRUNCATES to its width (output dtype is U<width>),
+    # so ids >= 1e8 would silently collide with lower shards' "disjoint"
+    # ranges under a fixed width 8 — size the width to the largest id
+    # of this generation instead (>= 8 keeps legacy ids byte-identical)
+    id_width = max(8, len(str(n_docs - 1 + doc_id_offset)))
     doc_ids = np.char.add(
-        "doc-", np.char.zfill((doc_idx + doc_id_offset).astype("U8"), 8)
+        "doc-", np.char.zfill((doc_idx + doc_id_offset).astype(f"U{id_width}"), id_width)
     )
     source = _SOURCES[_splitmix64(doc_idx.astype(np.uint64)) % np.uint64(len(_SOURCES))]
     event_ts = (

@@ -638,14 +638,19 @@ def _submit_smoke() -> dict | None:
         SHUFFLE_PARTITIONS=str(8 * CPUS),
     )
     t0 = time.time()
-    proc = subprocess.run(
-        ["bash", os.path.join("scripts", "submit_replay.sh"), log, sink_dir, "1"],
-        capture_output=True,
-        text=True,
-        cwd=os.path.dirname(os.path.abspath(__file__)),
-        env=env,
-        timeout=1800,
-    )
+    try:
+        proc = subprocess.run(
+            ["bash", os.path.join("scripts", "submit_replay.sh"), log, sink_dir, "1"],
+            capture_output=True,
+            text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            env=env,
+            timeout=1800,
+        )
+    except subprocess.TimeoutExpired:
+        # the smoke runs LAST: a hang must degrade, not discard the
+        # whole run's measurements
+        return {"rc": "timeout", "timeout_s": 1800}
     wall = time.time() - t0
     if proc.returncode != 0:
         return {"rc": proc.returncode, "stderr_tail": proc.stderr[-500:]}
@@ -772,6 +777,13 @@ def main() -> None:
         return
     if len(sys.argv) > 1:
         sys.exit(f"unknown args {sys.argv[1:]}; run with no args for the full bench")
+    if set(SECTIONS) != {"merge_only", "pipeline", "weak"}:
+        # the subset hook exists for --cdc-worker experiments; the full
+        # bench's aggregation/report assumes all three sections
+        sys.exit(
+            "SPARK_GRAFT_SECTIONS subsets are only valid with --cdc-worker; "
+            "unset it for the full bench"
+        )
     queries = _run_headline_queries()
     cdc = _run_cdc_scaling()
     sharded = _run_sharded_weak()

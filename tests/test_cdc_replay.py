@@ -115,3 +115,25 @@ def test_replay_with_transform_stage(spark, smoke_log, tmp_path):
         state.filter(~state.deleted), oracle_final_spark(spark, smoke_log)
     )
     assert report["ok"], report
+
+
+def test_doc_id_offset_no_truncation(tmp_path):
+    """Review (round 3): numpy U8 formatting truncated ids >= 1e8 to
+    their first 8 digits, silently colliding shards' 'disjoint' key
+    ranges — offsets beyond 1e8 must render in full."""
+    import pyarrow.parquet as pq
+
+    from beehive_data_etl_spark.sources.eventlog import generate_event_log
+
+    log = generate_event_log(
+        str(tmp_path / "log"), n_docs=10, n_events=50, n_files=2,
+        doc_id_offset=100_000_000,
+    )
+    import glob as _glob
+
+    ids = set()
+    for f in _glob.glob(log + "/part-*.parquet"):
+        ids |= set(pq.read_table(f, columns=["doc_id"])["doc_id"].to_pylist())
+    assert all(len(i) == len("doc-") + 9 for i in ids), sorted(ids)[:3]
+    nums = {int(i.split("-")[1]) for i in ids}
+    assert min(nums) >= 100_000_000 and max(nums) < 100_000_010

@@ -282,3 +282,33 @@ def test_minhash_max_bucket_caps_hot_buckets(spark):
     kept = minhash_lsh_pairs(docs, max_bucket=10)
     assert kept.count() == 45  # all C(10,2) pairs, 4 shared bands each
     assert kept.filter("n_shared_bands = 4").count() == 45
+
+
+def test_lsh_pair_expansion_drops_duplicate_id_self_pairs(spark):
+    """Review (round 3): the bucket-grouped rewrites sort members and
+    pair adjacent entries, so a DUPLICATED input id would emit an
+    (x, x) self-pair (cos 1.0 / full band agreement) that the old
+    self-joins' strict a.id < b.id guard excluded — both expansions
+    must drop equal-id pairs."""
+    from beehive_data_etl_spark.functions.dedup import minhash_lsh_pairs
+    from beehive_data_etl_spark.functions.similarity import (
+        cosine_neardup_pairs_lsh,
+    )
+
+    docs = spark.createDataFrame(
+        [("dup", "identical text payload"), ("dup", "identical text payload"),
+         ("other", "identical text payload")],
+        "doc_id string, text string",
+    )
+    mh = minhash_lsh_pairs(docs).collect()
+    assert all(r.id_a != r.id_b for r in mh)
+    assert {(r.id_a, r.id_b) for r in mh} == {("dup", "other")}
+
+    vec = [1.0, 0.0, 0.5, 0.25]
+    emb = spark.createDataFrame(
+        [("dup", vec), ("dup", vec), ("other", vec)],
+        "vec_id string, embedding array<double>",
+    )
+    cs = cosine_neardup_pairs_lsh(emb, threshold=0.5, dim=4).collect()
+    assert all(r.id_a != r.id_b for r in cs)
+    assert {(r.id_a, r.id_b) for r in cs} == {("dup", "other")}

@@ -73,10 +73,19 @@ def test_replay_with_validation_quarantines(spark, smoke_log, tmp_path):
     # second scan per batch), but clean batches prune their own
     # metadata-only part files (ADVICE round 2): a long stream must not
     # accumulate one empty file per batch
-    import glob as _glob
     import os as _os
 
-    assert _glob.glob(_os.path.join(qdir, "*.parquet")) == []
+    # include dotfiles: local filesystems write a hidden .<part>.crc
+    # sidecar per part file, which the prune must also remove (glob
+    # skips dotfiles and would green-light unbounded crc accumulation).
+    # _SUCCESS and its sidecar are a single overwritten marker — bounded,
+    # so exempt.
+    leftovers = [
+        f
+        for f in (_os.listdir(qdir) if _os.path.isdir(qdir) else [])
+        if (f.endswith(".parquet") or f.endswith(".crc")) and "_SUCCESS" not in f
+    ]
+    assert leftovers == []
 
 
 def test_replay_quarantines_injected_bad_events(spark, smoke_log, tmp_path):
@@ -127,3 +136,28 @@ def test_json_envelope_parse_and_degrade(spark):
     # parsed payload is intact and typed
     row = valid.filter(F.col("op") == "I").collect()[0]
     assert row.tokens == [1, 2, 3] and row.n_tok == 3
+
+
+def test_prune_skips_corrupt_parquet_and_removes_crc(tmp_path):
+    """Review (round 3): best-effort prune must skip unreadable
+    candidates (pyarrow raises ArrowInvalid, a ValueError — not
+    OSError) and must take the hidden .crc sidecar down with the
+    empty part file."""
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from beehive_data_etl_spark.operators.validate import _prune_empty_parts
+
+    qdir = tmp_path / "q"
+    qdir.mkdir()
+    (qdir / "corrupt.parquet").write_bytes(b"")  # truncated/zero-byte
+    empty = pa.table({"x": pa.array([], type=pa.int64())})
+    pq.write_table(empty, qdir / "part-0.parquet")
+    (qdir / ".part-0.parquet.crc").write_bytes(b"\x00")
+    full = pa.table({"x": pa.array([1], type=pa.int64())})
+    pq.write_table(full, qdir / "part-1.parquet")
+    _prune_empty_parts(str(qdir), since=_time.time() - 60)  # must not raise
+    names = sorted(p.name for p in qdir.iterdir())
+    assert names == ["corrupt.parquet", "part-1.parquet"]
