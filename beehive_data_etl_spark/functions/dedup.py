@@ -45,6 +45,59 @@ def word_shingles_sql(expr: str, n: int = 3) -> str:
     )
 
 
+def token_shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct n-grams of TOKEN IDS (comma-joined strings) from an
+    array<int> column — the shingle lift for pre-tokenized training
+    sequences (the north-rule payload): same MinHash machinery, no
+    text reconstruction. Pure expressions, no UDF."""
+    toks = F.col(col) if isinstance(col, str) else col
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+            lambda i: F.concat_ws(",", F.slice(toks, i, n)),
+        )
+    )
+
+
+def token_shingles_sql(expr: str, n: int = 3) -> str:
+    """DuckDB twin of token_shingles."""
+    return (
+        f"list_distinct(list_transform(generate_series(1, "
+        f"greatest(len({expr}) - {n - 1}, 1)), "
+        f"i -> array_to_string(list_slice({expr}, i, i + {n - 1}), ',')))"
+    )
+
+
+def banded_signatures(
+    docs: DataFrame,
+    shingles: Column,
+    id_col: str = "doc_id",
+    k: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """(id, band, band_hash) — the banded-MinHash LSH projection shared
+    by batch pairing (minhash_lsh_pairs) and incremental ingest-time
+    dedup (functions.incremental_dedup): k-minhash over ``shingles``,
+    signature split into ``bands`` bands, md5 per band. Tiny beside the
+    corpus (``bands`` rows × ~40 bytes per doc) and computed in ONE
+    corpus scan — pure expressions."""
+    rows = k // bands
+    sig = docs.select(
+        F.col(id_col).alias("id"), minhash_signature(shingles, k).alias("sig")
+    )
+    return sig.select(
+        "id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.md5(F.concat_ws(",", *[F.col("sig")[b * rows + r] for r in range(rows)]))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "band_hash"),
+    )
+
+
 def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact dedup by content hash: one canonical (min id) row per
     distinct md5(text), with the duplicate count. Hash-groupBy: a single
@@ -81,7 +134,6 @@ def minhash_lsh_pairs(
     near-exact duplicate floods that ``exact_dedup`` already collapses
     for a single shuffle. 10k members ≈ a 0.2 MB grouped row and 50M
     candidate pairs per bucket — the edge of sane."""
-    rows = k // bands
     # spread the expression-heavy signature computation ONLY when the
     # input arrives under-partitioned (a small corpus in one parquet
     # file = one task serializing the k×md5-per-shingle work). At scale
@@ -94,20 +146,14 @@ def minhash_lsh_pairs(
         if docs.rdd.getNumPartitions() < parallelism
         else docs
     )
-    sig = (
-        spread.select(F.col(id_col).alias("id"), word_shingles(text_col, shingle_n).alias("sh"))
-        .select("id", minhash_signature(F.col("sh"), k).alias("sig"))
-    )
-    banded = sig.select(
-        "id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.md5(F.concat_ws(",", *[F.col("sig")[b * rows + r] for r in range(rows)]))
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band", "band_hash"),
+    banded = banded_signatures(
+        spread.select(
+            F.col(id_col).alias("id"), word_shingles(text_col, shingle_n).alias("sh")
+        ),
+        F.col("sh"),
+        id_col="id",
+        k=k,
+        bands=bands,
     )
     # pair generation by BUCKET GROUPING, not a self-join: a self-join
     # scans the corpus and computes every signature TWICE (measured: no

@@ -1,0 +1,282 @@
+"""Incremental near-duplicate detection on CDC ingest.
+
+A training-data pipeline that upserts documents continuously cannot
+re-run corpus×corpus dedup per micro-batch — at 10^10 events that is a
+quadratic re-pairing of a corpus that barely changed. This module keeps
+a **banded MinHash signature store** beside the document table and, per
+batch, checks ONLY the new/updated docs against the accumulated corpus:
+
+- signatures are the shared ``banded_signatures`` projection
+  (functions.dedup): ``bands`` rows × ~40 bytes per doc — O(corpus)
+  but tiny beside it, and ONE scan of the batch to compute;
+- the candidate join is a single equi-join on (band, band_hash) with
+  the batch side **broadcast** (a micro-batch is always the small
+  side), so the corpus-side store is never shuffled;
+- the store is merge-on-read, same idea as the snapshot sink: appended
+  per batch, read-side LWW by ``op_sequence`` per (id, band), so doc
+  UPDATES supersede their stale signatures and DELETES tombstone them
+  without rewriting files. At cluster scale the store is an Iceberg
+  table partitioned by ``bucket(band_hash)``; here it is a parquet
+  directory with the identical layout;
+- ``max_bucket`` caps degenerate hot buckets as ``minhash_lsh_pairs``
+  does (here: CORPUS-side members per bucket), and the cap is
+  evaluated only over buckets the batch actually touches (broadcast
+  semi-join), never the whole store.
+
+``incremental_candidates_static`` is the one-shot split variant
+(incoming docs vs corpus docs inside one DataFrame) used by the
+``q_dedup_incremental`` driver query, with a DuckDB-exact oracle.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from beehive_data_etl_spark.functions.dedup import (
+    DEFAULT_MAX_BUCKET,
+    banded_signatures,
+    token_shingles,
+)
+
+_STORE_SCHEMA = (
+    "id string, band int, band_hash string, op_sequence long, deleted boolean"
+)
+
+
+def _pair_counts(
+    new_banded: DataFrame, corpus_banded: DataFrame, max_bucket: int
+) -> DataFrame:
+    """(id_new, id_corpus, n_shared_bands): ONE scan of the corpus
+    store — semi-join down to the buckets the batch touches, group the
+    survivors' ids per bucket (cap applied to the grouped size), then a
+    broadcast equi-join with the batch side and a streamed explode.
+    The batch side is referenced twice (touched + the join), which is
+    free: a micro-batch projection is broadcast-sized. The corpus side
+    is referenced ONCE — re-referencing a DataFrame re-executes its
+    subtree (no cross-subtree exchange reuse, the engine's measured
+    lesson), and here that subtree is a store scan."""
+    touched = new_banded.select("band", "band_hash").distinct()
+    corpus_groups = (
+        corpus_banded.join(F.broadcast(touched), ["band", "band_hash"], "left_semi")
+        .groupBy("band", "band_hash")
+        .agg(F.sort_array(F.collect_list("id")).alias("corpus_ids"))
+        .filter(F.size("corpus_ids") <= max_bucket)
+    )
+    return (
+        corpus_groups.join(
+            F.broadcast(new_banded.withColumnRenamed("id", "id_new")),
+            ["band", "band_hash"],
+        )
+        .select("id_new", F.explode("corpus_ids").alias("id_corpus"))
+        .filter(F.col("id_new") != F.col("id_corpus"))
+        .groupBy("id_new", "id_corpus")
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+
+
+def incremental_candidates_static(
+    docs: DataFrame,
+    is_new: Column,
+    shingles: Column,
+    id_col: str = "doc_id",
+    k: int = 16,
+    bands: int = 4,
+    max_bucket: int = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """One-shot split variant: candidates between the ``is_new`` slice
+    and the rest of ``docs`` (never corpus×corpus). The expensive
+    signature pipeline runs in ONE corpus scan: both sides are grouped
+    per (band, band_hash) into one membership row — filtering the
+    banded frame per side would re-execute the k×md5 subtree per
+    reference — and pairs stream out of a nested explode, new members
+    × corpus members, row memory O(bucket)."""
+    flags = docs.select(F.col(id_col).alias("id"), is_new.alias("_new"))
+    banded = banded_signatures(
+        docs.select(F.col(id_col).alias("id"), shingles.alias("sh")),
+        F.col("sh"),
+        id_col="id",
+        k=k,
+        bands=bands,
+    ).join(F.broadcast(flags), "id")
+    grouped = (
+        banded.groupBy("band", "band_hash")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("id"), F.col("_new")))
+            ).alias("mem")
+        )
+        .select(
+            F.filter("mem", lambda m: m["_new"]).alias("news"),
+            F.filter("mem", lambda m: ~m["_new"]).alias("corp"),
+        )
+        .filter(
+            (F.size("news") >= 1)
+            & (F.size("corp") >= 1)
+            & (F.size("corp") <= max_bucket)
+        )
+    )
+    return (
+        grouped.select(F.explode("news").alias("n"), "corp")
+        .select(F.col("n.id").alias("id_new"), F.explode("corp").alias("c"))
+        .select("id_new", F.col("c.id").alias("id_corpus"))
+        .filter(F.col("id_new") != F.col("id_corpus"))
+        .groupBy("id_new", "id_corpus")
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+
+
+class SignatureStore:
+    """Merge-on-read banded-signature store: parquet appends per batch,
+    read-side LWW by ``op_sequence`` per (id, band) with tombstoned
+    deletes — the dedup twin of the snapshot sink's document table."""
+
+    def __init__(self, spark: SparkSession, root: str) -> None:
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def _files(self) -> list[str]:
+        return sorted(
+            os.path.join(self.root, f)
+            for f in os.listdir(self.root)
+            if f.endswith(".parquet")
+        )
+
+    def read(self) -> DataFrame | None:
+        """Current live signatures (id, band, band_hash): latest
+        op_sequence per (id, band), deletes dropped. The file list is
+        pinned HERE, so a later ``append`` cannot leak into a plan that
+        was built from this snapshot (lazy-evaluation safety)."""
+        files = self._files()
+        if not files:
+            return None
+        raw = self.spark.read.schema(_STORE_SCHEMA).parquet(*files)
+        return (
+            raw.groupBy("id", "band")
+            .agg(F.max(F.struct("op_sequence", "deleted", "band_hash")).alias("s"))
+            .filter(~F.col("s.deleted"))
+            .select("id", "band", F.col("s.band_hash").alias("band_hash"))
+        )
+
+    def append(self, rows: DataFrame) -> None:
+        """Append one batch's signature rows (``_STORE_SCHEMA``) as a
+        new file set — existing files are never rewritten."""
+        rows.write.mode("append").parquet(
+            os.path.join(self.root, f"batch-{uuid.uuid4().hex}.parquet")
+        )
+
+
+class IncrementalNearDup:
+    """Per-batch near-dup detection against the accumulated corpus.
+
+    ``process_batch`` takes a CDC micro-batch of (id, op_sequence,
+    tokens, deleted) rows, returns candidate pairs = (intra-batch
+    pairs) ∪ (batch vs corpus pairs), and appends the batch's
+    signatures to the store. Designed to run inside the replay
+    ``transform`` stage or a ``foreachBatch`` — it never scans the
+    document table, only the batch and the signature store."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        store_root: str,
+        k: int = 16,
+        bands: int = 4,
+        shingle_n: int = 3,
+        max_bucket: int = DEFAULT_MAX_BUCKET,
+    ) -> None:
+        self.spark = spark
+        self.store = SignatureStore(spark, store_root)
+        self.k, self.bands = k, bands
+        self.shingle_n = shingle_n
+        self.max_bucket = max_bucket
+
+    def process_batch(
+        self,
+        batch: DataFrame,
+        id_col: str = "doc_id",
+        seq_col: str = "op_sequence",
+        tokens_col: str = "tokens",
+        deleted_col: str = "deleted",
+    ) -> DataFrame:
+        """Returns (id_new, id_corpus, n_shared_bands); ``id_new`` is
+        always from this batch, intra-batch pairs carry the lexically
+        smaller id as ``id_new``. The batch is LWW-collapsed per id
+        first — only its final state gets signatures — and the corpus
+        snapshot is pinned BEFORE the append, so a batch never pairs
+        against its own signatures."""
+        last = (
+            batch.groupBy(F.col(id_col).alias("id"))
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col(seq_col).alias("op_sequence"),
+                        F.col(deleted_col).alias("deleted"),
+                        F.col(tokens_col).alias("tokens"),
+                    )
+                ).alias("s")
+            )
+            .select("id", "s.op_sequence", "s.deleted", "s.tokens")
+        )
+        live = last.filter(~F.col("deleted"))
+        banded = banded_signatures(
+            live.select("id", token_shingles("tokens", self.shingle_n).alias("sh")),
+            F.col("sh"),
+            id_col="id",
+            k=self.k,
+            bands=self.bands,
+        ).cache()  # feeds intra-pairing, the corpus join, and the store append
+        intra = (
+            banded.groupBy("band", "band_hash")
+            .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+            .filter((F.size("ids") >= 2) & (F.size("ids") <= self.max_bucket))
+            .select(
+                "ids",
+                F.posexplode(F.slice("ids", 1, F.size("ids") - 1)).alias("i", "id_new"),
+            )
+            .select(
+                "id_new",
+                F.explode(F.slice("ids", F.col("i") + 2, F.size("ids"))).alias("id_corpus"),
+            )
+            .filter(F.col("id_new") != F.col("id_corpus"))
+            .groupBy("id_new", "id_corpus")
+            .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+        )
+        corpus = self.store.read()  # pins the pre-batch file list
+        if corpus is None:
+            out = intra
+        else:
+            out = (
+                intra.unionByName(_pair_counts(banded, corpus, self.max_bucket))
+                .groupBy("id_new", "id_corpus")
+                .agg(F.max("n_shared_bands").alias("n_shared_bands"))
+            )
+        sig_rows = banded.join(
+            last.select("id", "op_sequence", "deleted"), "id"
+        ).select("id", "band", "band_hash", "op_sequence", "deleted")
+        band_ids = self.spark.range(self.bands).select(
+            F.col("id").cast("int").alias("band")
+        )
+        tombstones = (
+            last.filter(F.col("deleted"))
+            .select("id", "op_sequence")
+            .crossJoin(band_ids)
+            .select(
+                "id",
+                "band",
+                F.lit(None).cast("string").alias("band_hash"),
+                "op_sequence",
+                F.lit(True).alias("deleted"),
+            )
+        )
+        self.store.append(sig_rows.unionByName(tombstones))
+        # materialize the candidates (cutting lineage) so the per-batch
+        # cache can be dropped — a long-running stream must not
+        # accumulate one cached projection per batch
+        out = out.localCheckpoint(eager=True)
+        banded.unpersist()
+        return out

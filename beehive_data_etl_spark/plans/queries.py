@@ -1219,6 +1219,83 @@ def q_dedup_cluster(spark, sf):
     )
 
 
+# ------------------------------------------------- incremental near-dup
+def _incremental_oracle(
+    k: int = 16, bands: int = 4, shingle_n: int = 3, max_bucket: int = 10_000
+) -> str:
+    # mirrors incremental_candidates_static exactly: a 10% hash split
+    # plays the "incoming micro-batch", the rest is the corpus; pairs
+    # are NEW×CORPUS only (never corpus×corpus), and the hot-bucket cap
+    # counts CORPUS members per touched bucket — the same asymmetric
+    # cap the per-batch CDC path applies.
+    from beehive_data_etl_spark.functions.dedup import word_shingles_sql
+    from beehive_data_etl_spark.functions.hashing import minhash_signature_sql
+
+    sh = word_shingles_sql("text", shingle_n)
+    sig = minhash_signature_sql("sh", k)
+    rows = k // bands
+    band_exprs = ", ".join(
+        "md5(" + " || ',' || ".join(f"sig[{b * rows + r + 1}]::VARCHAR" for r in range(rows)) + ")"
+        f" AS band_{b}"
+        for b in range(bands)
+    )
+    unions = " UNION ALL ".join(
+        f"SELECT id, is_new, {b} AS band, band_{b} AS band_hash FROM banded"
+        for b in range(bands)
+    )
+    return f"""
+    WITH shingled AS (
+        SELECT doc_id AS id,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10 = 0 AS is_new,
+               {sh} AS sh
+        FROM documents
+    ),
+    sigs AS (SELECT id, is_new, {sig} AS sig FROM shingled),
+    banded AS (SELECT id, is_new, {band_exprs} FROM sigs),
+    long_all AS ({unions}),
+    touched AS (SELECT DISTINCT band, band_hash FROM long_all WHERE is_new),
+    corpus_sub AS (
+        SELECT l.* FROM long_all l
+        SEMI JOIN touched t ON l.band = t.band AND l.band_hash = t.band_hash
+        WHERE NOT l.is_new
+    ),
+    bucket_ok AS (
+        SELECT band, band_hash FROM corpus_sub
+        GROUP BY band, band_hash HAVING COUNT(*) <= {max_bucket}
+    )
+    SELECT n.id AS id_new, c.id AS id_corpus, COUNT(*) AS n_shared_bands
+    FROM (SELECT * FROM long_all WHERE is_new) n
+    JOIN (
+        SELECT c.* FROM corpus_sub c
+        SEMI JOIN bucket_ok b ON c.band = b.band AND c.band_hash = b.band_hash
+    ) c ON n.band = c.band AND n.band_hash = c.band_hash
+    GROUP BY n.id, c.id
+    """
+
+
+@query("q_dedup_incremental", _incremental_oracle())
+def q_dedup_incremental(spark, sf):
+    """Ingest-time near-dup check: candidates between an incoming slice
+    (deterministic 10% hash split — the stand-in for a CDC micro-batch)
+    and the corpus, via the banded-signature broadcast join of
+    functions/incremental_dedup.py — ONE corpus scan, batch side
+    broadcast, corpus never re-paired against itself. The live CDC
+    path (IncrementalNearDup + SignatureStore, LWW + tombstones) is
+    exercised by tests/test_incremental_dedup.py."""
+    from beehive_data_etl_spark.functions.dedup import word_shingles
+    from beehive_data_etl_spark.functions.hashing import portable_hash32
+    from beehive_data_etl_spark.functions.incremental_dedup import (
+        incremental_candidates_static,
+    )
+
+    d = t(spark, sf, "documents")
+    return incremental_candidates_static(
+        d,
+        is_new=portable_hash32(F.col("doc_id").cast("string")) % 10 == 0,
+        shingles=word_shingles("text", 3),
+    )
+
+
 # --------------------------------------------------------------- simhash
 def _simhash_oracle() -> str:
     from beehive_data_etl_spark.functions.dedup import simhash_sql
@@ -2326,7 +2403,9 @@ _DRIVER_FIRST = [
     "q_dedup_lww_salted", "q_join_asof", "q_join_range",
     "q_join_broadcast", "q_agg_basic", "q_agg_approx", "q_rollup",
     "q_win_rank", "q_except", "q_topk", "q_stream_session",
-    "q_pandas_udf", "q_udaf", "q_json", "q_sql_scalar_subquery",
+    # q_dedup_incremental is NEW in round 3 (ingest-time near-dup) — it
+    # takes q_json's slot (JSON fns were driver-green in r2 and stable)
+    "q_pandas_udf", "q_udaf", "q_dedup_incremental", "q_sql_scalar_subquery",
 ]
 
 

@@ -1,0 +1,153 @@
+"""Incremental near-dup detection on CDC ingest
+(functions/incremental_dedup.py): per-batch candidates against the
+accumulated banded-signature store must equal batch-at-once pairing for
+insert-only streams; updates re-pair with fresh signatures and deletes
+tombstone them; the store is merge-on-read LWW."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from beehive_data_etl_spark.functions.dedup import (
+    banded_signatures,
+    token_shingles,
+)
+from beehive_data_etl_spark.functions.incremental_dedup import (
+    IncrementalNearDup,
+    SignatureStore,
+    incremental_candidates_static,
+)
+
+BATCH_SCHEMA = "doc_id string, op_sequence long, tokens array<int>, deleted boolean"
+
+
+def _doc(i, toks, seq, deleted=False):
+    return (f"d{i:03d}", seq, toks, deleted)
+
+
+BASE = list(range(1, 30))  # long shared run → near-dup signatures
+
+
+@pytest.fixture()
+def inc(spark, tmp_path):
+    return IncrementalNearDup(spark, str(tmp_path / "sigs"), k=16, bands=4)
+
+
+def _pairs(df):
+    return {(r.id_new, r.id_corpus) for r in df.collect()}
+
+
+def test_insert_only_stream_equals_batch_at_once(spark, tmp_path, inc):
+    """Every near-dup pair of the final corpus is found exactly once:
+    intra-batch when both docs arrive together, new-vs-corpus when the
+    second doc arrives later."""
+    b1 = [_doc(1, BASE, 1), _doc(2, BASE + [99], 2), _doc(3, [500, 501, 502], 3)]
+    b2 = [_doc(4, BASE + [98], 4), _doc(5, list(range(200, 230)), 5)]
+    b3 = [_doc(6, BASE, 6)]
+    batches = [b1, b2, b3]
+    seen = set()
+    for rows in batches:
+        out = inc.process_batch(spark.createDataFrame(rows, BATCH_SCHEMA))
+        new_pairs = _pairs(out)
+        # no pair is ever re-reported
+        assert not (new_pairs & seen)
+        seen |= {tuple(sorted(p)) for p in new_pairs}
+
+    # oracle: batch-at-once static pairing over the final corpus
+    all_rows = [r for b in batches for r in b]
+    docs = spark.createDataFrame(all_rows, BATCH_SCHEMA)
+    banded = banded_signatures(
+        docs.select(F.col("doc_id").alias("id"), token_shingles("tokens").alias("sh")),
+        F.col("sh"),
+        id_col="id",
+    )
+    buckets = (
+        banded.groupBy("band", "band_hash")
+        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    expected = {
+        tuple(sorted((a, b)))
+        for r in buckets.collect()
+        for i, a in enumerate(r.ids)
+        for b in r.ids[i + 1 :]
+        if a != b
+    }
+    assert seen == expected
+    assert ("d001", "d006") in seen or ("d006", "d001") in {tuple(sorted(p)) for p in seen}
+
+
+def test_update_repairs_with_fresh_signatures(spark, inc):
+    """An UPDATE that rewrites a doc's content must pair by its NEW
+    tokens and must not pair against its own stale signatures."""
+    inc.process_batch(
+        spark.createDataFrame([_doc(1, BASE, 1), _doc(2, list(range(600, 640)), 2)], BATCH_SCHEMA)
+    )
+    # d002 is rewritten to match d001
+    out = inc.process_batch(
+        spark.createDataFrame([_doc(2, BASE + [77], 10)], BATCH_SCHEMA)
+    )
+    assert _pairs(out) == {("d002", "d001")}
+
+    # the store's live signature for d002 is the new one (LWW)
+    live = inc.store.read()
+    d2 = live.filter(F.col("id") == "d002")
+    fresh = banded_signatures(
+        spark.createDataFrame([_doc(2, BASE + [77], 10)], BATCH_SCHEMA).select(
+            F.col("doc_id").alias("id"), token_shingles("tokens").alias("sh")
+        ),
+        F.col("sh"),
+        id_col="id",
+    )
+    assert {(r.band, r.band_hash) for r in d2.collect()} == {
+        (r.band, r.band_hash) for r in fresh.collect()
+    }
+
+
+def test_delete_tombstones_signatures(spark, inc):
+    """A DELETE removes the doc from the store: later twins find no
+    corpus partner."""
+    inc.process_batch(spark.createDataFrame([_doc(1, BASE, 1)], BATCH_SCHEMA))
+    inc.process_batch(
+        spark.createDataFrame([("d001", 5, None, True)], BATCH_SCHEMA)
+    )
+    assert inc.store.read().filter(F.col("id") == "d001").count() == 0
+    out = inc.process_batch(
+        spark.createDataFrame([_doc(9, BASE, 6)], BATCH_SCHEMA)
+    )
+    assert _pairs(out) == set()
+
+
+def test_store_is_append_only_and_lww(spark, tmp_path):
+    store = SignatureStore(spark, str(tmp_path / "s"))
+    assert store.read() is None
+    rows1 = spark.createDataFrame(
+        [("a", 0, "h1", 1, False)],
+        "id string, band int, band_hash string, op_sequence long, deleted boolean",
+    )
+    store.append(rows1)
+    files_after_1 = set(store._files())
+    rows2 = spark.createDataFrame(
+        [("a", 0, "h2", 2, False)],
+        "id string, band int, band_hash string, op_sequence long, deleted boolean",
+    )
+    store.append(rows2)
+    assert files_after_1 < set(store._files())  # strictly grew, nothing rewritten
+    live = store.read().collect()
+    assert [(r.id, r.band, r.band_hash) for r in live] == [("a", 0, "h2")]
+
+
+def test_static_split_variant_matches_per_batch_shape(spark):
+    """incremental_candidates_static: pairs only cross the split —
+    corpus×corpus twins are NOT reported."""
+    docs = spark.createDataFrame(
+        [("n1", BASE), ("c1", BASE + [99]), ("c2", BASE + [98]), ("c3", [7, 8, 9])],
+        "doc_id string, tokens array<int>",
+    )
+    out = incremental_candidates_static(
+        docs,
+        is_new=F.col("doc_id").startswith("n"),
+        shingles=token_shingles("tokens"),
+        id_col="doc_id",
+    )
+    got = {(r.id_new, r.id_corpus) for r in out.collect()}
+    assert got == {("n1", "c1"), ("n1", "c2")}  # c1~c2 excluded by design

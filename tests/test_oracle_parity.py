@@ -54,5 +54,6 @@ def test_driver_snapshot_order():
     assert list(ORACLES) == keys
     never_checked = _DRIVER_FIRST[:29]
     touched = {"q_neardup_cosine", "q_neardup_lsh", "q_dedup_minhash",
-               "q_dedup_cluster", "q_join_anti", "q_except"}
+               "q_dedup_cluster", "q_join_anti", "q_except",
+               "q_dedup_incremental"}
     assert set(never_checked) | touched <= set(keys[:50])

@@ -199,3 +199,17 @@ def test_neardup_lsh_single_corpus_scan(spark):
     plan = plan_of(cosine_neardup_pairs_lsh(emb, threshold=0.4, planes=4, tables=3))
     # explain("formatted") prints every node twice: tree + details
     assert plan.count("Scan parquet") == 2, plan
+
+
+def test_incremental_dedup_single_signature_scan(spark):
+    """q_dedup_incremental: the k×md5 signature pipeline must run in
+    ONE corpus scan — grouping both split sides into one bucket
+    membership row, not filtering the banded frame per side (each
+    filter reference would re-execute the whole signature subtree).
+    The documents table appears twice in the plan (signatures + the
+    broadcast id→flag projection), never more; the flag scan reads
+    only doc_id."""
+    plan = plan_of(QUERIES["q_dedup_incremental"](spark, SF))
+    # formatted explain prints each node twice (tree + details)
+    assert plan.count("Scan parquet") == 4, plan
+    assert plan.count("BroadcastExchange") >= 2  # flags join is broadcast
