@@ -51,11 +51,18 @@ def token_shingles(col: Column | str, n: int = 3) -> Column:
     sequences (the north-rule payload): same MinHash machinery, no
     text reconstruction. Pure expressions, no UDF."""
     toks = F.col(col) if isinstance(col, str) else col
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
-            lambda i: F.concat_ws(",", F.slice(toks, i, n)),
-        )
+    # drop the "" shingle an EMPTY array would produce (concat_ws over
+    # an empty slice): empty docs get no shingles — and the DuckDB twin
+    # agrees for free (array_to_string of an empty slice is NULL, which
+    # list_distinct drops)
+    return F.array_remove(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+                lambda i: F.concat_ws(",", F.slice(toks, i, n)),
+            )
+        ),
+        "",
     )
 
 
@@ -155,34 +162,41 @@ def minhash_lsh_pairs(
         k=k,
         bands=bands,
     )
-    # pair generation by BUCKET GROUPING, not a self-join: a self-join
-    # scans the corpus and computes every signature TWICE (measured: no
-    # exchange reuse fires across the join's two identical subtrees).
-    # Grouping shuffles the tiny (id, band, hash) projection once and
-    # emits in-bucket pairs with higher-order expressions. max_bucket
-    # bounds the grouped row and the per-bucket pair count (see
-    # docstring); within the cap, expansion streams via
-    # posexplode-then-slice — row i carries (ids[i], ids[i+1:]), so
-    # single-row memory is O(m), never the O(m²) of a one-row
-    # all-pairs array.
+    return bucket_pairs(banded, max_bucket)
+
+
+def bucket_pairs(
+    banded: DataFrame,
+    max_bucket: int = DEFAULT_MAX_BUCKET,
+    out_a: str = "id_a",
+    out_b: str = "id_b",
+) -> DataFrame:
+    """All same-bucket id pairs of a (id, band, band_hash) frame, with
+    the shared-bucket count — pair generation by BUCKET GROUPING, not a
+    self-join: a self-join would execute the banded subtree twice
+    (measured: no exchange reuse fires across a join's identical
+    subtrees). Grouping shuffles the tiny projection once and streams
+    pairs via posexplode-then-slice — row i carries (ids[i],
+    ids[i+1:]), so single-row memory is O(m), never the O(m²) of a
+    one-row all-pairs array. ``max_bucket`` bounds the grouped row and
+    the per-bucket pair count; ids sort within the bucket so
+    ``out_a < out_b``, and equal-id pairs (duplicate input ids) are
+    dropped — the strict a.id < b.id guard."""
     buckets = (
         banded.groupBy("band", "band_hash")
         .agg(F.sort_array(F.collect_list("id")).alias("ids"))
         .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
     )
     exploded = buckets.select(
-        "ids", F.posexplode(F.slice("ids", 1, F.size("ids") - 1)).alias("i", "id_a")
+        "ids", F.posexplode(F.slice("ids", 1, F.size("ids") - 1)).alias("i", out_a)
     )
     return (
         exploded.select(
-            "id_a",
-            F.explode(F.slice("ids", F.col("i") + 2, F.size("ids"))).alias("id_b"),
+            out_a,
+            F.explode(F.slice("ids", F.col("i") + 2, F.size("ids"))).alias(out_b),
         )
-        # ids is sorted so id_a <= id_b; equal-id pairs can only come
-        # from duplicate input ids in one bucket — drop them (the old
-        # self-join's strict a.id < b.id guard, restored)
-        .filter(F.col("id_a") != F.col("id_b"))
-        .groupBy("id_a", "id_b")
+        .filter(F.col(out_a) != F.col(out_b))
+        .groupBy(out_a, out_b)
         .agg(F.count(F.lit(1)).alias("n_shared_bands"))
     )
 

@@ -11,13 +11,18 @@ batch, checks ONLY the new/updated docs against the accumulated corpus:
   but tiny beside it, and ONE scan of the batch to compute;
 - the candidate join is a single equi-join on (band, band_hash) with
   the batch side **broadcast** (a micro-batch is always the small
-  side), so the corpus-side store is never shuffled;
+  side), so the corpus DOCUMENTS are never rescanned or re-paired; the
+  store itself (O(live corpus) tiny rows) is LWW-grouped per batch and
+  periodically **compacted** so that read stays O(live corpus), not
+  O(stream length);
 - the store is merge-on-read, same idea as the snapshot sink: appended
   per batch, read-side LWW by ``op_sequence`` per (id, band), so doc
   UPDATES supersede their stale signatures and DELETES tombstone them
-  without rewriting files. At cluster scale the store is an Iceberg
-  table partitioned by ``bucket(band_hash)``; here it is a parquet
-  directory with the identical layout;
+  without rewriting files. Retries are idempotent when the caller
+  passes a ``batch_id`` (deterministic file set, discarded before the
+  corpus snapshot on re-attempt). At cluster scale the store is an
+  Iceberg table partitioned by ``bucket(band_hash)``; here it is a
+  parquet directory with the identical layout;
 - ``max_bucket`` caps degenerate hot buckets as ``minhash_lsh_pairs``
   does (here: CORPUS-side members per bucket), and the cap is
   evaluated only over buckets the batch actually touches (broadcast
@@ -26,6 +31,15 @@ batch, checks ONLY the new/updated docs against the accumulated corpus:
 ``incremental_candidates_static`` is the one-shot split variant
 (incoming docs vs corpus docs inside one DataFrame) used by the
 ``q_dedup_incremental`` driver query, with a DuckDB-exact oracle.
+
+Concurrency: run with SERIAL micro-batches (replay ``inflight=1`` /
+Structured Streaming's serial ``foreachBatch``). Under pipelined
+replay, a batch pins its corpus snapshot before concurrent siblings
+append — appends are still safe (unique files, LWW read), but a pair
+whose two docs ride concurrent batches can be missed for that window
+(bounded staleness, self-healing on the docs' next update). Exactness
+over throughput here: near-dup candidates feed curation, so a missed
+pair is a quality leak, not a correctness bug in the table itself.
 """
 
 from __future__ import annotations
@@ -39,6 +53,7 @@ from pyspark.sql import functions as F
 from beehive_data_etl_spark.functions.dedup import (
     DEFAULT_MAX_BUCKET,
     banded_signatures,
+    bucket_pairs,
     token_shingles,
 )
 
@@ -132,11 +147,17 @@ def incremental_candidates_static(
 class SignatureStore:
     """Merge-on-read banded-signature store: parquet appends per batch,
     read-side LWW by ``op_sequence`` per (id, band) with tombstoned
-    deletes — the dedup twin of the snapshot sink's document table."""
+    deletes — the dedup twin of the snapshot sink's document table.
+    Single writer (serial micro-batches); ``compact`` folds the
+    accumulated history so per-batch reads stay O(live corpus), not
+    O(stream length)."""
 
-    def __init__(self, spark: SparkSession, root: str) -> None:
+    def __init__(
+        self, spark: SparkSession, root: str, compact_threshold: int = 16
+    ) -> None:
         self.spark = spark
         self.root = root
+        self.compact_threshold = compact_threshold
         os.makedirs(root, exist_ok=True)
 
     def _files(self) -> list[str]:
@@ -144,6 +165,20 @@ class SignatureStore:
             os.path.join(self.root, f)
             for f in os.listdir(self.root)
             if f.endswith(".parquet")
+        )
+
+    def _latest(self, files: list[str]) -> DataFrame:
+        raw = self.spark.read.schema(_STORE_SCHEMA).parquet(*files)
+        return (
+            raw.groupBy("id", "band")
+            .agg(F.max(F.struct("op_sequence", "deleted", "band_hash")).alias("s"))
+            .select(
+                "id",
+                "band",
+                F.col("s.band_hash").alias("band_hash"),
+                F.col("s.op_sequence").alias("op_sequence"),
+                F.col("s.deleted").alias("deleted"),
+            )
         )
 
     def read(self) -> DataFrame | None:
@@ -154,20 +189,48 @@ class SignatureStore:
         files = self._files()
         if not files:
             return None
-        raw = self.spark.read.schema(_STORE_SCHEMA).parquet(*files)
-        return (
-            raw.groupBy("id", "band")
-            .agg(F.max(F.struct("op_sequence", "deleted", "band_hash")).alias("s"))
-            .filter(~F.col("s.deleted"))
-            .select("id", "band", F.col("s.band_hash").alias("band_hash"))
+        return self._latest(files).filter(~F.col("deleted")).select(
+            "id", "band", "band_hash"
         )
 
-    def append(self, rows: DataFrame) -> None:
-        """Append one batch's signature rows (``_STORE_SCHEMA``) as a
-        new file set — existing files are never rewritten."""
-        rows.write.mode("append").parquet(
-            os.path.join(self.root, f"batch-{uuid.uuid4().hex}.parquet")
+    def append(self, rows: DataFrame, batch_id: str | None = None) -> None:
+        """Write one batch's signature rows (``_STORE_SCHEMA``) as a
+        new file set. With ``batch_id`` the file set is DETERMINISTIC
+        (``batch-<id>.parquet``) and a retry overwrites its own failed
+        attempt instead of double-appending — call ``discard(batch_id)``
+        before reading the corpus to make the whole retry idempotent."""
+        name = f"batch-{batch_id}.parquet" if batch_id else f"batch-{uuid.uuid4().hex}.parquet"
+        rows.write.mode("overwrite").parquet(os.path.join(self.root, name))
+
+    def discard(self, batch_id: str) -> None:
+        """Drop a batch's (possibly partial) prior attempt, if any."""
+        import shutil
+
+        shutil.rmtree(
+            os.path.join(self.root, f"batch-{batch_id}.parquet"), ignore_errors=True
         )
+
+    def compact(self) -> None:
+        """Fold the history into one file set of latest rows per
+        (id, band). Tombstones are KEPT — dropping them would let a
+        late out-of-order signature (lower op_sequence) resurrect a
+        deleted doc; they are few and the snapshot sink's watermark-GC
+        pattern can reap them if ever needed. A crash between the write
+        and the deletes leaves old + compacted files coexisting, which
+        the LWW read folds to the same answer."""
+        files = self._files()
+        if not files:
+            return
+        out = os.path.join(self.root, f"compact-{uuid.uuid4().hex}.parquet")
+        self._latest(files).write.mode("overwrite").parquet(out)
+        import shutil
+
+        for f in files:
+            shutil.rmtree(f, ignore_errors=True)
+
+    def maybe_compact(self) -> None:
+        if len(self._files()) >= self.compact_threshold:
+            self.compact()
 
 
 class IncrementalNearDup:
@@ -202,13 +265,22 @@ class IncrementalNearDup:
         seq_col: str = "op_sequence",
         tokens_col: str = "tokens",
         deleted_col: str = "deleted",
+        batch_id: str | None = None,
     ) -> DataFrame:
         """Returns (id_new, id_corpus, n_shared_bands); ``id_new`` is
-        always from this batch, intra-batch pairs carry the lexically
-        smaller id as ``id_new``. The batch is LWW-collapsed per id
-        first — only its final state gets signatures — and the corpus
-        snapshot is pinned BEFORE the append, so a batch never pairs
-        against its own signatures."""
+        always from this batch, intra-batch pairs carry the smaller id
+        as ``id_new``. The batch is LWW-collapsed per id first — only
+        its final state gets signatures — and the corpus side excludes
+        EVERY id present in the batch (stale signatures of updated or
+        deleted docs must not pair; intra-batch pairing covers fresh
+        content, so no pair can also arrive orientation-flipped from
+        the corpus join). With ``batch_id`` a crashed-and-retried batch
+        is idempotent: the prior attempt's store file is discarded
+        before the corpus snapshot is taken, and the append overwrites
+        deterministically."""
+        if batch_id is not None:
+            self.store.discard(batch_id)
+        self.store.maybe_compact()
         last = (
             batch.groupBy(F.col(id_col).alias("id"))
             .agg(
@@ -230,53 +302,49 @@ class IncrementalNearDup:
             k=self.k,
             bands=self.bands,
         ).cache()  # feeds intra-pairing, the corpus join, and the store append
-        intra = (
-            banded.groupBy("band", "band_hash")
-            .agg(F.sort_array(F.collect_list("id")).alias("ids"))
-            .filter((F.size("ids") >= 2) & (F.size("ids") <= self.max_bucket))
-            .select(
-                "ids",
-                F.posexplode(F.slice("ids", 1, F.size("ids") - 1)).alias("i", "id_new"),
+        try:
+            intra = bucket_pairs(
+                banded, self.max_bucket, out_a="id_new", out_b="id_corpus"
             )
-            .select(
-                "id_new",
-                F.explode(F.slice("ids", F.col("i") + 2, F.size("ids"))).alias("id_corpus"),
+            corpus = self.store.read()  # pins the pre-batch file list
+            if corpus is None:
+                out = intra
+            else:
+                corpus_only = corpus.join(
+                    F.broadcast(last.select("id")), "id", "left_anti"
+                )
+                out = (
+                    intra.unionByName(
+                        _pair_counts(banded, corpus_only, self.max_bucket)
+                    )
+                    .groupBy("id_new", "id_corpus")
+                    .agg(F.max("n_shared_bands").alias("n_shared_bands"))
+                )
+            sig_rows = banded.join(
+                last.select("id", "op_sequence", "deleted"), "id"
+            ).select("id", "band", "band_hash", "op_sequence", "deleted")
+            band_ids = self.spark.range(self.bands).select(
+                F.col("id").cast("int").alias("band")
             )
-            .filter(F.col("id_new") != F.col("id_corpus"))
-            .groupBy("id_new", "id_corpus")
-            .agg(F.count(F.lit(1)).alias("n_shared_bands"))
-        )
-        corpus = self.store.read()  # pins the pre-batch file list
-        if corpus is None:
-            out = intra
-        else:
-            out = (
-                intra.unionByName(_pair_counts(banded, corpus, self.max_bucket))
-                .groupBy("id_new", "id_corpus")
-                .agg(F.max("n_shared_bands").alias("n_shared_bands"))
+            tombstones = (
+                last.filter(F.col("deleted"))
+                .select("id", "op_sequence")
+                .crossJoin(band_ids)
+                .select(
+                    "id",
+                    "band",
+                    F.lit(None).cast("string").alias("band_hash"),
+                    "op_sequence",
+                    F.lit(True).alias("deleted"),
+                )
             )
-        sig_rows = banded.join(
-            last.select("id", "op_sequence", "deleted"), "id"
-        ).select("id", "band", "band_hash", "op_sequence", "deleted")
-        band_ids = self.spark.range(self.bands).select(
-            F.col("id").cast("int").alias("band")
-        )
-        tombstones = (
-            last.filter(F.col("deleted"))
-            .select("id", "op_sequence")
-            .crossJoin(band_ids)
-            .select(
-                "id",
-                "band",
-                F.lit(None).cast("string").alias("band_hash"),
-                "op_sequence",
-                F.lit(True).alias("deleted"),
-            )
-        )
-        self.store.append(sig_rows.unionByName(tombstones))
-        # materialize the candidates (cutting lineage) so the per-batch
-        # cache can be dropped — a long-running stream must not
-        # accumulate one cached projection per batch
-        out = out.localCheckpoint(eager=True)
-        banded.unpersist()
+            # materialize the candidates BEFORE the append (they must
+            # reflect the pre-batch corpus even under lazy evaluation),
+            # cutting lineage so the per-batch cache can be dropped
+            out = out.localCheckpoint(eager=True)
+            self.store.append(sig_rows.unionByName(tombstones), batch_id=batch_id)
+        finally:
+            # a failed append/pair job must not leak one cached
+            # projection per retried batch in a long-running stream
+            banded.unpersist()
         return out

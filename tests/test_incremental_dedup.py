@@ -47,10 +47,13 @@ def test_insert_only_stream_equals_batch_at_once(spark, tmp_path, inc):
     seen = set()
     for rows in batches:
         out = inc.process_batch(spark.createDataFrame(rows, BATCH_SCHEMA))
-        new_pairs = _pairs(out)
-        # no pair is ever re-reported
+        # normalize orientation BEFORE the re-report check: a cross
+        # pair arrives as (new, corpus) which can be the reverse of the
+        # sorted intra form — comparing raw tuples would miss a
+        # flipped re-report (round-3 review)
+        new_pairs = {tuple(sorted(p)) for p in _pairs(out)}
         assert not (new_pairs & seen)
-        seen |= {tuple(sorted(p)) for p in new_pairs}
+        seen |= new_pairs
 
     # oracle: batch-at-once static pairing over the final corpus
     all_rows = [r for b in batches for r in b]
@@ -151,3 +154,134 @@ def test_static_split_variant_matches_per_batch_shape(spark):
     )
     got = {(r.id_new, r.id_corpus) for r in out.collect()}
     assert got == {("n1", "c1"), ("n1", "c2")}  # c1~c2 excluded by design
+
+
+def test_replay_integration_store_tracks_table_state(spark, smoke_log, tmp_path):
+    """End-to-end on the real CDC path: replay the smoke WAL with a
+    transform that runs incremental near-dup per micro-batch as a side
+    stage. After replay, the signature store's LIVE doc set must equal
+    the merged table's live doc set (updates superseded, deletes
+    tombstoned). Serial batches (inflight=1): the store snapshot is
+    pinned per batch, so pipelined mode would see bounded staleness —
+    documented in the module docstring."""
+    from beehive_data_etl_spark.sinks.snapshot import SnapshotSink
+    from beehive_data_etl_spark.streaming.replay import replay_incremental
+
+    tracker = IncrementalNearDup(spark, str(tmp_path / "sigs"), k=8, bands=2)
+
+    def with_neardup(batch):
+        tracker.process_batch(
+            batch.withColumn("deleted", F.col("op") == F.lit("D")),
+            id_col="doc_id",
+            seq_col="op_sequence",
+            tokens_col="tokens",
+            deleted_col="deleted",
+        )
+        return batch
+
+    sink = SnapshotSink(spark, str(tmp_path / "sink"), n_buckets=8)
+    replay_incremental(
+        spark, smoke_log, sink, files_per_batch=2, transform=with_neardup
+    )
+    live_docs = {
+        r.doc_id
+        for r in sink.read_state().filter(~F.col("deleted")).select("doc_id").collect()
+    }
+    store_docs = {r.id for r in tracker.store.read().select("id").distinct().collect()}
+    assert store_docs == live_docs
+
+
+def test_retry_is_idempotent_with_batch_id(spark, tmp_path):
+    """Crash-after-append, before the engine commit: the replayed batch
+    must not pair against its own first attempt's signatures, and the
+    store must hold exactly one copy of the batch's rows."""
+    inc = IncrementalNearDup(spark, str(tmp_path / "sigs"), k=16, bands=4)
+    rows = [_doc(1, BASE, 1), _doc(2, BASE + [99], 2)]
+    first = inc.process_batch(
+        spark.createDataFrame(rows, BATCH_SCHEMA), batch_id="b0"
+    )
+    # simulated crash → replay of the same batch
+    retry = inc.process_batch(
+        spark.createDataFrame(rows, BATCH_SCHEMA), batch_id="b0"
+    )
+    assert _pairs(first) == _pairs(retry) == {("d001", "d002")}
+    per_id_band = (
+        spark.read.schema(
+            "id string, band int, band_hash string, op_sequence long, deleted boolean"
+        )
+        .parquet(*inc.store._files())
+        .groupBy("id", "band")
+        .count()
+        .collect()
+    )
+    assert all(r["count"] == 1 for r in per_id_band)
+
+
+def test_update_plus_twin_in_one_batch_reports_pair_once(spark, inc):
+    """Round-3 review: batch = [X updated, Y inserted], X's STALE
+    signatures still in the store — the pair must be reported exactly
+    once (intra), never a second time orientation-flipped via the
+    corpus join against X's old rows."""
+    inc.process_batch(spark.createDataFrame([_doc(1, BASE, 1)], BATCH_SCHEMA))
+    out = inc.process_batch(
+        spark.createDataFrame(
+            [_doc(1, BASE + [55], 10), _doc(2, BASE + [55, 56], 11)], BATCH_SCHEMA
+        )
+    )
+    got = [(r.id_new, r.id_corpus) for r in out.collect()]
+    assert got == [("d001", "d002")]
+
+
+def test_store_compaction_bounds_history(spark, tmp_path):
+    """After many batches the store folds to O(live) rows; LWW answers
+    and later appends are unaffected; tombstones survive compaction so
+    late out-of-order rows cannot resurrect deleted docs."""
+    inc = IncrementalNearDup(spark, str(tmp_path / "sigs"), k=8, bands=2)
+    inc.store.compact_threshold = 4
+    for i in range(6):
+        inc.process_batch(
+            spark.createDataFrame([_doc(1, BASE + [i], i + 1)], BATCH_SCHEMA)
+        )
+    inc.process_batch(
+        spark.createDataFrame([("d001", 100, None, True)], BATCH_SCHEMA)
+    )
+    inc.store.compact()
+    assert len(inc.store._files()) == 1
+    raw = spark.read.schema(
+        "id string, band int, band_hash string, op_sequence long, deleted boolean"
+    ).parquet(*inc.store._files())
+    assert raw.count() == 2  # one tombstone per band, nothing else
+    assert raw.filter(~F.col("deleted")).count() == 0
+    assert inc.store.read().count() == 0
+    # a LATE stale signature (lower op_sequence) must stay dead
+    inc.process_batch(
+        spark.createDataFrame([_doc(1, BASE, 50)], BATCH_SCHEMA)
+    )
+    assert inc.store.read().filter(F.col("id") == "d001").count() == 0
+
+
+def test_token_shingles_sql_matches_spark(spark):
+    """The DuckDB twin of token_shingles must produce the identical
+    shingle sets (guards silent drift — round-3 review flagged it as
+    untested)."""
+    import duckdb
+
+    from beehive_data_etl_spark.functions.dedup import token_shingles_sql
+
+    rows = [("a", [1, 2, 3, 4, 5]), ("b", [9]), ("c", [7, 7, 7, 7]), ("d", [])]
+    sdf = spark.createDataFrame(rows, "doc_id string, tokens array<int>")
+    got = {
+        r.doc_id: sorted(r.sh)
+        for r in sdf.select("doc_id", token_shingles("tokens", 3).alias("sh")).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id VARCHAR, tokens INT[])")
+    for d, toks in rows:
+        con.execute("INSERT INTO t VALUES (?, ?)", [d, toks])
+    want = {
+        d: sorted(sh)
+        for d, sh in con.execute(
+            f"SELECT doc_id, {token_shingles_sql('tokens', 3)} FROM t"
+        ).fetchall()
+    }
+    assert got == want

@@ -213,3 +213,6 @@ def test_incremental_dedup_single_signature_scan(spark):
     # formatted explain prints each node twice (tree + details)
     assert plan.count("Scan parquet") == 4, plan
     assert plan.count("BroadcastExchange") >= 2  # flags join is broadcast
+    # the flags scan must be COLUMN-PRUNED to doc_id alone — reading
+    # text there would double the scanned bytes for a boolean flag
+    assert "ReadSchema: struct<doc_id:bigint>" in plan, plan
