@@ -119,6 +119,22 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 DEFAULT_MAX_BUCKET = 10_000
 
 
+def spread_if_narrow(df: DataFrame) -> DataFrame:
+    """Repartition ONLY when the input arrives under-partitioned (a
+    small corpus in one parquet file = one task serializing the
+    expression-heavy k×md5-per-shingle signature work — measured 4×
+    on the incremental variant). At scale the scan is already wide and
+    an unconditional repartition would full-shuffle the corpus' text
+    for nothing (round-1 wart); getNumPartitions is plan metadata, no
+    job."""
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.repartition(parallelism)
+        if df.rdd.getNumPartitions() < parallelism
+        else df
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -141,18 +157,7 @@ def minhash_lsh_pairs(
     near-exact duplicate floods that ``exact_dedup`` already collapses
     for a single shuffle. 10k members ≈ a 0.2 MB grouped row and 50M
     candidate pairs per bucket — the edge of sane."""
-    # spread the expression-heavy signature computation ONLY when the
-    # input arrives under-partitioned (a small corpus in one parquet
-    # file = one task serializing the k×md5-per-shingle work). At scale
-    # the scan is already wide and an unconditional repartition would
-    # full-shuffle the whole corpus' text for nothing (round-1 wart);
-    # getNumPartitions is plan metadata, no job.
-    parallelism = docs.sparkSession.sparkContext.defaultParallelism
-    spread = (
-        docs.repartition(parallelism)
-        if docs.rdd.getNumPartitions() < parallelism
-        else docs
-    )
+    spread = spread_if_narrow(docs)
     banded = banded_signatures(
         spread.select(
             F.col(id_col).alias("id"), word_shingles(text_col, shingle_n).alias("sh")

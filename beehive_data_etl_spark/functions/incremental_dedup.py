@@ -54,6 +54,7 @@ from beehive_data_etl_spark.functions.dedup import (
     DEFAULT_MAX_BUCKET,
     banded_signatures,
     bucket_pairs,
+    spread_if_narrow,
     token_shingles,
 )
 
@@ -110,8 +111,12 @@ def incremental_candidates_static(
     reference — and pairs stream out of a nested explode, new members
     × corpus members, row memory O(bucket)."""
     flags = docs.select(F.col(id_col).alias("id"), is_new.alias("_new"))
+    # spread the RAW docs, then shingle: putting the repartition above
+    # the shingle projection would compute every shingle array in the
+    # single under-partitioned input task and shuffle the (bigger)
+    # arrays — measured 1.5× on this query
     banded = banded_signatures(
-        docs.select(F.col(id_col).alias("id"), shingles.alias("sh")),
+        spread_if_narrow(docs).select(F.col(id_col).alias("id"), shingles.alias("sh")),
         F.col("sh"),
         id_col="id",
         k=k,

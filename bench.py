@@ -51,6 +51,7 @@ HEADLINE = [
     "q_dedup_lww",
     "q_dedup_exact",
     "q_dedup_minhash",
+    "q_dedup_incremental",
     "q_token_count",
     "q_pandas_udf",
     "q_ann_bruteforce",
