@@ -37,9 +37,13 @@ Structured Streaming's serial ``foreachBatch``). Under pipelined
 replay, a batch pins its corpus snapshot before concurrent siblings
 append — appends are still safe (unique files, LWW read), but a pair
 whose two docs ride concurrent batches can be missed for that window
-(bounded staleness, self-healing on the docs' next update). Exactness
-over throughput here: near-dup candidates feed curation, so a missed
-pair is a quality leak, not a correctness bug in the table itself.
+(bounded staleness, self-healing on the docs' next update), AND
+``compact_older_than_s`` must then be set beyond the max batch
+duration, or a compaction could delete a file a concurrent batch's
+pinned snapshot still references (a FileNotFoundException, not
+staleness). Exactness over throughput here: near-dup candidates feed
+curation, so a missed pair is a quality leak, not a correctness bug
+in the table itself.
 """
 
 from __future__ import annotations
@@ -158,11 +162,23 @@ class SignatureStore:
     O(stream length)."""
 
     def __init__(
-        self, spark: SparkSession, root: str, compact_threshold: int = 16
+        self,
+        spark: SparkSession,
+        root: str,
+        compact_threshold: int = 16,
+        compact_older_than_s: float = 0.0,
     ) -> None:
         self.spark = spark
         self.root = root
         self.compact_threshold = compact_threshold
+        # single-writer default: 0 deletes all folded inputs. A
+        # pipelined or multi-process deployment MUST set a horizon
+        # longer than its max batch duration: a concurrent batch pins
+        # its corpus file list at read() time, and deleting a pinned
+        # file mid-job is a FileNotFoundException, not staleness —
+        # the same reasoning as the snapshot sink's vacuum
+        # older_than_s cutoff.
+        self.compact_older_than_s = compact_older_than_s
         os.makedirs(root, exist_ok=True)
 
     def _files(self) -> list[str]:
@@ -215,23 +231,44 @@ class SignatureStore:
             os.path.join(self.root, f"batch-{batch_id}.parquet"), ignore_errors=True
         )
 
-    def compact(self) -> None:
+    def compact(self, older_than_s: float | None = None) -> None:
         """Fold the history into one file set of latest rows per
         (id, band). Tombstones are KEPT — dropping them would let a
         late out-of-order signature (lower op_sequence) resurrect a
         deleted doc; they are few and the snapshot sink's watermark-GC
         pattern can reap them if ever needed. A crash between the write
         and the deletes leaves old + compacted files coexisting, which
-        the LWW read folds to the same answer."""
+        the LWW read folds to the same answer. Only input file sets
+        whose newest file is older than ``older_than_s`` are deleted
+        (default: the store's ``compact_older_than_s``): a concurrent
+        batch's pinned read() snapshot must never lose a file mid-job;
+        survivors fold into a later compaction once aged out."""
+        import shutil
+        import time as _time
+
+        if older_than_s is None:
+            older_than_s = self.compact_older_than_s
         files = self._files()
         if not files:
             return
         out = os.path.join(self.root, f"compact-{uuid.uuid4().hex}.parquet")
         self._latest(files).write.mode("overwrite").parquet(out)
-        import shutil
+        cutoff = _time.time() - older_than_s
+
+        def _newest_mtime(path: str) -> float:
+            if os.path.isdir(path):
+                return max(
+                    (os.path.getmtime(os.path.join(path, f)) for f in os.listdir(path)),
+                    default=os.path.getmtime(path),
+                )
+            return os.path.getmtime(path)
 
         for f in files:
-            shutil.rmtree(f, ignore_errors=True)
+            try:
+                if _newest_mtime(f) <= cutoff:
+                    shutil.rmtree(f, ignore_errors=True)
+            except OSError:
+                pass  # a concurrent compaction already removed it
 
     def maybe_compact(self) -> None:
         if len(self._files()) >= self.compact_threshold:

@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from beehive_data_etl_spark.functions.dedup import DEFAULT_MAX_BUCKET
 from beehive_data_etl_spark.functions.hashing import portable_hash32
 
 
@@ -286,7 +287,7 @@ def cosine_neardup_pairs_lsh(
     planes: int = 6,
     tables: int = 2,
     dim: int = 64,
-    max_bucket: int = 10_000,
+    max_bucket: int = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Embedding near-duplicate pairs blocked by hyperplane LSH buckets
     instead of a metadata group — the corpus-scale path (the grouped

@@ -1115,6 +1115,26 @@ def q_dedup_exact(spark, sf):
 
 
 # --------------------------------------------------------------- minhash LSH
+def _band_sql(k: int, bands: int, extra: str = "") -> tuple[str, str]:
+    """Shared banded-signature SQL fragments: per-band md5 exprs over a
+    ``sig`` array CTE, and the UNION ALL that longifies them (carrying
+    ``extra`` columns through). One definition — _minhash_ctes AND
+    _incremental_oracle derive from it, so the banding scheme cannot
+    silently diverge between oracles."""
+    rows = k // bands
+    cols = f"id{', ' + extra if extra else ''}"
+    band_exprs = ", ".join(
+        "md5(" + " || ',' || ".join(f"sig[{b * rows + r + 1}]::VARCHAR" for r in range(rows)) + ")"
+        f" AS band_{b}"
+        for b in range(bands)
+    )
+    unions = " UNION ALL ".join(
+        f"SELECT {cols}, {b} AS band, band_{b} AS band_hash FROM banded"
+        for b in range(bands)
+    )
+    return band_exprs, unions
+
+
 def _minhash_ctes(
     k: int = 16, bands: int = 4, shingle_n: int = 3, max_bucket: int | None = None
 ) -> tuple[str, str]:
@@ -1131,15 +1151,7 @@ def _minhash_ctes(
 
     sh = word_shingles_sql("text", shingle_n)
     sig = minhash_signature_sql("sh", k)
-    rows = k // bands
-    band_exprs = ", ".join(
-        "md5(" + " || ',' || ".join(f"sig[{b * rows + r + 1}]::VARCHAR" for r in range(rows)) + ")"
-        f" AS band_{b}"
-        for b in range(bands)
-    )
-    unions = " UNION ALL ".join(
-        f"SELECT id, {b} AS band, band_{b} AS band_hash FROM banded" for b in range(bands)
-    )
+    band_exprs, unions = _band_sql(k, bands)
     ctes = f"""shingled AS (SELECT doc_id AS id, {sh} AS sh FROM documents),
     sigs AS (SELECT id, {sig} AS sig FROM shingled),
     banded AS (SELECT id, {band_exprs} FROM sigs),
@@ -1221,32 +1233,32 @@ def q_dedup_cluster(spark, sf):
 
 # ------------------------------------------------- incremental near-dup
 def _incremental_oracle(
-    k: int = 16, bands: int = 4, shingle_n: int = 3, max_bucket: int = 10_000
+    k: int = 16, bands: int = 4, shingle_n: int = 3, max_bucket: int | None = None
 ) -> str:
     # mirrors incremental_candidates_static exactly: a 10% hash split
     # plays the "incoming micro-batch", the rest is the corpus; pairs
     # are NEW×CORPUS only (never corpus×corpus), and the hot-bucket cap
     # counts CORPUS members per touched bucket — the same asymmetric
     # cap the per-batch CDC path applies.
-    from beehive_data_etl_spark.functions.dedup import word_shingles_sql
-    from beehive_data_etl_spark.functions.hashing import minhash_signature_sql
+    from beehive_data_etl_spark.functions.dedup import (
+        DEFAULT_MAX_BUCKET,
+        word_shingles_sql,
+    )
+    from beehive_data_etl_spark.functions.hashing import (
+        minhash_signature_sql,
+        portable_hash32_sql,
+    )
 
+    if max_bucket is None:
+        max_bucket = DEFAULT_MAX_BUCKET
     sh = word_shingles_sql("text", shingle_n)
     sig = minhash_signature_sql("sh", k)
-    rows = k // bands
-    band_exprs = ", ".join(
-        "md5(" + " || ',' || ".join(f"sig[{b * rows + r + 1}]::VARCHAR" for r in range(rows)) + ")"
-        f" AS band_{b}"
-        for b in range(bands)
-    )
-    unions = " UNION ALL ".join(
-        f"SELECT id, is_new, {b} AS band, band_{b} AS band_hash FROM banded"
-        for b in range(bands)
-    )
+    band_exprs, unions = _band_sql(k, bands, extra="is_new")
+    split = portable_hash32_sql("CAST(doc_id AS VARCHAR)")
     return f"""
     WITH shingled AS (
         SELECT doc_id AS id,
-               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10 = 0 AS is_new,
+               {split} % 10 = 0 AS is_new,
                {sh} AS sh
         FROM documents
     ),
@@ -1536,8 +1548,12 @@ def _ann_ivf_oracle(k: int = 5, n_centroids: int = 16, nprobe: int = 4) -> str:
 # exact-cosine threshold filter.
 def _neardup_lsh_oracle(
     threshold: float = 0.4, planes: int = 4, tables: int = 3,
-    max_bucket: int = 10_000,
+    max_bucket: int | None = None,
 ) -> str:
+    if max_bucket is None:
+        from beehive_data_etl_spark.functions.dedup import DEFAULT_MAX_BUCKET
+
+        max_bucket = DEFAULT_MAX_BUCKET
     sigs = _hyperplane_sigs_sql(planes, tables)
     cos_ab = _IVF_COS.format(a="a.embedding", b="b.embedding")
     return f"""

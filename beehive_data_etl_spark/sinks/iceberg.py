@@ -73,10 +73,12 @@ class IcebergSink:
         # are shared JVM state, so commits must serialize — without
         # this, one batch's MERGE can consume another batch's view and
         # stamp the wrong batch id (silent event loss + corrupted
-        # exactly-once bookkeeping). Upstream LWW dedup of each batch
-        # still runs concurrently; only the commit section is serial,
-        # which on a real cluster is also what Iceberg's optimistic
-        # snapshot commit protocol enforces at the table level.
+        # exactly-once bookkeeping). The expensive per-batch LWW fold
+        # is MATERIALIZED before the lock (see apply_batch), so only
+        # the view-create + conf-stamp + MERGE commit section is
+        # serial — which on a real cluster is also what Iceberg's
+        # optimistic snapshot commit protocol enforces at the table
+        # level.
         self._commit_lock = threading.Lock()
         if not iceberg_available(spark):
             raise RuntimeError(
@@ -120,9 +122,6 @@ class IcebergSink:
 
     def apply_batch(self, batch_df: DataFrame, batch_id: str | int) -> dict:
         batch_id = str(batch_id)
-        # per-key LWW fold of the batch — the only expensive part, and
-        # safe to PLAN concurrently (it is lazy; the job runs inside the
-        # MERGE under the lock below)
         deduped = lww_dedup(
             batch_df.drop("event_ts", "batch_hint"),
             "doc_id",
@@ -130,6 +129,14 @@ class IcebergSink:
             salt_partials=self.salt_partials,
         )
         src = deduped.withColumn("deleted", F.col("op") == F.lit("D")).drop("op")
+        # materialize the per-key LWW fold OUTSIDE the lock: lww_dedup
+        # is lazy, so without this the expensive scan+fold job of every
+        # batch would execute inside the MERGE under the lock and
+        # pipelined replay (inflight>1) would collapse to serial
+        # compute; localCheckpoint runs the job now and cuts lineage,
+        # leaving only view-create + conf-stamp + MERGE in the critical
+        # section
+        src = src.localCheckpoint(eager=True)
         payload = [c for c in batch_df.columns if c not in ("op", "event_ts", "batch_hint")]
         batch_schema = batch_df.select(*payload).schema
         view = f"__beehive_batch_{re.sub(r'[^0-9A-Za-z_]', '_', batch_id)}"

@@ -809,10 +809,21 @@ class SnapshotSink:
                 if full not in live and not _too_young(full):
                     shutil.rmtree(full, ignore_errors=True)
                     removed += 1
-            if _too_young(ing_dir):
-                continue
-            if not os.listdir(ing_dir):
-                os.rmdir(ing_dir)
+            # rmdir-empty guard: the dir's OWN mtime suffices here (a
+            # concurrent writer creating the dir bumps it; files land
+            # later but rmdir on a then-non-empty dir just fails) — a
+            # recursive _too_young walk over the whole ingest subtree
+            # doubled the vacuum's stat pass for nothing (round-3
+            # review). Note our own rmtrees above bump the mtime, so
+            # with older_than_s > 0 a just-emptied dir survives until a
+            # later vacuum — conservative, not a leak.
+            try:
+                if not os.listdir(ing_dir) and (
+                    older_than_s <= 0 or os.path.getmtime(ing_dir) < cutoff
+                ):
+                    os.rmdir(ing_dir)
+            except OSError:
+                pass  # concurrent writer repopulated it — leave it
         # remove manifests of batches that never committed: their data
         # dirs were just deleted above (unreferenced by CURRENT), so a
         # surviving manifest would make a later replay of that batch_id

@@ -306,7 +306,15 @@ def _sharded_level(n_shards: int, tag: str) -> dict:
         attempt_deadline = t0 + 300
         open(os.path.join(go_dir, f"go_{k}"), "w").close()
         while not _all(lambda ln, k=k: ln.startswith("{") and f'"attempt": {k}' in ln):
-            if time.time() > attempt_deadline or any(p.poll() is not None for p in procs):
+            # a CLEAN exit is not a failure: after its LAST attempt a
+            # fast shard exits while slower shards still replay, and
+            # its report line may sit in the pipe ahead of the drain
+            # thread — only a nonzero returncode (or the deadline)
+            # aborts the level
+            died = any(
+                p.poll() is not None and p.returncode != 0 for p in procs
+            )
+            if time.time() > attempt_deadline or died:
                 _fail(f"shard attempt {k} failed")
             time.sleep(0.05)
         makespans.append(time.time() - t0)

@@ -87,6 +87,7 @@ def test_apply_batch_serializes_commits(monkeypatch):
             self.merges = []
             self._in_merge = False
             self.overlapped = False
+            self.checkpoints = 0
 
         def table(self, name):
             class Tbl:
@@ -122,6 +123,14 @@ def test_apply_batch_serializes_commits(monkeypatch):
             return self
 
         def withColumn(self, *a, **k):
+            return self
+
+        def localCheckpoint(self, eager=False):
+            # the fold must materialize per batch, before the critical
+            # section (round-3 review: a lazy fold executes its job
+            # under the lock, serializing all batch compute) — code
+            # position guarantees the ordering; count the calls here
+            self.owner.checkpoints += 1
             return self
 
         def select(self, *cols):
@@ -166,3 +175,4 @@ def test_apply_batch_serializes_commits(monkeypatch):
         assert prop == view.rsplit("_", 1)[-1]  # (b) own batch id stamped
     assert stub.views == {}  # views dropped after commit
     assert stub.conf.props == {}  # property unset after commit
+    assert stub.checkpoints == 4  # every batch materialized pre-lock

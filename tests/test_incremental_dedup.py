@@ -285,3 +285,24 @@ def test_token_shingles_sql_matches_spark(spark):
         ).fetchall()
     }
     assert got == want
+
+
+def test_compaction_age_cutoff_spares_recent_files(spark, tmp_path):
+    """Round-3 review: under pipelined/multi-process use a compaction
+    must not delete files a concurrent batch's pinned snapshot still
+    references — with compact_older_than_s set, young file sets
+    survive (and still fold correctly), while the folded output is
+    written either way."""
+    store = SignatureStore(spark, str(tmp_path / "s"), compact_older_than_s=3600)
+    rows = spark.createDataFrame(
+        [("a", 0, "h1", 1, False)],
+        "id string, band int, band_hash string, op_sequence long, deleted boolean",
+    )
+    store.append(rows, batch_id="b0")
+    before = set(store._files())
+    store.compact()  # honors the 1h horizon → deletes nothing young
+    after = set(store._files())
+    assert before < after  # originals survive, folded file added
+    assert [r.band_hash for r in store.read().collect()] == ["h1"]
+    store.compact(older_than_s=0)  # explicit override folds everything
+    assert len(store._files()) == 1
