@@ -1308,6 +1308,53 @@ def q_dedup_incremental(spark, sf):
     )
 
 
+# ------------------------------------------------- incremental agg (IVM)
+def _agg_ivm_oracle() -> str:
+    from beehive_data_etl_spark.functions.hashing import portable_hash32_sql
+
+    split = portable_hash32_sql("CAST(event_id AS VARCHAR)")
+    return f"""
+    SELECT event_type,
+           count(*) AS n_rows,
+           CAST(sum(user_id) AS BIGINT) AS sum_user
+    FROM events
+    WHERE NOT ({split} % 10 = 0)
+    GROUP BY event_type
+    """
+
+
+@query("q_agg_ivm", _agg_ivm_oracle())
+def q_agg_ivm(spark, sf):
+    """Incremental view maintenance arithmetic (sinks/aggregates.py) as
+    a driver-checked static query: the aggregate over ALL events merged
+    with the NEGATED contributions of a deterministic 10% hash slice
+    (the stand-in for a retracted/deleted micro-batch) must land exactly
+    on a recompute over the remaining 90% — the defining IVM equation,
+    through the production ``merge_agg`` (eqNullSafe full-outer fold,
+    zero identities, drop-at-zero-count). The live changelog-fed path
+    over a real sink is exercised by tests/test_aggregate_view.py."""
+    from beehive_data_etl_spark.functions.hashing import portable_hash32
+    from beehive_data_etl_spark.sinks.aggregates import full_agg, merge_agg
+
+    ev = t(spark, sf, "events").select("event_id", "event_type", "user_id")
+    is_cut = portable_hash32(F.col("event_id").cast("string")) % 10 == 0
+    total = full_agg(ev, ["event_type"], ["user_id"])
+    neg = full_agg(ev.filter(is_cut), ["event_type"], ["user_id"]).select(
+        "event_type",
+        (-F.col("n_rows")).alias("n_rows"),
+        (-F.col("user_id")).alias("user_id"),
+        (-F.col("_nn_user_id")).alias("_nn_user_id"),
+    )
+    merged = merge_agg(
+        total, neg, ["event_type"], ["n_rows", "user_id", "_nn_user_id"]
+    )
+    return merged.select(
+        "event_type",
+        "n_rows",
+        F.when(F.col("_nn_user_id") > 0, F.col("user_id")).alias("sum_user"),
+    )
+
+
 # --------------------------------------------------------------- simhash
 def _simhash_oracle() -> str:
     from beehive_data_etl_spark.functions.dedup import simhash_sql
@@ -2419,9 +2466,11 @@ _DRIVER_FIRST = [
     "q_dedup_lww_salted", "q_join_asof", "q_join_range",
     "q_join_broadcast", "q_agg_basic", "q_agg_approx", "q_rollup",
     "q_win_rank", "q_except", "q_topk", "q_stream_session",
-    # q_dedup_incremental is NEW in round 3 (ingest-time near-dup) — it
-    # takes q_json's slot (JSON fns were driver-green in r2 and stable)
-    "q_pandas_udf", "q_udaf", "q_dedup_incremental", "q_sql_scalar_subquery",
+    # q_dedup_incremental and q_agg_ivm are NEW in round 3 (ingest-time
+    # near-dup; incremental-view-maintenance merge) — they take the
+    # slots of q_json / q_sql_scalar_subquery (both driver-green in r2
+    # and untouched since)
+    "q_pandas_udf", "q_udaf", "q_dedup_incremental", "q_agg_ivm",
 ]
 
 

@@ -1,0 +1,276 @@
+"""Incremental materialized aggregate views over the CDC snapshot
+(classic incremental view maintenance — IVM).
+
+A downstream consumer of a 10^10-row tokenized-sequence table almost
+always wants bookkeeping aggregates — docs and tokens per ``source``,
+per split, per language — and recomputing a GROUP BY over the whole
+table after every micro-batch is O(table) work for an O(batch) change.
+``AggregateView`` maintains such aggregates from the row-level
+changelog instead:
+
+- **refresh cost is O(changed rows)** — the pre-image changelog
+  (``SnapshotSink.read_changes_pruned``) reads only the delta files
+  committed since the view's last refresh plus the old state of the
+  buckets they touch, never the whole table — **plus a co-grouped
+  merge with the stored aggregate, which is O(live groups)**;
+- every change row contributes **+1/+value under its new group** (if
+  live after the change) and **−1/−value under its old group** (if it
+  was live before), emitted in ONE pass over the changelog via an
+  array-of-structs explode — group-moving updates and deletes fall out
+  of the same arithmetic;
+- only **distributive, delete-invertible** aggregates are maintained:
+  COUNT and SUM (AVG derives as sum/count at read time). MIN/MAX are
+  deliberately NOT offered — they are not delete-maintainable without
+  per-group auxiliary state (a deleted row that held the max forces a
+  group rescan); callers who need them recompute from ``read_final``;
+- SUM's NULL semantics are exact: a per-column **non-null contribution
+  count** (``_nn_<col>``) rides along, and ``read()`` restores SQL's
+  "SUM over zero non-null rows is NULL" — a plain running sum would
+  report 0 after the last non-null contributor is deleted, silently
+  diverging from a recompute;
+- the stored aggregate commits like the sink itself: write a new
+  parquet, then atomically swap a ``CURRENT`` pointer recording the
+  snapshot version it reflects. ``refresh()`` is idempotent (same
+  version → no-op) and crash-safe (a crash before the swap leaves the
+  previous aggregate live; re-refresh recomputes the same delta).
+
+Float caveat: SUM over DOUBLE is order-sensitive in the last ulp, so an
+incrementally-maintained double sum can differ from a recompute by
+rounding; the data model's token counts are integral (exact). Documented
+rather than hidden — ``verify()`` does an exact compare.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+COUNT_COL = "n_rows"
+
+
+def _sum_type(dt: T.DataType) -> str:
+    """The type Spark's SUM would produce — integral inputs widen to
+    long, fractional to double — so the maintained column's type matches
+    a recompute's bit-for-bit."""
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return "long"
+    return "double"
+
+
+def full_agg(df: DataFrame, group_cols: list[str], sum_cols: list[str]) -> DataFrame:
+    """The ground-truth aggregate shape: COUNT(*) plus, per sum column,
+    a 0-defaulted SUM and its non-null count. ``merge_agg`` folds deltas
+    into exactly this shape; ``AggregateView.read()`` restores NULL sums
+    from the non-null counts."""
+    types = {f.name: f.dataType for f in df.schema.fields}
+    aggs = [F.count(F.lit(1)).alias(COUNT_COL)]
+    for c in sum_cols:
+        st = _sum_type(types[c])
+        aggs.append(F.coalesce(F.sum(F.col(c).cast(st)), F.lit(0).cast(st)).alias(c))
+        aggs.append(F.count(c).alias(f"_nn_{c}"))
+    return df.groupBy(*group_cols).agg(*aggs)
+
+
+def merge_agg(
+    old: DataFrame, delta: DataFrame, group_cols: list[str], add_cols: list[str]
+) -> DataFrame:
+    """Additively fold a delta aggregate into a stored aggregate: one
+    full-outer join on the group keys (groups absent on either side
+    contribute 0), every ``add_cols`` column summed, groups whose row
+    count reaches 0 dropped — the merge that keeps the stored view
+    O(live groups). ``add_cols[0]`` must be the row count. Shuffles only
+    the two aggregate tables (O(groups)), never any base data."""
+    types = {f.name: f.dataType.simpleString() for f in old.schema.fields}
+    o = old.select(*group_cols, *add_cols).alias("o")
+    d = delta.select(
+        *group_cols, *[F.col(c).alias(f"_d_{c}") for c in add_cols]
+    ).alias("d")
+    # eqNullSafe, not on=[names]: GROUP BY folds NULL keys into one
+    # group, so the merge must too — a plain equi-join would leave a
+    # NULL group unmerged on both sides
+    cond = None
+    for g in group_cols:
+        e = F.col(f"o.{g}").eqNullSafe(F.col(f"d.{g}"))
+        cond = e if cond is None else (cond & e)
+    j = o.join(d, cond, "full_outer")
+    sel = [F.coalesce(F.col(f"o.{g}"), F.col(f"d.{g}")).alias(g) for g in group_cols]
+    for c in add_cols:
+        zero = F.lit(0).cast(types[c])
+        sel.append(
+            (F.coalesce(F.col(f"o.{c}"), zero) + F.coalesce(F.col(f"_d_{c}"), zero))
+            .alias(c)
+        )
+    return j.select(*sel).filter(F.col(add_cols[0]) > 0)
+
+
+def changelog_delta(
+    changes: DataFrame, group_cols: list[str], sum_cols: list[str]
+) -> DataFrame:
+    """One-pass delta aggregate from a pre-image changelog
+    (``read_changes_pruned(include_old=True)`` rows): each change row
+    emits up to two contribution structs — +1/+values under the NEW
+    group when the row is live after the change, −1/−values under the
+    OLD group when it was live before — exploded and grouped. Updates
+    that move a row between groups, deletes, and NULL-valued sums all
+    reduce to the same additive arithmetic; the explode is narrow (no
+    extra shuffle beyond the final groupBy on O(changed rows))."""
+    types = {f.name: f.dataType for f in changes.schema.fields}
+
+    def contrib(sign: int, prefix: str):
+        fields = [F.col(f"{prefix}{g}").alias(g) for g in group_cols]
+        fields.append(F.lit(sign).cast("long").alias(COUNT_COL))
+        for c in sum_cols:
+            st = _sum_type(types[c])
+            v = F.coalesce(F.col(f"{prefix}{c}").cast(st), F.lit(0).cast(st))
+            fields.append((F.lit(sign).cast(st) * v).alias(c))
+            fields.append(
+                F.when(F.col(f"{prefix}{c}").isNotNull(), F.lit(sign))
+                .otherwise(F.lit(0))
+                .cast("long")
+                .alias(f"_nn_{c}")
+            )
+        return F.struct(*fields)
+
+    new_live = ~F.col("deleted")
+    old_live = F.col("change_type").isin("U", "D")
+    entries = F.array(
+        F.when(new_live, contrib(1, "")),
+        F.when(old_live, contrib(-1, "_old_")),
+    )
+    add_cols = [COUNT_COL] + [x for c in sum_cols for x in (c, f"_nn_{c}")]
+    return (
+        changes.select(F.explode(entries).alias("e"))
+        .filter(F.col("e").isNotNull())
+        .select("e.*")
+        .groupBy(*group_cols)
+        .agg(*[F.sum(c).alias(c) for c in add_cols])
+    )
+
+
+class AggregateView:
+    """A named, incrementally-maintained GROUP BY over a
+    ``SnapshotSink`` table (docstring at module top for semantics and
+    scale analysis). Commit protocol mirrors the sink: parquet write →
+    atomic ``CURRENT`` pointer swap recording the reflected snapshot
+    version; the previous aggregate file is kept one generation for
+    crash-safety and reaped on the following refresh."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        sink,
+        root: str,
+        group_cols: list[str],
+        sum_cols: list[str] | None = None,
+    ) -> None:
+        self.spark = spark
+        self.sink = sink
+        self.root = root
+        self.group_cols = list(group_cols)
+        self.sum_cols = list(sum_cols or [])
+        self.add_cols = [COUNT_COL] + [
+            x for c in self.sum_cols for x in (c, f"_nn_{c}")
+        ]
+        os.makedirs(root, exist_ok=True)
+
+    # ------------------------------------------------------------ pointer
+    def _ptr_path(self) -> str:
+        return os.path.join(self.root, "CURRENT")
+
+    def current(self) -> dict | None:
+        try:
+            with open(self._ptr_path()) as fh:
+                return json.load(fh)
+        except FileNotFoundError:
+            return None
+
+    def _commit(self, df: DataFrame, version: int) -> None:
+        prev = self.current()
+        out = os.path.join(self.root, f"agg-v{version:06d}-{uuid.uuid4().hex}")
+        df.write.mode("overwrite").parquet(out)
+        tmp = self._ptr_path() + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as fh:
+            json.dump({"version": version, "path": out}, fh)
+        os.replace(tmp, self._ptr_path())  # THE commit point
+        # reap the generation BEFORE prev (prev itself stays one more
+        # refresh: a reader that loaded the old pointer may still be
+        # scanning it)
+        keep = {out, prev["path"]} if prev else {out}
+        for d in os.listdir(self.root):
+            full = os.path.join(self.root, d)
+            if d.startswith("agg-v") and full not in keep:
+                shutil.rmtree(full, ignore_errors=True)
+
+    # ------------------------------------------------------------ refresh
+    def refresh(self) -> dict:
+        """Advance the view to the sink's CURRENT snapshot. Full build
+        on first call; O(changed rows) incremental merge afterwards;
+        no-op when already current."""
+        snap = self.sink.current_snapshot()
+        if snap is None:
+            return {"mode": "noop", "reason": "sink has no snapshot"}
+        v_new = snap["version"]
+        cur = self.current()
+        if cur is not None and cur["version"] == v_new:
+            return {"mode": "noop", "version": v_new}
+        if cur is None:
+            live = self.sink.read_state(version=v_new).filter(~F.col("deleted"))
+            agg = full_agg(live, self.group_cols, self.sum_cols)
+            self._commit(agg, v_new)
+            return {"mode": "full", "version": v_new}
+        changes = self.sink.read_changes_pruned(
+            cur["version"], v_new, include_old=True
+        )
+        delta = changelog_delta(changes, self.group_cols, self.sum_cols)
+        old = self.spark.read.parquet(cur["path"])
+        merged = merge_agg(old, delta, self.group_cols, self.add_cols)
+        self._commit(merged, v_new)
+        return {
+            "mode": "incremental",
+            "version": v_new,
+            "from_version": cur["version"],
+        }
+
+    # ------------------------------------------------------------ read
+    def read(self) -> DataFrame:
+        """The user-facing aggregate: group columns, row count, sums —
+        with SQL's NULL-sum semantics restored from the non-null
+        counts."""
+        cur = self.current()
+        if cur is None:
+            raise ValueError("view never refreshed")
+        df = self.spark.read.parquet(cur["path"])
+        for c in self.sum_cols:
+            df = df.withColumn(
+                c, F.when(F.col(f"_nn_{c}") > 0, F.col(c))
+            )
+        return df.select(*self.group_cols, COUNT_COL, *self.sum_cols)
+
+    def verify(self) -> dict:
+        """Exact compare of the maintained aggregate vs a full recompute
+        at the view's reflected snapshot version (the IVM ground truth).
+        Two O(groups) exceptAll jobs — a test/ops check, not a hot
+        path."""
+        cur = self.current()
+        live = self.sink.read_state(version=cur["version"]).filter(
+            ~F.col("deleted")
+        )
+        want = full_agg(live, self.group_cols, self.sum_cols)
+        for c in self.sum_cols:
+            want = want.withColumn(c, F.when(F.col(f"_nn_{c}") > 0, F.col(c)))
+        want = want.select(*self.group_cols, COUNT_COL, *self.sum_cols)
+        got = self.read()
+        extra = got.exceptAll(want).count()
+        missing = want.exceptAll(got).count()
+        return {
+            "ok": extra == 0 and missing == 0,
+            "extra": extra,
+            "missing": missing,
+            "version": cur["version"],
+        }

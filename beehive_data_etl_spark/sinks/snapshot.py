@@ -263,6 +263,108 @@ class SnapshotSink:
             .drop("_old_seq", "_old_del")
         )
 
+    def read_changes_pruned(
+        self, from_version: int, to_version: int, include_old: bool = False
+    ) -> DataFrame:
+        """``read_changes`` computed from the DELTA FILES committed
+        between the two snapshots instead of a full-outer join of the
+        two whole states: cost is O(changed rows + old state of their
+        buckets), never O(table) — a bucket with no new files in the
+        window is pruned entirely, which is what makes tailing a
+        10^10-row table's changelog feasible. Same output contract as
+        ``read_changes``; with ``include_old=True`` every row also
+        carries the pre-image payload as ``_old_<col>`` columns (NULL
+        for inserts) — what incremental aggregate maintenance
+        (``sinks.aggregates``) subtracts.
+
+        Correctness under rewrites: a compaction or tombstone-GC that
+        landed in the window re-surfaces OLD rows in the path diff, but
+        those carry an unchanged ``op_sequence`` and are dropped by the
+        strict ``seq > old_seq`` predicate — correct, at the cost of
+        scanning the rewritten bucket. A key untouched by any file in
+        the diff cannot have changed (state mutates only via committed
+        delta/rewrite files). Like time travel, reads of ``from_version``
+        state may fail if ``vacuum()`` already reaped that version's
+        files — refresh consumers inside the vacuum horizon."""
+        old_snap = self.snapshot(from_version)
+        new_snap = self.snapshot(to_version)
+        target = T.StructType.fromDDL(new_snap["schema"])
+        old_paths = {
+            e["path"] for ents in old_snap["buckets"].values() for e in ents
+        }
+        fresh_buckets: dict[str, list[dict]] = {}
+        for b_str, ents in new_snap["buckets"].items():
+            fresh = [e for e in ents if e["path"] not in old_paths]
+            if fresh:
+                fresh_buckets[b_str] = fresh
+        # mirror read_changes' column order (= lww_dedup's: KEY, SEQ,
+        # remaining payload) so the two changelog readers interchange
+        payload = [f.name for f in target.fields if f.name not in (KEY, SEQ)]
+        payload = [SEQ] + payload
+        by_name = {f.name: f for f in target.fields}
+        out_schema = T.StructType(
+            [by_name[KEY]]
+            + [by_name[c] for c in payload]
+            + [T.StructField("change_type", T.StringType())]
+            + (
+                [
+                    T.StructField(f"_old_{c}", by_name[c].dataType)
+                    for c in payload
+                ]
+                if include_old
+                else []
+            )
+        )
+        if not fresh_buckets:
+            return self.spark.createDataFrame([], out_schema)
+        touched = [int(b) for b in fresh_buckets]
+        # new candidate images: LWW fold of just the fresh files — for a
+        # key the fold wins (seq > old), this IS the new state image,
+        # because the full state fold is max(old row, fresh rows)
+        d = lww_dedup(
+            self._read_buckets(
+                {"schema": new_snap["schema"], "buckets": fresh_buckets}, touched
+            ),
+            KEY,
+            SEQ,
+        )
+        o = self._read_buckets(old_snap, touched, target=target)
+        if o is None:
+            old_img = None
+        else:
+            old_img = lww_dedup(o, KEY, SEQ).select(
+                F.col(KEY),
+                *[F.col(c).alias(f"_old_{c}") for c in payload],
+            )
+        if old_img is None:
+            types = {f.name: f.dataType for f in target.fields}
+            j = d.select(
+                KEY,
+                *payload,
+                *[F.lit(None).cast(types[c]).alias(f"_old_{c}") for c in payload],
+            )
+        else:
+            j = d.join(old_img, KEY, "left_outer")
+        old_live = F.col("_old_deleted").isNotNull() & ~F.col("_old_deleted")
+        new_live = ~F.col("deleted")
+        changed = F.col(f"_old_{SEQ}").isNull() | (
+            F.col(SEQ) > F.col(f"_old_{SEQ}")
+        )
+        change = (
+            F.when(new_live & ~old_live, F.lit("I"))
+            .when(new_live & old_live, F.lit("U"))
+            .when(~new_live & old_live, F.lit("D"))
+        )
+        out = (
+            j.filter(changed)
+            .withColumn("change_type", change)
+            .filter(F.col("change_type").isNotNull())
+        )
+        keep = [KEY, *payload, "change_type"] + (
+            [f"_old_{c}" for c in payload] if include_old else []
+        )
+        return out.select(*keep)
+
     def read_final(self) -> DataFrame:
         """The user-facing table: live rows only, internal columns dropped."""
         state = self.read_state()

@@ -55,5 +55,5 @@ def test_driver_snapshot_order():
     never_checked = _DRIVER_FIRST[:29]
     touched = {"q_neardup_cosine", "q_neardup_lsh", "q_dedup_minhash",
                "q_dedup_cluster", "q_join_anti", "q_except",
-               "q_dedup_incremental"}
+               "q_dedup_incremental", "q_agg_ivm"}
     assert set(never_checked) | touched <= set(keys[:50])
