@@ -39,11 +39,13 @@ append — appends are still safe (unique files, LWW read), but a pair
 whose two docs ride concurrent batches can be missed for that window
 (bounded staleness, self-healing on the docs' next update), AND
 ``compact_older_than_s`` must then be set beyond the max batch
-duration, or a compaction could delete a file a concurrent batch's
-pinned snapshot still references (a FileNotFoundException, not
-staleness). Exactness over throughput here: near-dup candidates feed
-curation, so a missed pair is a quality leak, not a correctness bug
-in the table itself.
+duration: a compaction SUPERSEDES its inputs (hidden from new
+listings, kept on disk) and only GCs them once they have been
+unlisted for the horizon — so a concurrent batch's pinned snapshot
+never loses a file mid-job (which would be a FileNotFoundException,
+not staleness). Exactness over throughput here: near-dup candidates
+feed curation, so a missed pair is a quality leak, not a correctness
+bug in the table itself.
 """
 
 from __future__ import annotations
@@ -171,22 +173,52 @@ class SignatureStore:
         self.spark = spark
         self.root = root
         self.compact_threshold = compact_threshold
-        # single-writer default: 0 deletes all folded inputs. A
-        # pipelined or multi-process deployment MUST set a horizon
-        # longer than its max batch duration: a concurrent batch pins
-        # its corpus file list at read() time, and deleting a pinned
-        # file mid-job is a FileNotFoundException, not staleness —
-        # the same reasoning as the snapshot sink's vacuum
-        # older_than_s cutoff.
+        # Iceberg-style two-phase expiry horizon. 0 (single-writer
+        # default): a compaction's inputs are physically deleted
+        # immediately. A pipelined or multi-process deployment MUST set
+        # a horizon longer than its max batch duration: a compaction
+        # first SUPERSEDES its inputs (a persisted marker hides them
+        # from all later read()/append() file listings), and only a
+        # later GC physically deletes a set once it has been UNLISTED
+        # for >= the horizon — so any reader that pinned the files
+        # while they were still listed has long finished. Keying the
+        # delay off unlisting time (not file write time) is what makes
+        # this safe: files can be pinned at any moment while listed.
         self.compact_older_than_s = compact_older_than_s
         os.makedirs(root, exist_ok=True)
 
-    def _files(self) -> list[str]:
+    def _all_parquet(self) -> list[str]:
         return sorted(
             os.path.join(self.root, f)
             for f in os.listdir(self.root)
             if f.endswith(".parquet")
         )
+
+    def _markers(self) -> list[str]:
+        return sorted(
+            os.path.join(self.root, f)
+            for f in os.listdir(self.root)
+            if f.startswith("superseded-") and f.endswith(".json")
+        )
+
+    def _superseded(self) -> set[str]:
+        import json
+
+        out: set[str] = set()
+        for m in self._markers():
+            try:
+                with open(m) as fh:
+                    out.update(json.load(fh)["files"])
+            except (OSError, ValueError):
+                pass  # marker mid-write by a concurrent compaction
+        return out
+
+    def _files(self) -> list[str]:
+        """LIVE file sets: everything a compaction has superseded is
+        hidden (its rows live on in the fold output), though it may
+        still sit on disk inside the GC horizon for pinned readers."""
+        hidden = self._superseded()
+        return [p for p in self._all_parquet() if p not in hidden]
 
     def _latest(self, files: list[str]) -> DataFrame:
         raw = self.spark.read.schema(_STORE_SCHEMA).parquet(*files)
@@ -231,46 +263,68 @@ class SignatureStore:
             os.path.join(self.root, f"batch-{batch_id}.parquet"), ignore_errors=True
         )
 
-    def compact(self, older_than_s: float | None = None) -> None:
-        """Fold the history into one file set of latest rows per
-        (id, band). Tombstones are KEPT — dropping them would let a
-        late out-of-order signature (lower op_sequence) resurrect a
-        deleted doc; they are few and the snapshot sink's watermark-GC
-        pattern can reap them if ever needed. A crash between the write
-        and the deletes leaves old + compacted files coexisting, which
-        the LWW read folds to the same answer. Only input file sets
-        whose newest file is older than ``older_than_s`` are deleted
-        (default: the store's ``compact_older_than_s``): a concurrent
-        batch's pinned read() snapshot must never lose a file mid-job;
-        survivors fold into a later compaction once aged out."""
+    def gc_superseded(self, older_than_s: float | None = None) -> int:
+        """Physically delete superseded file sets whose marker is older
+        than the horizon (default: the store's). Crash-safe: deletes
+        run before the marker is removed, so a re-run re-deletes
+        already-gone paths as no-ops. Returns the number of file sets
+        reaped."""
+        import json
         import shutil
         import time as _time
 
         if older_than_s is None:
             older_than_s = self.compact_older_than_s
+        cutoff = _time.time() - older_than_s
+        reaped = 0
+        for m in self._markers():
+            try:
+                with open(m) as fh:
+                    body = json.load(fh)
+            except (OSError, ValueError):
+                continue
+            if body["ts"] <= cutoff:
+                for f in body["files"]:
+                    shutil.rmtree(f, ignore_errors=True)
+                    reaped += 1
+                try:
+                    os.remove(m)
+                except OSError:
+                    pass  # concurrent GC beat us to it
+        return reaped
+
+    def compact(self, older_than_s: float | None = None) -> None:
+        """Fold the LIVE history into one file set of latest rows per
+        (id, band), then SUPERSEDE the inputs (marker write — they
+        vanish from listings but stay on disk for pinned readers) and
+        GC any sets unlisted for >= the horizon. Tombstones are KEPT —
+        dropping them would let a late out-of-order signature (lower
+        op_sequence) resurrect a deleted doc; they are few and the
+        snapshot sink's watermark-GC pattern can reap them if ever
+        needed. Crash between the fold write and the marker leaves
+        inputs + fold coexisting and both listed, which the LWW read
+        folds to the same answer. Skips when <= 1 live set (already
+        folded) — under a nonzero horizon the steady state is ONE live
+        file plus aging superseded sets, so the compact threshold
+        cannot re-trigger a full refold every batch."""
+        import json
+        import time as _time
+
+        self.gc_superseded(older_than_s)
         files = self._files()
-        if not files:
+        if len(files) <= 1:
             return
         out = os.path.join(self.root, f"compact-{uuid.uuid4().hex}.parquet")
         self._latest(files).write.mode("overwrite").parquet(out)
-        cutoff = _time.time() - older_than_s
-
-        def _newest_mtime(path: str) -> float:
-            if os.path.isdir(path):
-                return max(
-                    (os.path.getmtime(os.path.join(path, f)) for f in os.listdir(path)),
-                    default=os.path.getmtime(path),
-                )
-            return os.path.getmtime(path)
-
-        for f in files:
-            try:
-                if _newest_mtime(f) <= cutoff:
-                    shutil.rmtree(f, ignore_errors=True)
-            except OSError:
-                pass  # a concurrent compaction already removed it
+        marker = os.path.join(self.root, f"superseded-{uuid.uuid4().hex}.json")
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"ts": _time.time(), "files": files}, fh)
+        os.replace(tmp, marker)
+        self.gc_superseded(older_than_s)
 
     def maybe_compact(self) -> None:
+        self.gc_superseded()
         if len(self._files()) >= self.compact_threshold:
             self.compact()
 
@@ -293,9 +347,15 @@ class IncrementalNearDup:
         bands: int = 4,
         shingle_n: int = 3,
         max_bucket: int = DEFAULT_MAX_BUCKET,
+        compact_older_than_s: float = 0.0,
     ) -> None:
+        # compact_older_than_s reaches the store here — the production
+        # entry point must be able to set the pipelined-deployment GC
+        # horizon the module docstring mandates
         self.spark = spark
-        self.store = SignatureStore(spark, store_root)
+        self.store = SignatureStore(
+            spark, store_root, compact_older_than_s=compact_older_than_s
+        )
         self.k, self.bands = k, bands
         self.shingle_n = shingle_n
         self.max_bucket = max_bucket

@@ -56,11 +56,22 @@ COUNT_COL = "n_rows"
 
 def _sum_type(dt: T.DataType) -> str:
     """The type Spark's SUM would produce — integral inputs widen to
-    long, fractional to double — so the maintained column's type matches
-    a recompute's bit-for-bit."""
+    long, float/double to double, decimal(p, s) to
+    decimal(min(38, p+10), s) — so the maintained column's type matches
+    a recompute's bit-for-bit. Anything else (string, date, ...) is
+    rejected loudly: the previous silent cast-to-double would have
+    maintained a decimal column in float arithmetic, contradicting the
+    module's exactness contract (round-3 review)."""
     if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
         return "long"
-    return "double"
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        return "double"
+    if isinstance(dt, T.DecimalType):
+        return f"decimal({min(38, dt.precision + 10)},{dt.scale})"
+    raise ValueError(
+        f"unsupported sum column type {dt.simpleString()}: only integral, "
+        "float/double, and decimal columns can be incrementally summed"
+    )
 
 
 def full_agg(df: DataFrame, group_cols: list[str], sum_cols: list[str]) -> DataFrame:
@@ -72,7 +83,15 @@ def full_agg(df: DataFrame, group_cols: list[str], sum_cols: list[str]) -> DataF
     aggs = [F.count(F.lit(1)).alias(COUNT_COL)]
     for c in sum_cols:
         st = _sum_type(types[c])
-        aggs.append(F.coalesce(F.sum(F.col(c).cast(st)), F.lit(0).cast(st)).alias(c))
+        # the outer cast pins the SUM result type: a no-op for
+        # long/double, and for decimal it folds Spark's extra +10
+        # precision on summing an already-widened input back to the
+        # canonical decimal(min(38, p+10), s)
+        aggs.append(
+            F.coalesce(F.sum(F.col(c).cast(st)), F.lit(0).cast(st))
+            .cast(st)
+            .alias(c)
+        )
         aggs.append(F.count(c).alias(f"_nn_{c}"))
     return df.groupBy(*group_cols).agg(*aggs)
 
@@ -102,8 +121,12 @@ def merge_agg(
     sel = [F.coalesce(F.col(f"o.{g}"), F.col(f"d.{g}")).alias(g) for g in group_cols]
     for c in add_cols:
         zero = F.lit(0).cast(types[c])
+        # cast the fold back to the STORED type: decimal addition widens
+        # precision by 1 per Spark's rules, so without the cast the
+        # maintained column's type would drift a digit per refresh
         sel.append(
             (F.coalesce(F.col(f"o.{c}"), zero) + F.coalesce(F.col(f"_d_{c}"), zero))
+            .cast(types[c])
             .alias(c)
         )
     return j.select(*sel).filter(F.col(add_cols[0]) > 0)
@@ -128,7 +151,10 @@ def changelog_delta(
         for c in sum_cols:
             st = _sum_type(types[c])
             v = F.coalesce(F.col(f"{prefix}{c}").cast(st), F.lit(0).cast(st))
-            fields.append((F.lit(sign).cast(st) * v).alias(c))
+            # negation, not lit(sign) * v: unary minus preserves the
+            # decimal type exactly, while decimal multiplication sums
+            # the operands' scales (round-3 review)
+            fields.append((v if sign == 1 else (-v).cast(st)).alias(c))
             fields.append(
                 F.when(F.col(f"{prefix}{c}").isNotNull(), F.lit(sign))
                 .otherwise(F.lit(0))
@@ -144,12 +170,18 @@ def changelog_delta(
         F.when(old_live, contrib(-1, "_old_")),
     )
     add_cols = [COUNT_COL] + [x for c in sum_cols for x in (c, f"_nn_{c}")]
+    # pin every summed column to its maintained type (SUM re-widens
+    # decimals by another +10 precision)
+    out_types = {COUNT_COL: "long"}
+    for c in sum_cols:
+        out_types[c] = _sum_type(types[c])
+        out_types[f"_nn_{c}"] = "long"
     return (
         changes.select(F.explode(entries).alias("e"))
         .filter(F.col("e").isNotNull())
         .select("e.*")
         .groupBy(*group_cols)
-        .agg(*[F.sum(c).alias(c) for c in add_cols])
+        .agg(*[F.sum(c).cast(out_types[c]).alias(c) for c in add_cols])
     )
 
 
@@ -258,6 +290,8 @@ class AggregateView:
         Two O(groups) exceptAll jobs — a test/ops check, not a hot
         path."""
         cur = self.current()
+        if cur is None:
+            raise ValueError("view never refreshed")
         live = self.sink.read_state(version=cur["version"]).filter(
             ~F.col("deleted")
         )

@@ -122,6 +122,12 @@ class IcebergSink:
 
     def apply_batch(self, batch_df: DataFrame, batch_id: str | int) -> dict:
         batch_id = str(batch_id)
+        # lock-free re-delivery pre-check BEFORE the eager fold below —
+        # otherwise a re-delivered committed batch pays a full wasted
+        # scan+fold job (and pins checkpoint blocks) just to be skipped;
+        # the authoritative check still re-runs under the lock
+        if self.committed(batch_id):
+            return {"batch_id": batch_id, "skipped": True}
         deduped = lww_dedup(
             batch_df.drop("event_ts", "batch_hint"),
             "doc_id",

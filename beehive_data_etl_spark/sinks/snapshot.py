@@ -538,6 +538,12 @@ class SnapshotSink:
         bucket_rows: dict[int, int] = {}
         dest_root = os.path.join(self.root, "data", f"ingest={batch_id}")
         os.makedirs(dest_root, exist_ok=True)
+        # bump the mtime explicitly: makedirs(exist_ok=True) does NOT
+        # touch a pre-existing dir (a crashed attempt's leftover), and
+        # the vacuum's rmdir-empty guard keys off the dir's own mtime —
+        # without the bump a cross-process vacuum could rmdir the empty
+        # dir between here and the first os.replace below
+        os.utime(dest_root)
         schema_ddl_payload = _payload_ddl(table_schema)
         for b in written:
             src_dir = os.path.join(staging, f"_bucket={b}")
@@ -779,6 +785,7 @@ class SnapshotSink:
         )
         dest_root = os.path.join(self.root, "data", f"ingest={tag}")
         os.makedirs(dest_root, exist_ok=True)
+        os.utime(dest_root)  # same vacuum-rmdir race guard as publish
         ddl = _ddl(table_schema)
         moved: dict[str, list] = {}
         for b in todo:
@@ -911,14 +918,17 @@ class SnapshotSink:
                 if full not in live and not _too_young(full):
                     shutil.rmtree(full, ignore_errors=True)
                     removed += 1
-            # rmdir-empty guard: the dir's OWN mtime suffices here (a
-            # concurrent writer creating the dir bumps it; files land
-            # later but rmdir on a then-non-empty dir just fails) — a
-            # recursive _too_young walk over the whole ingest subtree
-            # doubled the vacuum's stat pass for nothing (round-3
-            # review). Note our own rmtrees above bump the mtime, so
-            # with older_than_s > 0 a just-emptied dir survives until a
-            # later vacuum — conservative, not a leak.
+            # rmdir-empty guard: the dir's OWN mtime suffices here —
+            # writers explicitly os.utime() the ingest dir right after
+            # makedirs (makedirs(exist_ok=True) does NOT bump a
+            # pre-existing dir from a crashed attempt), so a dir inside
+            # the horizon always has a recent mtime; files landing later
+            # can race only into a dir rmdir would then fail on (OSError
+            # swallowed below). A recursive _too_young walk over the
+            # whole ingest subtree doubled the vacuum's stat pass for
+            # nothing (round-3 review). Note our own rmtrees above bump
+            # the mtime, so with older_than_s > 0 a just-emptied dir
+            # survives until a later vacuum — conservative, not a leak.
             try:
                 if not os.listdir(ing_dir) and (
                     older_than_s <= 0 or os.path.getmtime(ing_dir) < cutoff

@@ -273,10 +273,13 @@ def _sharded_level(n_shards: int, tag: str) -> dict:
         for i in range(n_shards)
     ]
     lines: list[list[str]] = [[] for _ in procs]
+    drained = [False] * n_shards
 
     def _drain(idx: int) -> None:
         for ln in procs[idx].stdout:
             lines[idx].append(ln.strip())
+        # EOF: every line the shard will ever emit is in lines[idx]
+        drained[idx] = True
 
     threads = [threading.Thread(target=_drain, args=(i,), daemon=True) for i in range(n_shards)]
     for t in threads:
@@ -305,16 +308,29 @@ def _sharded_level(n_shards: int, tag: str) -> dict:
         t0 = time.time()
         attempt_deadline = t0 + 300
         open(os.path.join(go_dir, f"go_{k}"), "w").close()
-        while not _all(lambda ln, k=k: ln.startswith("{") and f'"attempt": {k}' in ln):
-            # a CLEAN exit is not a failure: after its LAST attempt a
-            # fast shard exits while slower shards still replay, and
-            # its report line may sit in the pipe ahead of the drain
-            # thread — only a nonzero returncode (or the deadline)
-            # aborts the level
+        def _has_report(idx: int) -> bool:
+            return any(
+                ln.startswith("{") and f'"attempt": {k}' in ln
+                for ln in lines[idx]
+            )
+
+        while not all(_has_report(i) for i in range(n_shards)):
+            # a CLEAN exit is not by itself a failure: after its LAST
+            # attempt a fast shard exits while slower shards still
+            # replay, and its report line may sit in the pipe ahead of
+            # the drain thread. The level aborts on a nonzero
+            # returncode, the deadline, OR a shard whose pipe is fully
+            # drained (EOF) without this attempt's report — that shard
+            # can never deliver it, and spinning out the 300 s deadline
+            # per remaining attempt helps nobody (round-3 review)
             died = any(
                 p.poll() is not None and p.returncode != 0 for p in procs
             )
-            if time.time() > attempt_deadline or died:
+            silent = any(
+                drained[i] and procs[i].poll() is not None and not _has_report(i)
+                for i in range(n_shards)
+            )
+            if time.time() > attempt_deadline or died or silent:
                 _fail(f"shard attempt {k} failed")
             time.sleep(0.05)
         makespans.append(time.time() - t0)

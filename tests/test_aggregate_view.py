@@ -251,3 +251,65 @@ def test_changelog_delta_matches_brute_force(spark, smoke_log, replayed):
     want = full_agg(new_live, ["source"], ["n_tok"])
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_decimal_sums_stay_decimal(spark):
+    """Round-3 review: a decimal sum column must be maintained in
+    decimal (Spark: SUM(decimal(p,s)) -> decimal(min(38,p+10),s)),
+    never silently in double — and the maintained type must not drift
+    across merges (decimal addition widens precision by 1 per fold)."""
+    df = spark.createDataFrame(
+        [("a", "1.25"), ("a", "2.50"), ("b", None), ("b", "0.75")],
+        "k string, v string",
+    ).select("k", F.col("v").cast("decimal(18,2)").alias("v"))
+    want = full_agg(df, ["k"], ["v"])
+    assert dict(want.dtypes)["v"] == "decimal(28,2)"
+    # split-and-merge equals full: the IVM equation, in exact decimal
+    p1 = df.filter(F.col("v").isNull() | (F.col("v") >= 1))
+    p2 = df.exceptAll(p1)
+    merged = merge_agg(
+        full_agg(p1, ["k"], ["v"]),
+        full_agg(p2, ["k"], ["v"]),
+        ["k"],
+        ["n_rows", "v", "_nn_v"],
+    )
+    assert merged.schema == want.schema  # no precision drift
+    assert merged.exceptAll(want).count() == 0
+    assert want.exceptAll(merged).count() == 0
+
+
+def test_changelog_delta_decimal_contributions(spark):
+    """Sign application must preserve the decimal type exactly: unary
+    minus, not lit(sign) * v (decimal multiplication sums the scales)."""
+    ch = spark.createDataFrame(
+        [
+            ("I", False, "a", "1.25", None, None),
+            ("U", False, "b", "2.00", "a", "1.25"),
+            ("D", True, None, None, "a", "0.75"),
+        ],
+        "change_type string, deleted boolean, k string, v string,"
+        " _old_k string, _old_v string",
+    ).select(
+        "change_type",
+        "deleted",
+        "k",
+        F.col("v").cast("decimal(18,2)").alias("v"),
+        "_old_k",
+        F.col("_old_v").cast("decimal(18,2)").alias("_old_v"),
+    )
+    delta = changelog_delta(ch, ["k"], ["v"])
+    assert dict(delta.dtypes)["v"] == "decimal(28,2)"
+    out = {r["k"]: r for r in delta.collect()}
+    from decimal import Decimal
+
+    assert out["a"]["n_rows"] == -1  # +insert -update-move -delete
+    assert out["a"]["v"] == Decimal("-0.75")  # 1.25 - 1.25 - 0.75
+    assert out["a"]["_nn_v"] == -1
+    assert out["b"]["n_rows"] == 1 and out["b"]["v"] == Decimal("2.00")
+
+
+def test_unsupported_sum_type_rejected(spark):
+    """A string sum column must fail loudly, not be cast to double."""
+    df = spark.createDataFrame([("a", "x")], "k string, v string")
+    with pytest.raises(ValueError, match="unsupported sum column type"):
+        full_agg(df, ["k"], ["v"])

@@ -287,22 +287,32 @@ def test_token_shingles_sql_matches_spark(spark):
     assert got == want
 
 
-def test_compaction_age_cutoff_spares_recent_files(spark, tmp_path):
+def test_compaction_supersede_then_gc(spark, tmp_path):
     """Round-3 review: under pipelined/multi-process use a compaction
-    must not delete files a concurrent batch's pinned snapshot still
-    references — with compact_older_than_s set, young file sets
-    survive (and still fold correctly), while the folded output is
-    written either way."""
-    store = SignatureStore(spark, str(tmp_path / "s"), compact_older_than_s=3600)
-    rows = spark.createDataFrame(
-        [("a", 0, "h1", 1, False)],
-        "id string, band int, band_hash string, op_sequence long, deleted boolean",
+    must never delete a file a concurrent batch's pinned snapshot still
+    references. Two-phase expiry: compact() SUPERSEDES its inputs (gone
+    from listings, kept on disk for the horizon), and only gc after the
+    horizon removes them — and the steady state is ONE live file, so
+    maybe_compact cannot re-trigger a full refold every batch."""
+    store = SignatureStore(
+        spark, str(tmp_path / "s"), compact_threshold=2, compact_older_than_s=3600
     )
-    store.append(rows, batch_id="b0")
+    schema = "id string, band int, band_hash string, op_sequence long, deleted boolean"
+    store.append(spark.createDataFrame([("a", 0, "h1", 1, False)], schema), "b0")
+    store.append(spark.createDataFrame([("a", 0, "h2", 2, False)], schema), "b1")
     before = set(store._files())
-    store.compact()  # honors the 1h horizon → deletes nothing young
-    after = set(store._files())
-    assert before < after  # originals survive, folded file added
-    assert [r.band_hash for r in store.read().collect()] == ["h1"]
-    store.compact(older_than_s=0)  # explicit override folds everything
-    assert len(store._files()) == 1
+    assert len(before) == 2
+    store.compact()
+    live = store._files()
+    assert len(live) == 1 and live[0] not in before  # one fresh fold
+    # originals stay ON DISK for pinned readers, just unlisted
+    assert before <= set(store._all_parquet())
+    assert [r.band_hash for r in store.read().collect()] == ["h2"]
+    # inside the horizon, repeated maybe_compact must be a no-op (the
+    # round-3 review's runaway-refold finding)
+    store.maybe_compact()
+    assert store._files() == live
+    # after the horizon the superseded sets are physically reaped
+    assert store.gc_superseded(older_than_s=0) == 2
+    assert set(store._all_parquet()) == set(live)
+    assert [r.band_hash for r in store.read().collect()] == ["h2"]
