@@ -55,5 +55,8 @@ def test_driver_snapshot_order():
     never_checked = _DRIVER_FIRST[:29]
     touched = {"q_neardup_cosine", "q_neardup_lsh", "q_dedup_minhash",
                "q_dedup_cluster", "q_join_anti", "q_except",
-               "q_dedup_incremental", "q_agg_ivm"}
+               "q_dedup_incremental", "q_agg_ivm",
+               # round-3 session-2 additions (never driver-checked)
+               "q_decontaminate", "q_dup_ngram_fraction",
+               "q_mixture_weights", "q_global_shuffle"}
     assert set(never_checked) | touched <= set(keys[:50])
