@@ -371,6 +371,52 @@ class SnapshotSink:
         payload = [c for c in state.columns if c not in _INTERNAL]
         return state.filter(~F.col("deleted")).select(KEY, *[c for c in payload if c != KEY])
 
+    def lookup(self, ids: list, version: int | None = None) -> DataFrame:
+        """Point read: current live rows for the given keys, touching
+        the minimum of the table.
+
+        Serving path for CDC consumers ("what are doc X's tokens right
+        now?") — at 10^10 rows a full-state scan per probe is absurd, so
+        three prunes stack:
+
+        1. **bucket pruning** — each key's bucket is computed with the
+           sink's own bucket expression (one tiny 1-task Spark job over
+           the probe ids; cost O(|ids|), documented driver-side work)
+           and only those buckets' delta files are read;
+        2. **scan pushdown** — the ``IN (ids)`` filter is applied to
+           the RAW deltas before the LWW fold, so it reaches the
+           parquet scan as a pushed filter (plan-tested);
+        3. **row-group skipping** — compact() writes bucket files
+           key-sorted, so the pushed filter prunes row groups via
+           parquet min/max stats on a compacted table.
+
+        LWW then folds only the surviving rows; tombstoned keys return
+        no row (a delete is the absence of the doc, as in read_final)."""
+        if not ids:
+            raise ValueError("lookup() needs at least one key")
+        snap = self.current_snapshot() if version is None else self.snapshot(version)
+        if snap is None:
+            raise ValueError("no snapshot yet")
+        table_schema = T.StructType.fromDDL(snap["schema"])
+        key_field = next(f for f in table_schema.fields if f.name == KEY)
+        # the probe DataFrame doubles as the type gate: a probe id of
+        # the wrong type fails HERE with a clear driver-side TypeError
+        # instead of an ANSI cast error inside the scan's IN filter
+        probe = self.spark.createDataFrame(
+            [(i,) for i in ids], T.StructType([key_field])
+        ).coalesce(1)
+        rows = probe.select(
+            F.col(KEY), _bucket_expr(self.n_buckets).alias("b")
+        ).collect()
+        buckets = sorted({r.b for r in rows})
+        keys = [r[0] for r in rows]
+        df = self._read_buckets(snap, buckets, target=table_schema)
+        if df is None:
+            return self.spark.createDataFrame([], table_schema).drop(*_INTERNAL)
+        state = lww_dedup(df.filter(F.col(KEY).isin(keys)), KEY, SEQ)
+        payload = [c for c in state.columns if c not in _INTERNAL and c != KEY]
+        return state.filter(~F.col("deleted")).select(KEY, *payload)
+
     # ------------------------------------------------------------- merge
     def apply_batch(self, batch_df: DataFrame, batch_id: str | int) -> dict:
         """Key-partitioned MERGE of one micro-batch of change events.
@@ -778,6 +824,11 @@ class SnapshotSink:
         staging = os.path.join(self.root, "data", f"_stage-{uuid.uuid4().hex}")
         (
             folded.repartition(self.n_buckets, "_bucket")
+            # key-sorted within each bucket file: parquet row-group
+            # min/max stats on the key then let point lookups (lookup())
+            # skip row groups — the standard sorted-compaction layout;
+            # the sort rides the rewrite's existing shuffle
+            .sortWithinPartitions("_bucket", KEY)
             .write.mode("overwrite")
             .partitionBy("_bucket")
             .option("compression", self.compression)
