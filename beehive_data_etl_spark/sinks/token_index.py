@@ -1,0 +1,297 @@
+"""Incrementally-maintained inverted index (token -> docs) over the CDC
+snapshot — the membership-view sibling of ``sinks.aggregates``.
+
+Training-data tooling constantly asks "which live docs contain token
+X?" (contamination audits, targeted re-tokenization, takedown
+requests). At 10^10 rows, rebuilding a token->doc posting list per
+micro-batch is O(corpus x seq_len); ``TokenIndex`` maintains it from
+the row-level changelog instead:
+
+- **refresh cost is O(changed rows x their tokens)**: the pre-image
+  changelog (``read_changes_pruned``) yields each changed doc's new and
+  old token arrays; the refresh appends ``+1`` rows for tokens the doc
+  GAINED (``array_except(new, old)``) and ``-1`` rows for tokens it
+  LOST — a token present in both sets emits nothing, so its older
+  ``+1`` row keeps winning the read-side fold (that is what makes the
+  no-op case free);
+- **merge-on-read, like the sink itself**: appends are never folded at
+  write time; ``lookup``/``read`` resolve each (token, doc) pair to its
+  highest-version row and keep it iff the sign is ``+1``. Refreshes are
+  strictly version-ordered (pointer-gated), so the fold is a true LWW;
+- **bucket-pruned lookups**: every append is partitioned by
+  ``pmod(xxhash64(token), n_buckets)``; a point lookup reads only the
+  probed tokens' bucket dirs and pushes the token filter into the scan
+  — same three-prune stack as ``SnapshotSink.lookup``;
+- **commit protocol mirrors AggregateView**: write the delta dir, then
+  atomically swap the ``CURRENT`` pointer (version + live file list).
+  A crash before the swap leaves an orphan dir that no reader lists;
+  the next successful refresh of the same window supersedes it and
+  ``compact()`` reaps it (age-gated for cross-process safety);
+- ``compact()`` folds all live files into one present-pairs dir —
+  absent pairs can be dropped outright because refreshes are serial:
+  no out-of-order append can resurrect a pair behind the pointer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from beehive_data_etl_spark.sinks.snapshot import KEY, SEQ
+
+
+class TokenIndex:
+    def __init__(
+        self,
+        spark: SparkSession,
+        sink,
+        root: str,
+        token_col: str = "tokens",
+        n_buckets: int = 16,
+    ) -> None:
+        self.spark = spark
+        self.sink = sink
+        self.root = root
+        self.token_col = token_col
+        self.n_buckets = n_buckets
+        os.makedirs(root, exist_ok=True)
+
+    # ------------------------------------------------------------ pointer
+    def _ptr_path(self) -> str:
+        return os.path.join(self.root, "CURRENT")
+
+    def current(self) -> dict | None:
+        try:
+            with open(self._ptr_path()) as fh:
+                return json.load(fh)
+        except FileNotFoundError:
+            return None
+
+    def _swap(self, version: int, files: list[str]) -> None:
+        tmp = self._ptr_path() + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as fh:
+            json.dump({"version": version, "files": files}, fh)
+        os.replace(tmp, self._ptr_path())  # THE commit point
+
+    # ------------------------------------------------------------ schema
+    def _table_schema(self) -> T.StructType:
+        snap = self.sink.current_snapshot()
+        if snap is None:
+            raise ValueError("sink has no snapshot")
+        return T.StructType.fromDDL(snap["schema"])
+
+    def _elem_type(self) -> T.DataType:
+        f = next(
+            f for f in self._table_schema().fields if f.name == self.token_col
+        )
+        if not isinstance(f.dataType, T.ArrayType):
+            raise ValueError(f"{self.token_col} is not an array column")
+        return f.dataType.elementType
+
+    def _pairs_schema(self) -> T.StructType:
+        key_field = next(
+            f for f in self._table_schema().fields if f.name == KEY
+        )
+        return T.StructType(
+            [T.StructField("token", self._elem_type()), key_field]
+        )
+
+    def _with_bucket(self, df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            "tbucket",
+            F.pmod(F.xxhash64(F.col("token")), F.lit(self.n_buckets)).cast("int"),
+        )
+
+    def _write_delta(self, df: DataFrame, tag: str) -> str:
+        out = os.path.join(self.root, f"ix-{tag}-{uuid.uuid4().hex}")
+        (
+            self._with_bucket(df)
+            .repartition(self.n_buckets, "tbucket")
+            .sortWithinPartitions("tbucket", "token")
+            .write.mode("overwrite")
+            .partitionBy("tbucket")
+            .parquet(out)
+        )
+        return out
+
+    # ------------------------------------------------------------ refresh
+    def refresh(self) -> dict:
+        """Advance to the sink's CURRENT snapshot: full posting build on
+        first call, O(changed rows x tokens) appends afterwards."""
+        snap = self.sink.current_snapshot()
+        if snap is None:
+            return {"mode": "noop", "reason": "sink has no snapshot"}
+        v_new = snap["version"]
+        cur = self.current()
+        if cur is not None and cur["version"] == v_new:
+            return {"mode": "noop", "version": v_new}
+        tokens = F.col(self.token_col)
+        if cur is None:
+            live = self.sink.read_state(version=v_new).filter(~F.col("deleted"))
+            pairs = live.select(
+                F.explode(F.array_distinct(tokens)).alias("token"),
+                F.col(KEY),
+                F.lit(v_new).alias("v"),
+                F.lit(1).alias("sign"),
+            )
+            out = self._write_delta(pairs, f"v{v_new:06d}-full")
+            self._swap(v_new, [out])
+            return {"mode": "full", "version": v_new}
+        ch = self.sink.read_changes_pruned(cur["version"], v_new, include_old=True)
+        elem = self._elem_type()
+        empty = F.array().cast(T.ArrayType(elem))
+        new_set = F.when(
+            F.col("change_type") != "D", F.array_distinct(F.coalesce(tokens, empty))
+        ).otherwise(empty)
+        old_set = F.when(
+            F.col("change_type") != "I",
+            F.array_distinct(F.coalesce(F.col(f"_old_{self.token_col}"), empty)),
+        ).otherwise(empty)
+        delta = ch.select(
+            F.col(KEY),
+            F.explode(
+                F.concat(
+                    F.transform(
+                        F.array_except(new_set, old_set),
+                        lambda t: F.struct(t.alias("token"), F.lit(1).alias("sign")),
+                    ),
+                    F.transform(
+                        F.array_except(old_set, new_set),
+                        lambda t: F.struct(t.alias("token"), F.lit(-1).alias("sign")),
+                    ),
+                )
+            ).alias("ts"),
+        ).select(
+            F.col("ts.token").alias("token"),
+            F.col(KEY),
+            F.lit(v_new).alias("v"),
+            F.col("ts.sign").alias("sign"),
+        )
+        out = self._write_delta(delta, f"v{v_new:06d}")
+        self._swap(v_new, cur["files"] + [out])
+        return {"mode": "incremental", "version": v_new, "from_version": cur["version"]}
+
+    # ------------------------------------------------------------ read
+    def _fold(self, df: DataFrame) -> DataFrame:
+        """Resolve each (token, doc) pair to its latest-version sign;
+        present iff that sign is +1."""
+        latest = df.groupBy("token", KEY).agg(
+            F.max_by("sign", "v").alias("sign")
+        )
+        return latest.filter(F.col("sign") > 0).select("token", KEY)
+
+    def _read_files(self, paths: list[str]) -> DataFrame | None:
+        """Union of the given delta dirs (or tbucket subdirs), projected
+        to the logical columns — each dir is read separately so Spark's
+        partition discovery never sees two roots at once."""
+        existing = [p for p in paths if os.path.isdir(p)]
+        if not existing:
+            return None
+        parts = [
+            self.spark.read.parquet(p).select("token", KEY, "v", "sign")
+            for p in existing
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def read(self) -> DataFrame:
+        """All present (token, doc_id) pairs."""
+        cur = self.current()
+        if cur is None:
+            raise ValueError("index never refreshed")
+        df = self._read_files(cur["files"])
+        if df is None:
+            return self.spark.createDataFrame([], self._pairs_schema())
+        return self._fold(df)
+
+    def lookup(self, probe_tokens: list) -> DataFrame:
+        """Docs currently containing any probed token: reads only the
+        probed tokens' bucket subdirs, pushes the token filter into the
+        scan, folds only the survivors."""
+        if not probe_tokens:
+            raise ValueError("lookup() needs at least one token")
+        cur = self.current()
+        if cur is None:
+            raise ValueError("index never refreshed")
+        # type-gate + bucket computation in one tiny driver-side job,
+        # same pattern as SnapshotSink.lookup
+        probe = self.spark.createDataFrame(
+            [(t,) for t in probe_tokens],
+            T.StructType([T.StructField("token", self._elem_type())]),
+        ).coalesce(1)
+        rows = probe.select(
+            "token",
+            F.pmod(F.xxhash64(F.col("token")), F.lit(self.n_buckets))
+            .cast("int")
+            .alias("b"),
+        ).collect()
+        buckets = sorted({r.b for r in rows})
+        toks = [r.token for r in rows]
+        paths = [
+            os.path.join(d, f"tbucket={b}")
+            for d in cur["files"]
+            for b in buckets
+        ]
+        df = self._read_files(paths)
+        if df is None:
+            return self.spark.createDataFrame([], self._pairs_schema())
+        return self._fold(df.filter(F.col("token").isin(toks)))
+
+    # ------------------------------------------------------------ compact
+    def compact(self, orphan_older_than_s: float = 3600.0) -> dict:
+        """Fold the live files into ONE present-pairs dir (sign +1 at
+        the current version) and swap the pointer to it. Replaced files
+        are deleted immediately (they were listed — only this process's
+        pointer referenced them); ORPHAN dirs (crashed refreshes) are
+        reaped only once older than ``orphan_older_than_s``, the same
+        age-cutoff mitigation as SnapshotSink.vacuum for writers in
+        other processes that have published files but not yet swapped."""
+        cur = self.current()
+        if cur is None:
+            raise ValueError("index never refreshed")
+        pairs = self.read().select(
+            "token", KEY, F.lit(cur["version"]).alias("v"), F.lit(1).alias("sign")
+        )
+        out = self._write_delta(pairs, f"v{cur['version']:06d}-compact")
+        self._swap(cur["version"], [out])
+        for d in cur["files"]:
+            shutil.rmtree(d, ignore_errors=True)
+        now = time.time()
+        for d in os.listdir(self.root):
+            full = os.path.join(self.root, d)
+            if (
+                d.startswith("ix-")
+                and full != out
+                and os.path.isdir(full)
+                and now - os.path.getmtime(full) >= orphan_older_than_s
+            ):
+                shutil.rmtree(full, ignore_errors=True)
+        return {"version": cur["version"], "files_folded": len(cur["files"])}
+
+    # ------------------------------------------------------------ verify
+    def verify(self) -> dict:
+        """Exact compare vs a recompute at the reflected version (ops /
+        test check, O(index))."""
+        cur = self.current()
+        if cur is None:
+            raise ValueError("index never refreshed")
+        live = self.sink.read_state(version=cur["version"]).filter(
+            ~F.col("deleted")
+        )
+        want = live.select(
+            F.explode(F.array_distinct(F.col(self.token_col))).alias("token"),
+            F.col(KEY),
+        )
+        got = self.read()
+        extra = got.exceptAll(want).count()
+        missing = want.exceptAll(got).count()
+        return {"extra": extra, "missing": missing, "ok": extra == 0 and missing == 0}
