@@ -108,6 +108,7 @@ def replay_stream(
     max_files_per_trigger: int = 1,
     transform: Transform | None = None,
     watermark: tuple[str, str] | None = None,
+    on_batch_commit: Callable[[int], None] | None = None,
 ) -> None:
     """Structured Streaming replay with ``Trigger.AvailableNow``:
     processes everything currently in ``log_dir`` in checkpointed
@@ -119,7 +120,15 @@ def replay_stream(
     (SURVEY.md §2 A4) — with LWW merge semantics late events are
     *correct* regardless (they lose the op_sequence comparison), the
     watermark only bounds any stateful operators added upstream.
-    """
+
+    ``on_batch_commit(epoch_id)`` runs inside foreachBatch AFTER the
+    sink commit — the hook downstream incremental consumers (aggregate
+    views, token index, incremental near-dup) refresh from, at the
+    exact cadence their O(changed rows) cost model assumes. foreachBatch
+    epochs are serial, so refreshes here never race. A hook failure
+    fails the epoch BEFORE the checkpoint advances; the sink commit is
+    already durable, so the restart skips the re-delivered batch id and
+    re-runs only the refresh (views are idempotent at a version)."""
     from beehive_data_etl_spark.metrics import ProgressJsonlListener, observe_envelope
 
     reader = (
@@ -136,6 +145,8 @@ def replay_stream(
 
     def _apply(df: DataFrame, epoch_id: int) -> None:
         sink.apply_batch(df, f"stream-{epoch_id:06d}")
+        if on_batch_commit is not None:
+            on_batch_commit(epoch_id)
 
     query = (
         reader.writeStream.foreachBatch(_apply)

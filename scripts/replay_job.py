@@ -27,6 +27,44 @@ from beehive_data_etl_spark.sources.eventlog import BASE_ENVELOPE_DDL
 from beehive_data_etl_spark.streaming.replay import replay_incremental, replay_stream
 
 
+def _derived_views(spark, sink) -> list:
+    """Optional downstream incremental consumers, enabled by env:
+    REPLAY_AGG_GROUP[,col..] (+ optional REPLAY_AGG_SUM[,col..]) adds an
+    AggregateView; REPLAY_INDEX_COL=<array col> adds a TokenIndex. Both
+    live under <target>/_views/ and refresh per committed batch (stream
+    mode) or once post-replay (pipelined mode — batches commit out of
+    order there, so the only safe refresh point is the quiesced end).
+    Filesystem sink only: the views refresh off SnapshotSink's pre-image
+    changelog; the Iceberg twin exposes changelogs via its own CDC reads
+    on a real cluster."""
+    root = getattr(sink, "root", None)
+    if root is None:
+        return []
+    views = []
+    group = os.environ.get("REPLAY_AGG_GROUP")
+    if group:
+        from beehive_data_etl_spark.sinks.aggregates import AggregateView
+
+        sums = [c for c in os.environ.get("REPLAY_AGG_SUM", "").split(",") if c]
+        views.append(
+            AggregateView(
+                spark, sink, os.path.join(root, "_views", "agg"),
+                group.split(","), sums,
+            )
+        )
+    index_col = os.environ.get("REPLAY_INDEX_COL")
+    if index_col:
+        from beehive_data_etl_spark.sinks.token_index import TokenIndex
+
+        views.append(
+            TokenIndex(
+                spark, sink, os.path.join(root, "_views", "token_index"),
+                token_col=index_col,
+            )
+        )
+    return views
+
+
 def main() -> None:
     wal_dir, target = sys.argv[1], sys.argv[2]
     spark = SparkSession.builder.appName("beehive-cdc-replay").getOrCreate()
@@ -41,6 +79,7 @@ def main() -> None:
             n_buckets=int(os.environ.get("REPLAY_N_BUCKETS", "4096")),
             salt_partials=int(os.environ.get("REPLAY_SALT", "8")),
         )
+    views = _derived_views(spark, sink)
     if os.environ.get("REPLAY_MODE", "stream") == "pipelined":
         t0 = time.time()
         batches = replay_incremental(
@@ -58,7 +97,19 @@ def main() -> None:
                 {"replay_wall_s": round(time.time() - t0, 2), "n_batches": len(batches)}
             )
         )
+        for v in views:
+            v.refresh()
+        if views:
+            print(
+                "VIEW_METRICS "
+                + json.dumps([type(v).__name__ for v in views])
+            )
         return
+
+    def _refresh_views(epoch_id: int) -> None:
+        for v in views:
+            v.refresh()
+
     replay_stream(
         spark,
         wal_dir,
@@ -69,6 +120,7 @@ def main() -> None:
         schema_ddl=BASE_ENVELOPE_DDL,
         max_files_per_trigger=8,
         watermark=("event_ts", "10 minutes"),
+        on_batch_commit=_refresh_views if views else None,
     )
 
 
