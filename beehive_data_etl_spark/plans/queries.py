@@ -2516,22 +2516,19 @@ def q_mixture_weights(spark, sf):
 
 
 # ----------------------------------------------- deterministic shuffle-shard
-@query(
-    "q_global_shuffle",
-    f"""
+def _global_shuffle_oracle() -> str:
+    from beehive_data_etl_spark.functions.hashing import portable_hash32_sql
+
+    h = portable_hash32_sql("'shard:' || CAST(doc_id AS VARCHAR)")
+    return f"""
     SELECT doc_id, shard,
            CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, doc_id)
                 AS BIGINT) AS pos
-    FROM (
-        SELECT doc_id,
-               ('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
-                 AS h,
-               ('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
-                 % 8 AS shard
-        FROM documents
-    )
-    """,
-)
+    FROM (SELECT doc_id, {h} AS h, {h} % 8 AS shard FROM documents)
+    """
+
+
+@query("q_global_shuffle", _global_shuffle_oracle())
 def q_global_shuffle(spark, sf):
     """Deterministic global shuffle for shard writers: hash-assigned
     shard (k=8) + hash-ranked position within the shard, reproducible

@@ -47,6 +47,13 @@ from pyspark.sql import types as T
 from beehive_data_etl_spark.sinks.snapshot import KEY, SEQ
 
 
+def _token_bucket_expr(n_buckets: int):
+    """THE bucket expression — write path and probe path must stay
+    bit-identical for bucket pruning to be correct, so both go through
+    this single helper (mirrors snapshot.py's _bucket_expr)."""
+    return F.pmod(F.xxhash64(F.col("token")), F.lit(n_buckets)).cast("int")
+
+
 class TokenIndex:
     def __init__(
         self,
@@ -61,6 +68,14 @@ class TokenIndex:
         self.root = root
         self.token_col = token_col
         self.n_buckets = n_buckets
+        # one maintainer per index: refresh/compact serialize on this
+        # lock in-process; cross-process writers need external
+        # coordination (same single-maintainer model as AggregateView),
+        # with the pre-swap pointer recheck + age-gated deletes bounding
+        # the damage of a violated assumption to lost compaction work
+        import threading
+
+        self._write_lock = threading.Lock()
         os.makedirs(root, exist_ok=True)
 
     # ------------------------------------------------------------ pointer
@@ -70,14 +85,36 @@ class TokenIndex:
     def current(self) -> dict | None:
         try:
             with open(self._ptr_path()) as fh:
-                return json.load(fh)
+                cur = json.load(fh)
         except FileNotFoundError:
             return None
+        # layout guards (mirrors SnapshotSink's stored-n_buckets check):
+        # opening an existing index with a different bucket count would
+        # make lookup() probe absent subdirs and silently return missing
+        # rows — fail loudly instead
+        stored = cur.get("n_buckets")
+        if stored is not None and stored != self.n_buckets:
+            raise ValueError(
+                f"index at {self.root} was built with n_buckets={stored}, "
+                f"opened with {self.n_buckets}"
+            )
+        return cur
 
     def _swap(self, version: int, files: list[str]) -> None:
         tmp = self._ptr_path() + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as fh:
-            json.dump({"version": version, "files": files}, fh)
+            json.dump(
+                {
+                    "version": version,
+                    "files": files,
+                    "n_buckets": self.n_buckets,
+                    # the element type postings were HASHED under —
+                    # pinned because xxhash64(int) != xxhash64(long):
+                    # a widened probe type would bucket differently
+                    "elem": self._sink_elem_type().simpleString(),
+                },
+                fh,
+            )
         os.replace(tmp, self._ptr_path())  # THE commit point
 
     # ------------------------------------------------------------ schema
@@ -87,13 +124,34 @@ class TokenIndex:
             raise ValueError("sink has no snapshot")
         return T.StructType.fromDDL(snap["schema"])
 
-    def _elem_type(self) -> T.DataType:
+    def _sink_elem_type(self) -> T.DataType:
         f = next(
             f for f in self._table_schema().fields if f.name == self.token_col
         )
         if not isinstance(f.dataType, T.ArrayType):
             raise ValueError(f"{self.token_col} is not an array column")
         return f.dataType.elementType
+
+    def _elem_type(self) -> T.DataType:
+        """The element type the INDEX was built under. Pinned in the
+        pointer (bucketing hashes the typed value); if the sink's
+        column has since changed type, fail loudly — the index must be
+        rebuilt, silently probing mis-hashed buckets is never right.
+        (The engine's schema evolution forbids array-element changes,
+        operators/schema_evolution.py, so this is a defense-in-depth
+        guard, not an expected path.)"""
+        sink_t = self._sink_elem_type()
+        cur = self.current()
+        if cur is not None and "elem" in cur:
+            stored = T.StructType.fromDDL(f"x {cur['elem']}")[0].dataType
+            if stored != sink_t:
+                raise ValueError(
+                    f"index built over {self.token_col} element type "
+                    f"{stored.simpleString()}, sink now has "
+                    f"{sink_t.simpleString()} — rebuild the index"
+                )
+            return stored
+        return sink_t
 
     def _pairs_schema(self) -> T.StructType:
         key_field = next(
@@ -104,10 +162,7 @@ class TokenIndex:
         )
 
     def _with_bucket(self, df: DataFrame) -> DataFrame:
-        return df.withColumn(
-            "tbucket",
-            F.pmod(F.xxhash64(F.col("token")), F.lit(self.n_buckets)).cast("int"),
-        )
+        return df.withColumn("tbucket", _token_bucket_expr(self.n_buckets))
 
     def _write_delta(self, df: DataFrame, tag: str) -> str:
         out = os.path.join(self.root, f"ix-{tag}-{uuid.uuid4().hex}")
@@ -125,6 +180,10 @@ class TokenIndex:
     def refresh(self) -> dict:
         """Advance to the sink's CURRENT snapshot: full posting build on
         first call, O(changed rows x tokens) appends afterwards."""
+        with self._write_lock:
+            return self._refresh_locked()
+
+    def _refresh_locked(self) -> dict:
         snap = self.sink.current_snapshot()
         if snap is None:
             return {"mode": "noop", "reason": "sink has no snapshot"}
@@ -229,10 +288,7 @@ class TokenIndex:
             T.StructType([T.StructField("token", self._elem_type())]),
         ).coalesce(1)
         rows = probe.select(
-            "token",
-            F.pmod(F.xxhash64(F.col("token")), F.lit(self.n_buckets))
-            .cast("int")
-            .alias("b"),
+            "token", _token_bucket_expr(self.n_buckets).alias("b")
         ).collect()
         buckets = sorted({r.b for r in rows})
         toks = [r.token for r in rows]
@@ -249,33 +305,52 @@ class TokenIndex:
     # ------------------------------------------------------------ compact
     def compact(self, orphan_older_than_s: float = 3600.0) -> dict:
         """Fold the live files into ONE present-pairs dir (sign +1 at
-        the current version) and swap the pointer to it. Replaced files
-        are deleted immediately (they were listed — only this process's
-        pointer referenced them); ORPHAN dirs (crashed refreshes) are
-        reaped only once older than ``orphan_older_than_s``, the same
-        age-cutoff mitigation as SnapshotSink.vacuum for writers in
-        other processes that have published files but not yet swapped."""
-        cur = self.current()
-        if cur is None:
-            raise ValueError("index never refreshed")
-        pairs = self.read().select(
-            "token", KEY, F.lit(cur["version"]).alias("v"), F.lit(1).alias("sign")
-        )
-        out = self._write_delta(pairs, f"v{cur['version']:06d}-compact")
-        self._swap(cur["version"], [out])
-        for d in cur["files"]:
-            shutil.rmtree(d, ignore_errors=True)
-        now = time.time()
-        for d in os.listdir(self.root):
-            full = os.path.join(self.root, d)
-            if (
-                d.startswith("ix-")
-                and full != out
-                and os.path.isdir(full)
-                and now - os.path.getmtime(full) >= orphan_older_than_s
-            ):
-                shutil.rmtree(full, ignore_errors=True)
-        return {"version": cur["version"], "files_folded": len(cur["files"])}
+        the current version) and swap the pointer to it.
+
+        Superseded dirs are NOT deleted at the swap: a reader that
+        loaded the old pointer (or holds a lazy DataFrame over it) may
+        still be scanning them, and ``_read_files`` silently skips
+        missing dirs — deleting eagerly would turn a pinned read into a
+        silently partial result. Instead EVERY dir the new pointer does
+        not list (superseded and crashed-refresh orphans alike) is
+        reaped only once older than ``orphan_older_than_s`` — the same
+        age-cutoff reasoning as SnapshotSink.vacuum, bounding reader
+        pin time by the horizon.
+
+        Cross-process safety: immediately before the swap the pointer
+        is re-read; if another writer advanced it since planning, the
+        fold is ABANDONED (its dir left as an aged orphan) rather than
+        swapping a stale file list over the newer state — the race
+        costs compaction work, never postings."""
+        with self._write_lock:
+            cur = self.current()
+            if cur is None:
+                raise ValueError("index never refreshed")
+            pairs = self.read().select(
+                "token", KEY, F.lit(cur["version"]).alias("v"), F.lit(1).alias("sign")
+            )
+            out = self._write_delta(pairs, f"v{cur['version']:06d}-compact")
+            head = self.current()
+            if head is None or head["version"] != cur["version"] or head["files"] != cur["files"]:
+                return {"aborted": True, "reason": "pointer advanced during fold"}
+            self._swap(cur["version"], [out])
+            now = time.time()
+            reaped = 0
+            for d in os.listdir(self.root):
+                full = os.path.join(self.root, d)
+                if (
+                    d.startswith("ix-")
+                    and full != out
+                    and os.path.isdir(full)
+                    and now - os.path.getmtime(full) >= orphan_older_than_s
+                ):
+                    shutil.rmtree(full, ignore_errors=True)
+                    reaped += 1
+            return {
+                "version": cur["version"],
+                "files_folded": len(cur["files"]),
+                "dirs_reaped": reaped,
+            }
 
     # ------------------------------------------------------------ verify
     def verify(self) -> dict:

@@ -148,6 +148,77 @@ def test_crash_before_pointer_swap_is_invisible(spark, smoke_log, replayed, tmp_
     assert ix.verify()["ok"]
 
 
+def test_compact_keeps_superseded_dirs_for_pinned_readers(spark, smoke_log, replayed, tmp_path):
+    """Review finding: eager deletes would silently truncate a reader
+    holding the old pointer (missing dirs are skipped, not errors).
+    With the default horizon, superseded dirs survive the swap and a
+    pre-compact lazy DataFrame still evaluates completely."""
+    sink = replayed
+    ix = TokenIndex(spark, sink, str(tmp_path / "ix"), n_buckets=8)
+    ix.refresh()
+    replay_incremental(spark, smoke_log, sink, files_per_batch=2)
+    ix.refresh()
+    pinned = ix.read()  # lazy plan over the pre-compact file list
+    expect = pinned.count()
+    old_files = list(ix.current()["files"])
+    ix.compact()  # default horizon: no eager deletes
+    assert all(os.path.isdir(d) for d in old_files)
+    assert pinned.count() == expect  # pinned reader unharmed
+    assert len(ix.current()["files"]) == 1
+
+
+def test_compact_aborts_when_pointer_advances_mid_fold(spark, smoke_log, replayed, tmp_path):
+    """Review finding: a compact() racing another writer must abandon
+    its fold instead of swapping a stale file list over newer state."""
+    sink = replayed
+    ix = TokenIndex(spark, sink, str(tmp_path / "ix"), n_buckets=8)
+    ix.refresh()
+    replay_incremental(spark, smoke_log, sink, files_per_batch=2)
+
+    # simulate the cross-process race: another writer's refresh lands
+    # between compact()'s planning read and its pre-swap recheck
+    real_write = ix._write_delta
+    other = TokenIndex(spark, sink, str(tmp_path / "ix"), n_buckets=8)
+
+    def write_then_race(df, tag):
+        out = real_write(df, tag)
+        if "compact" in tag:
+            other._refresh_locked()  # advances the shared pointer
+        return out
+
+    ix._write_delta = write_then_race
+    r = ix.compact()
+    ix._write_delta = real_write
+    assert r.get("aborted"), r
+    # the racing refresh's state is intact and exact
+    assert ix.current()["version"] == sink.current_snapshot()["version"]
+    assert ix.verify()["ok"]
+
+
+def test_layout_mismatch_rejected(spark, smoke_log, replayed, tmp_path):
+    """Review finding: reopening with a different n_buckets must fail
+    loudly, not probe absent subdirs."""
+    ix = TokenIndex(spark, replayed, str(tmp_path / "ix"), n_buckets=8)
+    ix.refresh()
+    wrong = TokenIndex(spark, replayed, str(tmp_path / "ix"), n_buckets=4)
+    with pytest.raises(ValueError, match="n_buckets"):
+        wrong.lookup([1])
+    with pytest.raises(ValueError, match="n_buckets"):
+        wrong.refresh()
+
+
+def test_write_and_probe_share_bucket_expr():
+    """Review finding: the two paths must use ONE bucket expression."""
+    import inspect
+
+    from beehive_data_etl_spark.sinks import token_index as m
+
+    src = inspect.getsource(m.TokenIndex)
+    assert "F.xxhash64" not in src  # only the shared helper hashes
+    assert "_token_bucket_expr" in inspect.getsource(m.TokenIndex._with_bucket)
+    assert "_token_bucket_expr" in inspect.getsource(m.TokenIndex.lookup)
+
+
 def test_empty_and_invalid_probes(spark, replayed, tmp_path):
     ix = TokenIndex(spark, replayed, str(tmp_path / "ix"), n_buckets=8)
     with pytest.raises(ValueError):
