@@ -183,6 +183,82 @@ def shuffle_shards(
     )
 
 
+def write_shards(
+    df: DataFrame, out_dir: str, id_col: str = "doc_id", k: int = 8
+) -> None:
+    """Materialize a deterministic globally-shuffled training-shard
+    layout: ``out_dir/shard=<i>/`` parquet, rows within each shard in
+    portable-hash order (ties by id). The same physical plan as
+    ``shuffle_shards`` — ONE shuffle (repartition on the shard key),
+    in-task sort, partitioned write; re-running over the same rows
+    reproduces byte-identical shard membership and row order regardless
+    of input partitioning. Works on any keyed DataFrame — documents,
+    or a CDC sink's ``read_final()``."""
+    h = portable_hash32(F.concat(F.lit("shard:"), F.col(id_col).cast("string")))
+    (
+        df.withColumn("__h", h)
+        .withColumn("shard", (F.col("__h") % k).cast("long"))
+        .repartition(k, "shard")
+        .sortWithinPartitions("shard", "__h", id_col)
+        .drop("__h")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(out_dir)
+    )
+
+
+def dup_span(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 4,
+) -> DataFrame:
+    """(id_col, max_dup_run): length, per doc, of the LONGEST run of
+    consecutive n-gram positions whose n-gram occurs in >= 2 documents
+    — i.e. a duplicated run of k n-grams is a duplicated substring of
+    k+n-1 words (the exact-substring-dedup signal of Lee et al. 2022,
+    at n-gram resolution instead of a distributed suffix array). Docs
+    with no duplicated n-gram report 0.
+
+    Shape: positional shingles (posexplode, NO distinct — position is
+    the payload) -> document-frequency of each n-gram over the DISTINCT
+    per-doc shingle set -> keep duplicated positions -> gaps-and-islands
+    (pos - row_number per doc) -> max island size. Two aggregations and
+    one n-gram-key join over the inverted index; the islands window
+    shuffles on the doc key only."""
+    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    psh = docs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(1))),
+                lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+            )
+        ).alias("pos", "s"),
+    )
+    dfreq = (
+        psh.select(id_col, "s")
+        .distinct()
+        .groupBy("s")
+        .agg(F.count("*").alias("d"))
+    )
+    dup = psh.join(dfreq, "s").filter(F.col("d") >= 2).select(id_col, "pos")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy("pos")
+    runs = dup.withColumn("grp", F.col("pos") - F.row_number().over(w))
+    best = (
+        runs.groupBy(id_col, "grp")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy(id_col)
+        .agg(F.max("cnt").cast("long").alias("max_dup_run"))
+    )
+    return docs.select(id_col).join(best, id_col, "left_outer").select(
+        F.col(id_col),
+        F.coalesce(F.col("max_dup_run"), F.lit(0).cast("long")).alias("max_dup_run"),
+    )
+
+
 # ---------------------------------------------------------------- SQL twins
 
 

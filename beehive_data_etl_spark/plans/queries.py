@@ -56,12 +56,16 @@ _SQL_SCALAR_SUBQ = """
     )
 """
 
+# threshold calibrated non-vacuous: every supplier has lineitems over
+# 90000, so the old predicate matched 0 rows on both engines and the
+# driver hash verified nothing (round-2 VERDICT's q_join_anti note
+# applied here too); 104700 leaves 21 suppliers at sf0.01, 2 at sf0.001
 _SQL_NOT_EXISTS = """
     SELECT s_suppkey, s_name
     FROM supplier s
     WHERE NOT EXISTS (
         SELECT 1 FROM lineitem l
-        WHERE l.l_suppkey = s.s_suppkey AND l.l_extendedprice > 90000
+        WHERE l.l_suppkey = s.s_suppkey AND l.l_extendedprice > 104700
     )
 """
 
@@ -2486,6 +2490,59 @@ def q_dup_ngram_fraction(spark, sf):
     return dup_ngram_fraction(t(spark, sf, "documents"))
 
 
+# ----------------------------------------------- duplicated-substring span
+@query(
+    "q_dup_span",
+    """
+    WITH words AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+        FROM documents
+    ),
+    flat AS (
+        SELECT doc_id, u.pos AS pos, u.s AS s
+        FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       generate_series(1, greatest(len(w) - 3, 1)),
+                       i -> struct_pack(
+                           pos := i,
+                           s := array_to_string(list_slice(w, i, i + 3), ' ')
+                       ))) AS u
+            FROM words
+        )
+    ),
+    dfreq AS (
+        SELECT s, COUNT(*) AS d
+        FROM (SELECT DISTINCT doc_id, s FROM flat) GROUP BY s
+    ),
+    dup AS (
+        SELECT doc_id, pos FROM flat JOIN dfreq USING (s) WHERE d >= 2
+    ),
+    runs AS (
+        SELECT doc_id,
+               pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        FROM dup
+    ),
+    best AS (
+        SELECT doc_id, MAX(cnt) AS max_dup_run
+        FROM (SELECT doc_id, grp, COUNT(*) AS cnt FROM runs GROUP BY doc_id, grp)
+        GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(b.max_dup_run, 0) AS BIGINT) AS max_dup_run
+    FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id
+    """,
+)
+def q_dup_span(spark, sf):
+    """Exact-substring dedup signal at 4-gram resolution: per doc, the
+    longest run of CONSECUTIVE positions whose 4-gram occurs in >= 2
+    docs (a run of k is a k+3-word duplicated substring). Inverted
+    index + gaps-and-islands; no pair expansion anywhere."""
+    from beehive_data_etl_spark.functions.curation import dup_span
+
+    return dup_span(t(spark, sf, "documents"))
+
+
 # ----------------------------------------------- source mixture reweighting
 @query(
     "q_mixture_weights",
@@ -2572,10 +2629,16 @@ _DRIVER_FIRST = [
     # (each driver-green in BOTH r1 and r2 and untouched since; joins
     # stay represented by q_join_asof/q_join_anti, aggs by
     # q_agg_basic/q_agg_approx, sort by the plan-tested TakeOrdered)
+    # q_dup_span (NEW: duplicated-substring span) and q_sql_not_exists
+    # (de-vacuized this session: old predicate matched 0 rows both
+    # engines, threshold now leaves 21 suppliers at sf0.01) take the
+    # slots of q_dedup_lww_salted / q_agg_approx (both driver-green in
+    # r1-or-r2 and untouched since; lww stays repped by q_dedup_lww,
+    # aggs by q_agg_basic)
     "q_neardup_cosine", "q_neardup_lsh", "q_dedup_minhash",
     "q_dedup_cluster", "q_join_anti", "q_dedup_lww",
-    "q_dedup_lww_salted", "q_join_asof", "q_decontaminate",
-    "q_dup_ngram_fraction", "q_agg_basic", "q_agg_approx",
+    "q_dup_span", "q_join_asof", "q_decontaminate",
+    "q_dup_ngram_fraction", "q_agg_basic", "q_sql_not_exists",
     "q_mixture_weights", "q_win_rank", "q_except", "q_global_shuffle",
     "q_stream_session",
     # q_dedup_incremental and q_agg_ivm are NEW in round 3 (ingest-time

@@ -133,6 +133,52 @@ def test_shuffle_shards_partitions_and_positions(spark):
         assert pos == list(range(1, len(grp) + 1))  # dense 1..n per shard
 
 
+def test_dup_span_semantics(spark):
+    # doc A and B share the exact 6-word phrase -> 3 consecutive dup
+    # 4-grams; C is disjoint -> 0
+    shared = "p1 p2 p3 p4 p5 p6"
+    rows = [
+        (f"a1 a2 a3 {shared} a4 a5", "s"),
+        (f"b1 b2 {shared} b3 b4 b5", "s"),
+        ("c1 c2 c3 c4 c5 c6 c7 c8 c9", "s"),
+    ]
+    from beehive_data_etl_spark.functions.curation import dup_span
+
+    out = {r.doc_id: r.max_dup_run for r in dup_span(_docs(spark, rows)).collect()}
+    assert out[0] == 3 and out[1] == 3  # 6 shared words = 3 dup 4-grams
+    assert out[2] == 0
+
+
+def test_write_shards_layout_and_determinism(spark, tmp_path):
+    from beehive_data_etl_spark.functions.curation import shuffle_shards, write_shards
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out1, out2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    write_shards(docs, out1, k=4)
+    write_shards(docs.repartition(7), out2, k=4)  # layout-independent
+    a = spark.read.parquet(out1)
+    b = spark.read.parquet(out2)
+    # content round-trips exactly (all columns + shard)
+    assert a.count() == docs.count()
+    assert a.drop("shard").exceptAll(docs).count() == 0
+    assert docs.exceptAll(a.drop("shard")).count() == 0
+    # shard membership matches the query-form operator
+    expect = shuffle_shards(docs, k=4).toPandas().set_index("doc_id")["shard"]
+    # partition-column read-back infers int32 — compare values
+    got = a.select("doc_id", "shard").toPandas().set_index("doc_id")["shard"].astype("int64")
+    assert got.sort_index().equals(expect.sort_index().astype("int64"))
+    # byte-determinism: per-shard file row order identical across runs
+    import pyarrow.parquet as pq
+    import glob
+
+    for s in range(4):
+        fa = sorted(glob.glob(f"{out1}/shard={s}/*.parquet"))
+        fb = sorted(glob.glob(f"{out2}/shard={s}/*.parquet"))
+        ids_a = [i for f in fa for i in pq.read_table(f, columns=["doc_id"])["doc_id"].to_pylist()]
+        ids_b = [i for f in fb for i in pq.read_table(f, columns=["doc_id"])["doc_id"].to_pylist()]
+        assert ids_a == ids_b and len(ids_a) > 0
+
+
 def test_shuffle_shards_deterministic_across_runs(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     a = shuffle_shards(docs, k=8).toPandas().sort_values("doc_id").reset_index(drop=True)

@@ -56,7 +56,9 @@ def test_driver_snapshot_order():
     touched = {"q_neardup_cosine", "q_neardup_lsh", "q_dedup_minhash",
                "q_dedup_cluster", "q_join_anti", "q_except",
                "q_dedup_incremental", "q_agg_ivm",
-               # round-3 session-2 additions (never driver-checked)
+               # round-3 session-2 additions (never driver-checked) and
+               # de-vacuizations
                "q_decontaminate", "q_dup_ngram_fraction",
-               "q_mixture_weights", "q_global_shuffle"}
+               "q_mixture_weights", "q_global_shuffle",
+               "q_dup_span", "q_sql_not_exists"}
     assert set(never_checked) | touched <= set(keys[:50])
