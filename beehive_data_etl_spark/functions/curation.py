@@ -225,7 +225,17 @@ def dup_span(
     per-doc shingle set -> keep duplicated positions -> gaps-and-islands
     (pos - row_number per doc) -> max island size. Two aggregations and
     one n-gram-key join over the inverted index; the islands window
-    shuffles on the doc key only."""
+    shuffles on the doc key only.
+
+    Decision record: the dfreq subtree re-scans + re-shingles the
+    corpus (Spark gives no exchange reuse across join subtrees — the
+    engine's measured LSH lesson). The single-scan alternative
+    (groupBy n-gram with collect_list of (doc,pos) structs) needs
+    UNBOUNDED single-row state on hot n-grams and, unlike minhash's
+    max_bucket cap, no cap is semantically safe here (every position
+    of a duplicated n-gram feeds a run). Re-shingling is narrow, cheap
+    codegen work; the expensive parts — the inverted-index shuffle and
+    the islands window — each run once."""
     words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     psh = docs.select(
         F.col(id_col),
