@@ -47,7 +47,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from beehive_data_etl_spark.functions.dedup import word_shingles, word_shingles_sql
+from beehive_data_etl_spark.functions.dedup import (
+    spread_if_narrow,
+    word_shingles,
+    word_shingles_sql,
+)
 from beehive_data_etl_spark.functions.hashing import portable_hash32, portable_hash32_sql
 
 __all__ = [
@@ -59,8 +63,11 @@ __all__ = [
 
 
 def _shingled(docs: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
-    """(id, shingle) pairs, distinct per doc (word_shingles dedups)."""
-    return docs.select(
+    """(id, shingle) pairs, distinct per doc (word_shingles dedups).
+    The spread sits BELOW the projection and ABOVE the expression-heavy
+    shingling (the engine's measured lesson: an under-partitioned
+    corpus file serializes all shingle work in one task)."""
+    return spread_if_narrow(docs.select(id_col, text_col)).select(
         F.col(id_col), F.explode(word_shingles(text_col, n)).alias("s")
     )
 
@@ -80,14 +87,20 @@ def decontaminate(
     benchmark docs and BROADCAST; the corpus side streams through a
     single scan. In production the benchmark would be a separate small
     table — the join shape is identical."""
-    marked = docs.withColumn("__bench", _bench_pred(id_col, bench_pct))
-    sh = marked.select(
-        F.col(id_col),
-        F.col("__bench"),
-        F.explode(word_shingles(text_col, n)).alias("s"),
+    base = docs.select(id_col, text_col)
+    pred = _bench_pred(id_col, bench_pct)
+    # each side filters BEFORE shingling, so the expensive n-gram
+    # expansion runs once per doc total: the benchmark branch shingles
+    # only its 5% slice (tiny — no spread needed), the corpus branch
+    # the rest (spread against under-partitioned input files)
+    bench = (
+        base.filter(pred)
+        .select(F.explode(word_shingles(text_col, n)).alias("s"))
+        .distinct()
     )
-    bench = sh.filter(F.col("__bench")).select("s").distinct()
-    corpus = sh.filter(~F.col("__bench")).drop("__bench")
+    corpus = spread_if_narrow(base.filter(~pred)).select(
+        F.col(id_col), F.explode(word_shingles(text_col, n)).alias("s")
+    )
     return (
         corpus.join(F.broadcast(bench), "s")
         .groupBy(id_col)
@@ -237,7 +250,7 @@ def dup_span(
     codegen work; the expensive parts — the inverted-index shuffle and
     the islands window — each run once."""
     words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-    psh = docs.select(
+    psh = spread_if_narrow(docs.select(id_col, text_col)).select(
         F.col(id_col),
         F.posexplode(
             F.transform(

@@ -55,6 +55,12 @@ HEADLINE = [
     "q_token_count",
     "q_pandas_udf",
     "q_ann_bruteforce",
+    # round-3 session-2 curation operators (per-query values are what
+    # cross-round comparisons use; the suite SUM grows with coverage)
+    "q_decontaminate",
+    "q_dup_ngram_fraction",
+    "q_dup_span",
+    "q_global_shuffle",
 ]
 
 

@@ -40,11 +40,15 @@ def test_decontaminate_benchmark_side_is_broadcast(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     plan = plan_of(decontaminate(docs))
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
-    # the corpus side must reach the join without a shuffle: the only
-    # shuffle Exchanges are the benchmark-distinct (feeding the
-    # broadcast) and the final per-doc aggregation
+    # the corpus side must reach the join without a CO-LOCATION shuffle:
+    # allowed Exchanges are the benchmark-distinct (feeding the
+    # broadcast), the final per-doc aggregation, and the narrow-input
+    # spread (round-robin, only because the test corpus is one file)
     assert len(re.findall(r"\(\d+\) BroadcastExchange", plan)) == 1
-    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2
+    shuffles = re.findall(r"\(\d+\) Exchange\n.*\n.*Arguments: (\w+)", plan)
+    assert len(shuffles) == 3, plan
+    assert sorted(shuffles).count("hashpartitioning") == 2  # distinct + agg
+    assert "RoundRobinPartitioning" in shuffles  # the spread, not a key shuffle
 
 
 def test_decontaminate_flags_exact_benchmark_copy(spark):
