@@ -450,3 +450,90 @@ class IncrementalNearDup:
             # projection per retried batch in a long-running stream
             banded.unpersist()
         return out
+
+
+class NearDupView:
+    """Changelog-driven near-dup — the third derived consumer of the
+    CDC snapshot, with the same ``refresh()`` contract as
+    ``AggregateView`` and ``TokenIndex``: advance to the sink's CURRENT
+    version by feeding the pre-image-free changelog window through
+    ``IncrementalNearDup.process_batch``.
+
+    The changelog's new-image rows are exactly a process_batch batch —
+    one LWW-final row per changed key carrying (doc_id, op_sequence,
+    tokens, deleted) — so updates re-signature, deletes tombstone, and
+    only changed docs pair against the corpus. Each refresh writes its
+    candidate pairs to a DETERMINISTIC ``pairs-v<version>`` dir and
+    then swaps the CURRENT pointer; a crash anywhere is healed by
+    re-refresh (process_batch's batch_id discard makes the store
+    append idempotent, and the pairs dir is overwritten in place).
+    ``pairs()`` unions the dirs at-or-below the pointer, so a crashed
+    attempt's half-written dir is never read."""
+
+    def __init__(self, spark: SparkSession, sink, root: str, **nd_kwargs) -> None:
+        self.spark = spark
+        self.sink = sink
+        self.root = root
+        self.nd = IncrementalNearDup(
+            spark, os.path.join(root, "store"), **nd_kwargs
+        )
+        os.makedirs(root, exist_ok=True)
+
+    def _ptr_path(self) -> str:
+        return os.path.join(self.root, "CURRENT")
+
+    def current(self) -> dict | None:
+        import json
+
+        try:
+            with open(self._ptr_path()) as fh:
+                return json.load(fh)
+        except FileNotFoundError:
+            return None
+
+    def _swap(self, version: int) -> None:
+        import json
+
+        tmp = self._ptr_path() + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as fh:
+            json.dump({"version": version}, fh)
+        os.replace(tmp, self._ptr_path())
+
+    def refresh(self) -> dict:
+        snap = self.sink.current_snapshot()
+        if snap is None:
+            return {"mode": "noop", "reason": "sink has no snapshot"}
+        v_new = snap["version"]
+        cur = self.current()
+        if cur is not None and cur["version"] == v_new:
+            return {"mode": "noop", "version": v_new}
+        if cur is None:
+            batch = self.sink.read_state(version=v_new)
+            mode = "full"
+        else:
+            batch = self.sink.read_changes_pruned(cur["version"], v_new).drop(
+                "change_type"
+            )
+            mode = "incremental"
+        pairs = self.nd.process_batch(batch, batch_id=f"cdc-v{v_new:06d}")
+        out_dir = os.path.join(self.root, f"pairs-v{v_new:06d}")
+        pairs.write.mode("overwrite").parquet(out_dir)
+        self._swap(v_new)
+        return {"mode": mode, "version": v_new}
+
+    def pairs(self) -> DataFrame:
+        """All candidate pairs found up to the reflected version."""
+        cur = self.current()
+        if cur is None:
+            raise ValueError("view never refreshed")
+        dirs = sorted(
+            os.path.join(self.root, d)
+            for d in os.listdir(self.root)
+            if d.startswith("pairs-v")
+            and int(d.split("-v")[1]) <= cur["version"]
+        )
+        parts = [self.spark.read.parquet(d) for d in dirs]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out

@@ -30,10 +30,12 @@ from beehive_data_etl_spark.streaming.replay import replay_incremental, replay_s
 def _derived_views(spark, sink) -> list:
     """Optional downstream incremental consumers, enabled by env:
     REPLAY_AGG_GROUP[,col..] (+ optional REPLAY_AGG_SUM[,col..]) adds an
-    AggregateView; REPLAY_INDEX_COL=<array col> adds a TokenIndex. Both
-    live under <target>/_views/ and refresh per committed batch (stream
-    mode) or once post-replay (pipelined mode — batches commit out of
-    order there, so the only safe refresh point is the quiesced end).
+    AggregateView; REPLAY_INDEX_COL=<array col> adds a TokenIndex;
+    REPLAY_NEARDUP=1 adds changelog-driven near-dup detection
+    (NearDupView). All live under <target>/_views/ and refresh per
+    committed batch (stream mode) or once post-replay (pipelined mode —
+    batches commit out of order there, so the only safe refresh point
+    is the quiesced end).
     Filesystem sink only: the views refresh off SnapshotSink's pre-image
     changelog; the Iceberg twin exposes changelogs via its own CDC reads
     on a real cluster."""
@@ -61,6 +63,12 @@ def _derived_views(spark, sink) -> list:
                 spark, sink, os.path.join(root, "_views", "token_index"),
                 token_col=index_col,
             )
+        )
+    if os.environ.get("REPLAY_NEARDUP"):
+        from beehive_data_etl_spark.functions.incremental_dedup import NearDupView
+
+        views.append(
+            NearDupView(spark, sink, os.path.join(root, "_views", "neardup"))
         )
     return views
 
