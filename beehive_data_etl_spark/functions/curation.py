@@ -50,6 +50,7 @@ from pyspark.sql import functions as F
 from beehive_data_etl_spark.functions.dedup import (
     spread_if_narrow,
     word_shingles,
+    word_shingles_positional,
     word_shingles_sql,
 )
 from beehive_data_etl_spark.functions.hashing import portable_hash32, portable_hash32_sql
@@ -249,15 +250,9 @@ def dup_span(
     of a duplicated n-gram feeds a run). Re-shingling is narrow, cheap
     codegen work; the expensive parts — the inverted-index shuffle and
     the islands window — each run once."""
-    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     psh = spread_if_narrow(docs.select(id_col, text_col)).select(
         F.col(id_col),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(1))),
-                lambda i: F.concat_ws(" ", F.slice(words, i, n)),
-            )
-        ).alias("pos", "s"),
+        F.posexplode(word_shingles_positional(text_col, n)).alias("pos", "s"),
     )
     dfreq = (
         psh.select(id_col, "s")

@@ -22,22 +22,45 @@ from pyspark.sql import functions as F
 from beehive_data_etl_spark.functions.hashing import minhash_signature, portable_hash32
 
 
-def word_shingles(col: Column | str, n: int = 3) -> Column:
-    """Distinct n-word shingles (joined by single spaces) from a text
-    column — pure expression via sequence + transform, no UDF."""
+def word_shingles_positional(col: Column | str, n: int = 3) -> Column:
+    """Position-ordered n-word shingles (joined by single spaces) from
+    a text column, duplicates KEPT — element i is the shingle starting
+    at word i. THE single definition of the word-tokenization contract
+    (trim + lower + whitespace split + greatest(len-n+1, 1) shingles);
+    every word-level operator derives from it so a normalization change
+    can never diverge one operator from the rest."""
     c = F.col(col) if isinstance(col, str) else col
     words = F.split(F.trim(F.lower(c)), r"\s+")
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(1))),
-            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
-        )
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+    )
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct n-word shingles — set semantics over
+    word_shingles_positional; pure expression, no UDF."""
+    return F.array_distinct(word_shingles_positional(col, n))
+
+
+def _words_sql(expr: str) -> str:
+    return f"string_split_regex(trim(lower({expr})), '\\s+')"
+
+
+def word_shingles_positional_sql(expr: str, n: int = 3) -> str:
+    """DuckDB twin of word_shingles_positional, as a list of
+    struct_pack(pos, s) (1-based positions, matching Spark's slice)."""
+    w = _words_sql(expr)
+    return (
+        f"list_transform(generate_series(1, greatest(len({w}) - {n - 1}, 1)), "
+        f"i -> struct_pack(pos := i, "
+        f"s := array_to_string(list_slice({w}, i, i + {n - 1}), ' ')))"
     )
 
 
 def word_shingles_sql(expr: str, n: int = 3) -> str:
     """DuckDB twin of word_shingles (1-based list slicing, as in Spark)."""
-    w = f"string_split_regex(trim(lower({expr})), '\\s+')"
+    w = _words_sql(expr)
     return (
         f"list_distinct(list_transform(generate_series(1, "
         f"greatest(len({w}) - {n - 1}, 1)), "

@@ -462,21 +462,41 @@ class NearDupView:
     The changelog's new-image rows are exactly a process_batch batch —
     one LWW-final row per changed key carrying (doc_id, op_sequence,
     tokens, deleted) — so updates re-signature, deletes tombstone, and
-    only changed docs pair against the corpus. Each refresh writes its
-    candidate pairs to a DETERMINISTIC ``pairs-v<version>`` dir and
-    then swaps the CURRENT pointer; a crash anywhere is healed by
-    re-refresh (process_batch's batch_id discard makes the store
-    append idempotent, and the pairs dir is overwritten in place).
-    ``pairs()`` unions the dirs at-or-below the pointer, so a crashed
-    attempt's half-written dir is never read."""
+    only changed docs pair against the corpus.
 
-    def __init__(self, spark: SparkSession, sink, root: str, **nd_kwargs) -> None:
+    Crash contract (review-hardened): a retry may run at a LATER sink
+    version than the crashed attempt (the changelog window widens), so
+    nothing crash-time-versioned can be trusted at retry time. Every
+    refresh therefore starts by reaping ALL store batch files and
+    pairs dirs ABOVE the committed pointer — artifacts only a crashed
+    attempt can leave (nothing above the pointer is ever listed) —
+    BEFORE pinning the corpus, so a ghost signature of a doc the wider
+    window no longer mentions can never pair. ``pairs()`` reads
+    exactly the dirs the pointer RECORDS (never a half-written crash
+    dir), and when the recorded list grows past ``pairs_fold_at`` the
+    refresh folds it into one dir; unlisted superseded dirs are
+    age-reaped (pinned readers hold the old list for the horizon)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        sink,
+        root: str,
+        pairs_fold_at: int = 16,
+        reap_older_than_s: float = 3600.0,
+        **nd_kwargs,
+    ) -> None:
+        import threading
+
         self.spark = spark
         self.sink = sink
         self.root = root
+        self.pairs_fold_at = pairs_fold_at
+        self.reap_older_than_s = reap_older_than_s
         self.nd = IncrementalNearDup(
             spark, os.path.join(root, "store"), **nd_kwargs
         )
+        self._write_lock = threading.Lock()
         os.makedirs(root, exist_ok=True)
 
     def _ptr_path(self) -> str:
@@ -491,15 +511,59 @@ class NearDupView:
         except FileNotFoundError:
             return None
 
-    def _swap(self, version: int) -> None:
+    def _swap(self, version: int, pairs_dirs: list[str]) -> None:
         import json
 
         tmp = self._ptr_path() + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as fh:
-            json.dump({"version": version}, fh)
+            json.dump({"version": version, "pairs_dirs": pairs_dirs}, fh)
         os.replace(tmp, self._ptr_path())
 
+    def _reap_crash_artifacts(self, committed: int) -> None:
+        """Delete every store batch file / pairs dir whose version is
+        ABOVE the committed pointer: only a crashed attempt can have
+        left them (a successful refresh swaps the pointer past its own
+        version), and a retry may now be processing a WIDER changelog
+        window under a different batch_id — crash-time-versioned ids
+        cannot be trusted, so reap by version range, immediately (no
+        reader can list above-pointer artifacts)."""
+        import re
+        import shutil as _sh
+
+        for d in os.listdir(self.nd.store.root):
+            m = re.fullmatch(r"batch-cdc-v(\d+)\.parquet", d)
+            if m and int(m.group(1)) > committed:
+                _sh.rmtree(os.path.join(self.nd.store.root, d), ignore_errors=True)
+        for d in os.listdir(self.root):
+            m = re.fullmatch(r"pairs-v(\d+)", d)
+            if m and int(m.group(1)) > committed:
+                _sh.rmtree(os.path.join(self.root, d), ignore_errors=True)
+
+    def _reap_unlisted_aged(self, listed: set[str]) -> None:
+        """Superseded (post-fold) pairs dirs: unlisted, at-or-below the
+        pointer — invisible to NEW readers but possibly pinned by a
+        reader holding the previous list, so reap only past the age
+        horizon (TokenIndex.compact's reasoning)."""
+        import time as _t
+
+        now = _t.time()
+        for d in os.listdir(self.root):
+            full = os.path.join(self.root, d)
+            if (
+                d.startswith("pairs-")
+                and d not in listed
+                and os.path.isdir(full)
+                and now - os.path.getmtime(full) >= self.reap_older_than_s
+            ):
+                import shutil as _sh
+
+                _sh.rmtree(full, ignore_errors=True)
+
     def refresh(self) -> dict:
+        with self._write_lock:
+            return self._refresh_locked()
+
+    def _refresh_locked(self) -> dict:
         snap = self.sink.current_snapshot()
         if snap is None:
             return {"mode": "noop", "reason": "sink has no snapshot"}
@@ -507,6 +571,8 @@ class NearDupView:
         cur = self.current()
         if cur is not None and cur["version"] == v_new:
             return {"mode": "noop", "version": v_new}
+        committed = cur["version"] if cur is not None else -1
+        self._reap_crash_artifacts(committed)
         if cur is None:
             batch = self.sink.read_state(version=v_new)
             mode = "full"
@@ -516,24 +582,36 @@ class NearDupView:
             )
             mode = "incremental"
         pairs = self.nd.process_batch(batch, batch_id=f"cdc-v{v_new:06d}")
-        out_dir = os.path.join(self.root, f"pairs-v{v_new:06d}")
-        pairs.write.mode("overwrite").parquet(out_dir)
-        self._swap(v_new)
-        return {"mode": mode, "version": v_new}
+        name = f"pairs-v{v_new:06d}"
+        pairs.write.mode("overwrite").parquet(os.path.join(self.root, name))
+        listed = (cur.get("pairs_dirs", []) if cur else []) + [name]
+        if len(listed) >= self.pairs_fold_at:
+            folded = self._read_dirs(listed).groupBy("id_new", "id_corpus").agg(
+                F.max("n_shared_bands").alias("n_shared_bands")
+            )
+            fold_name = f"pairs-fold-v{v_new:06d}-{uuid.uuid4().hex}"
+            folded.write.mode("overwrite").parquet(
+                os.path.join(self.root, fold_name)
+            )
+            listed = [fold_name]
+        self._swap(v_new, listed)
+        self._reap_unlisted_aged(set(listed))
+        return {"mode": mode, "version": v_new, "pairs_dirs": len(listed)}
 
-    def pairs(self) -> DataFrame:
-        """All candidate pairs found up to the reflected version."""
-        cur = self.current()
-        if cur is None:
-            raise ValueError("view never refreshed")
-        dirs = sorted(
-            os.path.join(self.root, d)
-            for d in os.listdir(self.root)
-            if d.startswith("pairs-v")
-            and int(d.split("-v")[1]) <= cur["version"]
-        )
-        parts = [self.spark.read.parquet(d) for d in dirs]
+    def _read_dirs(self, names: list[str]) -> DataFrame:
+        parts = [
+            self.spark.read.parquet(os.path.join(self.root, d)) for d in names
+        ]
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
         return out
+
+    def pairs(self) -> DataFrame:
+        """All candidate pairs found up to the reflected version —
+        exactly the dirs the pointer records (a crashed attempt's dir
+        is never listed, so never read)."""
+        cur = self.current()
+        if cur is None:
+            raise ValueError("view never refreshed")
+        return self._read_dirs(cur["pairs_dirs"])

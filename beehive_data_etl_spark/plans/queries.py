@@ -2491,24 +2491,15 @@ def q_dup_ngram_fraction(spark, sf):
 
 
 # ----------------------------------------------- duplicated-substring span
-@query(
-    "q_dup_span",
-    """
-    WITH words AS (
-        SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
-        FROM documents
-    ),
-    flat AS (
+def _dup_span_oracle() -> str:
+    from beehive_data_etl_spark.functions.dedup import word_shingles_positional_sql
+
+    return f"""
+    WITH flat AS (
         SELECT doc_id, u.pos AS pos, u.s AS s
         FROM (
-            SELECT doc_id,
-                   unnest(list_transform(
-                       generate_series(1, greatest(len(w) - 3, 1)),
-                       i -> struct_pack(
-                           pos := i,
-                           s := array_to_string(list_slice(w, i, i + 3), ' ')
-                       ))) AS u
-            FROM words
+            SELECT doc_id, unnest({word_shingles_positional_sql("text", 4)}) AS u
+            FROM documents
         )
     ),
     dfreq AS (
@@ -2531,8 +2522,10 @@ def q_dup_ngram_fraction(spark, sf):
     SELECT d.doc_id,
            CAST(COALESCE(b.max_dup_run, 0) AS BIGINT) AS max_dup_run
     FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id
-    """,
-)
+    """
+
+
+@query("q_dup_span", _dup_span_oracle())
 def q_dup_span(spark, sf):
     """Exact-substring dedup signal at 4-gram resolution: per doc, the
     longest run of CONSECUTIVE positions whose 4-gram occurs in >= 2

@@ -94,7 +94,7 @@ def test_crash_between_store_append_and_swap_is_idempotent(spark, sink, tmp_path
     # crash AFTER process_batch (store appended, pairs dir written)
     # but BEFORE the pointer swap
     real_swap = view._swap
-    view._swap = lambda v: (_ for _ in ()).throw(RuntimeError("crash"))
+    view._swap = lambda *a: (_ for _ in ()).throw(RuntimeError("crash"))
     with pytest.raises(RuntimeError):
         view.refresh()
     view._swap = real_swap
@@ -104,6 +104,85 @@ def test_crash_between_store_append_and_swap_is_idempotent(spark, sink, tmp_path
     # pair is reported exactly once
     assert view.refresh()["mode"] == "incremental"
     assert _norm(view.pairs()) == {("a", "c")}
+
+
+def test_crash_then_retry_at_later_version_leaves_no_ghost(spark, sink, tmp_path):
+    """The review-repro'd bug: a crashed refresh's store file is keyed
+    to the CRASH-TIME version; if the sink advances before the retry,
+    the retry's wider changelog window collapses insert-then-delete to
+    nothing, and the ghost signatures of the deleted doc would pair
+    forever. The version-range reap must remove them."""
+    view = NearDupView(spark, sink, str(tmp_path / "nd"))
+    sink.apply_batch(
+        spark.createDataFrame([_ev("I", 1, "a", [600, 601, 602])], SCHEMA), "b1"
+    )
+    view.refresh()  # pointer at v1
+    # v2 inserts doc k; refresh crashes AFTER the store append
+    sink.apply_batch(
+        spark.createDataFrame([_ev("I", 2, "k", BASE)], SCHEMA), "b2"
+    )
+    real_swap = view._swap
+    view._swap = lambda *a: (_ for _ in ()).throw(RuntimeError("crash"))
+    with pytest.raises(RuntimeError):
+        view.refresh()
+    view._swap = real_swap
+    # sink advances to v3 where k is DELETED -> the v1->v3 window has
+    # no row for k at all
+    sink.apply_batch(
+        spark.createDataFrame([_ev("D", 3, "k", None)], SCHEMA), "b3"
+    )
+    assert view.refresh()["mode"] == "incremental"
+    # a later insert with k's old content must NOT pair against the
+    # dead doc's ghost signatures
+    sink.apply_batch(
+        spark.createDataFrame([_ev("I", 4, "x", BASE)], SCHEMA), "b4"
+    )
+    view.refresh()
+    assert _norm(view.pairs()) == set()
+
+
+def test_crashed_pairs_dir_never_poisons_reads(spark, sink, tmp_path):
+    """A half-written pairs dir from a crashed attempt must be
+    invisible (pointer records the readable list) and reaped by the
+    next refresh, even when that refresh lands at a later version."""
+    view = NearDupView(spark, sink, str(tmp_path / "nd"))
+    sink.apply_batch(
+        spark.createDataFrame([_ev("I", 1, "a", BASE)], SCHEMA), "b1"
+    )
+    view.refresh()
+    # fake a crashed attempt at v2: an unreadable half-written dir
+    bad = os.path.join(str(tmp_path / "nd"), "pairs-v000002")
+    os.makedirs(os.path.join(bad, "_temporary"))
+    assert view.pairs().count() == 0  # unlisted -> not read
+    sink.apply_batch(
+        spark.createDataFrame([_ev("I", 2, "c", BASE + [99])], SCHEMA), "b2"
+    )
+    sink.apply_batch(
+        spark.createDataFrame([_ev("I", 3, "d", [700, 701])], SCHEMA), "b3"
+    )
+    view.refresh()  # retry lands at v3 > the crashed v2
+    assert not os.path.isdir(bad)  # reaped
+    assert _norm(view.pairs()) == {("a", "c")}
+
+
+def test_pairs_fold_bounds_dir_count(spark, sink, tmp_path):
+    view = NearDupView(
+        spark, sink, str(tmp_path / "nd"), pairs_fold_at=3, reap_older_than_s=0.0
+    )
+    docs = [("a", BASE), ("b", [500, 501]), ("c", BASE + [99]), ("d", [700]),
+            ("e", BASE + [98])]
+    for i, (doc, toks) in enumerate(docs, start=1):
+        sink.apply_batch(
+            spark.createDataFrame([_ev("I", i, doc, toks)], SCHEMA), f"b{i}"
+        )
+        view.refresh()
+    # fold threshold 3 -> the recorded list never exceeds it
+    assert len(view.current()["pairs_dirs"]) <= 3
+    # and folding lost nothing: a, c, e are mutual near-dups
+    assert _norm(view.pairs()) == {("a", "c"), ("a", "e"), ("c", "e")}
+    # aged-reap (horizon 0) leaves only listed dirs on disk
+    left = [d for d in os.listdir(view.root) if d.startswith("pairs-")]
+    assert sorted(left) == sorted(view.current()["pairs_dirs"])
 
 
 def test_replay_job_env_enables_neardup(spark, smoke_log, tmp_path, monkeypatch):
