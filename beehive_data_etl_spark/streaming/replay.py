@@ -51,6 +51,79 @@ def _log_files(log_dir: str) -> list[str]:
     return files
 
 
+def wal_max_seq(path: str, seq_col: str = "op_sequence") -> int | None:
+    """Max ``op_sequence`` in a WAL file, from parquet footer statistics
+    only (driver-side metadata, no data scan). ``None`` when any row
+    group lacks stats — callers must treat that as "unknown, cannot
+    prune". On a cluster the same number comes from the source's offset
+    metadata (e.g. a binlog file's end-LSN); footer stats are the
+    file-log equivalent."""
+    import pyarrow.parquet as pq
+
+    md = pq.read_metadata(path)
+    top = None
+    for rg_idx in range(md.num_row_groups):
+        rg = md.row_group(rg_idx)
+        stat = None
+        for c_idx in range(rg.num_columns):
+            col = rg.column(c_idx)
+            if col.path_in_schema == seq_col:
+                stat = col.statistics
+                break
+        if stat is None or not stat.has_min_max:
+            return None
+        top = stat.max if top is None else max(top, stat.max)
+    return top
+
+
+def bootstrap(state_df: DataFrame, sink: CdcSink, as_of_seq: int,
+              batch_id: str | None = None) -> dict:
+    """Seed an EMPTY sink from a consistent snapshot export, then tail
+    the WAL with ``replay_incremental(start_after_seq=as_of_seq)`` —
+    the Debezium-style "initial snapshot + binlog tail" bootstrap that
+    makes standing up a new replica/re-shard of a 10^10-row table
+    O(state), not O(history).
+
+    ``state_df`` must be the LWW state of the source table as of
+    ``as_of_seq`` **including delete tombstones** (rows with op='D' and
+    the delete's op_sequence), exactly what ``SnapshotSink.read_state``
+    exports. Tombstones are load-bearing when the WAL delivers events
+    out of order: a pre-cutoff stale update displaced into a post-cutoff
+    file must lose the LWW comparison against the delete it precedes —
+    without the tombstone it would resurrect the doc. A snapshot source
+    that cannot export tombstones is only safe when the tail is strictly
+    seq-ordered (then no pre-cutoff event ever arrives post-cutoff).
+
+    The bootstrap batch flows through ``sink.apply_batch`` — same
+    manifests, same exactly-once, so a crashed bootstrap resumes like
+    any batch. Returns the commit metrics."""
+    bid = batch_id or f"bootstrap-{as_of_seq}"
+    if sink.committed(bid):
+        return {"batch_id": bid, "skipped": True}
+    snap = getattr(sink, "current_snapshot", lambda: None)()
+    if snap is not None:
+        raise ValueError(
+            "bootstrap target must be an empty table (found snapshot "
+            f"v{snap['version']}); tail an existing table with "
+            "replay_incremental instead"
+        )
+    cols = set(state_df.columns)
+    if "op" not in cols:
+        # read_state export shape: tombstones as deleted=true rows.
+        # Map to the envelope the merge consumes ('U' vs 'D' — a
+        # bootstrap row is never an insert event, it IS state).
+        if "deleted" not in cols:
+            raise ValueError(
+                "bootstrap state needs 'op' or 'deleted' to carry tombstones"
+            )
+        from pyspark.sql import functions as F
+
+        state_df = state_df.withColumn(
+            "op", F.when(F.col("deleted"), F.lit("D")).otherwise(F.lit("U"))
+        ).drop("deleted")
+    return sink.apply_batch(state_df, bid)
+
+
 def replay_incremental(
     spark: SparkSession,
     log_dir: str,
@@ -59,6 +132,7 @@ def replay_incremental(
     transform: Transform | None = None,
     max_batches: int | None = None,
     inflight: int = 1,
+    start_after_seq: int | None = None,
 ) -> list[dict]:
     """Replay an ordered WAL directory through the sink, one schema-aware
     micro-batch per ``files_per_batch`` files. Resumable: batch ids are
@@ -76,14 +150,35 @@ def replay_incremental(
     some later batch committed and an earlier one not — the resume
     replays exactly the uncommitted ids). Use inflight=1 (default) when
     strict commit order matters, e.g. a downstream consumer tailing the
-    snapshot log."""
+    snapshot log.
+
+    ``start_after_seq`` (bootstrap tail, see ``bootstrap``): a chunk is
+    SKIPPED entirely when every file's footer-stat max op_sequence is
+    <= the cutoff — those events are already reflected in the
+    bootstrapped state. Pruning is all-or-nothing per chunk (a chunk is
+    never sub-set) so a chunk that does run reads exactly the same
+    files, and therefore produces exactly the same batch content, as in
+    a full replay — batch ids, crash manifests, and committed-id resume
+    stay interchangeable between bootstrapped and full runs. Straddling
+    chunks re-deliver some pre-cutoff events; the sink's LWW fold
+    no-ops them against the bootstrap rows (which carry >= seq per
+    key). A file without footer stats is unprunable and keeps its
+    chunk."""
     files = _log_files(log_dir)
     chunks = [files[i : i + files_per_batch] for i in range(0, len(files), files_per_batch)]
     if max_batches is not None:
         chunks = chunks[:max_batches]
+    prunable: set[str] = set()
+    if start_after_seq is not None:
+        for f in files:
+            top = wal_max_seq(f)
+            if top is not None and top <= start_after_seq:
+                prunable.add(f)
 
     def _one(i: int, chunk: list[str]) -> dict:
         batch_id = f"wal-{i:06d}-{os.path.basename(chunk[0])}"
+        if all(f in prunable for f in chunk):
+            return {"batch_id": batch_id, "skipped": True, "pruned": True}
         if sink.committed(batch_id):
             return {"batch_id": batch_id, "skipped": True}
         df = read_wal(spark, chunk)
