@@ -101,6 +101,12 @@ class SnapshotSink:
         # batches folding the same bucket concurrently.
         self._commit_lock = threading.Lock()
         self._compacting: set[int] = set()
+        # rebucket() quiesce flag: while a rebucket is rewriting the
+        # bucket space, new batches/rewrites through THIS object are
+        # rejected at entry (their bucket numbers would be stale by
+        # commit time). Cross-object writers are caught by the
+        # n_buckets head-check inside their commit critical sections.
+        self._rebucketing = False
         # batch ids with published-but-uncommitted files (data dirs and
         # manifests land BEFORE the pointer swap): vacuum() must not
         # treat them as orphans while the batch is in flight
@@ -225,7 +231,10 @@ class SnapshotSink:
         snap = self.current_snapshot() if version is None else self.snapshot(version)
         if snap is None:
             raise ValueError("no snapshot yet")
-        buckets = buckets if buckets is not None else list(range(self.n_buckets))
+        # the SNAPSHOT's bucket count, not the sink's: a time-travel
+        # read of a pre-rebucket version must iterate that version's
+        # bucket space
+        buckets = buckets if buckets is not None else list(range(snap["n_buckets"]))
         df = self._read_buckets(snap, buckets)
         if df is None:
             return self.spark.createDataFrame([], T.StructType.fromDDL(snap["schema"]))
@@ -289,12 +298,24 @@ class SnapshotSink:
         old_snap = self.snapshot(from_version)
         new_snap = self.snapshot(to_version)
         target = T.StructType.fromDDL(new_snap["schema"])
+        # a rebucket() in the window renumbers the bucket space: a NEW
+        # bucket number does not address the same keys in the OLD
+        # snapshot, so per-bucket old-image pruning is meaningless —
+        # degrade to whole-state images (the rebucket itself rewrote
+        # every file, so the "fresh files" side is O(table) regardless).
+        # The seq > old_seq predicate still drops every merely-rewritten
+        # row; consumers see only genuine changes.
+        rebucketed = old_snap["n_buckets"] != new_snap["n_buckets"]
         old_paths = {
             e["path"] for ents in old_snap["buckets"].values() for e in ents
         }
         fresh_buckets: dict[str, list[dict]] = {}
         for b_str, ents in new_snap["buckets"].items():
-            fresh = [e for e in ents if e["path"] not in old_paths]
+            fresh = (
+                list(ents)
+                if rebucketed
+                else [e for e in ents if e["path"] not in old_paths]
+            )
             if fresh:
                 fresh_buckets[b_str] = fresh
         # mirror read_changes' column order (= lww_dedup's: KEY, SEQ,
@@ -328,7 +349,13 @@ class SnapshotSink:
             KEY,
             SEQ,
         )
-        o = self._read_buckets(old_snap, touched, target=target)
+        # old images by OLD bucket numbering — identical to `touched`
+        # unless a rebucket renumbered the space (then: all old buckets,
+        # since any old bucket may hold a touched key's pre-image)
+        old_touched = (
+            [int(b) for b in old_snap["buckets"]] if rebucketed else touched
+        )
+        o = self._read_buckets(old_snap, old_touched, target=target)
         if o is None:
             old_img = None
         else:
@@ -406,7 +433,7 @@ class SnapshotSink:
             [(i,) for i in ids], T.StructType([key_field])
         ).coalesce(1)
         rows = probe.select(
-            F.col(KEY), _bucket_expr(self.n_buckets).alias("b")
+            F.col(KEY), _bucket_expr(snap["n_buckets"]).alias("b")
         ).collect()
         buckets = sorted({r.b for r in rows})
         keys = [r[0] for r in rows]
@@ -435,6 +462,10 @@ class SnapshotSink:
         # decides to reuse a crashed attempt's files, and a vacuum that
         # fires in between would reap exactly those files as orphans
         with self._commit_lock:
+            if self._rebucketing:
+                raise RuntimeError(
+                    "rebucket in progress; re-apply the batch after it completes"
+                )
             self._inflight.add(batch_id)
         compact_candidates: list[int] = []
         try:
@@ -716,6 +747,16 @@ class SnapshotSink:
         newer concurrent appends), and swap the pointer."""
         with self._commit_lock:
             head = self.current_snapshot()
+            if head is not None and head["n_buckets"] != self.n_buckets:
+                # another process rebucketed while this batch planned:
+                # its per-bucket files are numbered in a dead bucket
+                # space — committing them would corrupt pruning. The
+                # batch is uncommitted and idempotent; reopen + retry.
+                raise RuntimeError(
+                    f"table was rebucketed to {head['n_buckets']} buckets "
+                    f"(this sink planned with {self.n_buckets}); reopen the "
+                    f"sink and re-apply batch {batch_id}"
+                )
             table_schema, ddl_log, schema_version = self._evolved_schema(
                 head, batch_payload_schema
             )
@@ -775,6 +816,129 @@ class SnapshotSink:
         drop = F.col("deleted") & (F.col(SEQ) < F.lit(min_op_sequence))
         return self._rewrite_buckets(buckets, min_deltas=1, row_filter=~drop)
 
+    def rebucket(self, new_n_buckets: int) -> dict:
+        """Online partition evolution: rewrite the table into a new
+        bucket count and atomically switch the table's bucket space.
+
+        The scale story: bucket count is the unit of merge parallelism
+        and must track table growth — a table bootstrapped at 64 buckets
+        that grows 100× needs resharding or every bucket's state stops
+        fitting an executor partition. This is Iceberg's partition-spec
+        evolution; since this sink's reads prune by bucket NUMBER, old
+        and new spec cannot coexist file-by-file, so rebucket() is a
+        full rewrite (one shuffle, key-sorted output — the same job
+        shape as a whole-table compact) published as one snapshot.
+
+        Correctness properties, all tested (tests/test_rebucket.py):
+        - committed_batches carry over — replay resume/exactly-once
+          survive the rebucket;
+        - time travel: pre-rebucket snapshots read under THEIR bucket
+          count (read_state/lookup take it from the snapshot);
+        - the changelog across the boundary reports only genuine
+          changes (rewritten rows keep their op_sequence and are
+          dropped by the seq > old_seq predicate);
+        - concurrent writers: same-object batches are rejected while
+          the rebucket runs; cross-object/process batches are refused
+          at THEIR commit point by the n_buckets head-check. A commit
+          that slips in between this rebucket's pin and publish aborts
+          the rebucket (retry later), never the committed batch.
+
+        Old files stay on disk for time travel until vacuum()."""
+        t0 = time.time()
+        if new_n_buckets < 1:
+            raise ValueError(f"n_buckets must be >= 1, got {new_n_buckets}")
+        snap = self.current_snapshot()
+        if snap is None:
+            raise ValueError("no snapshot yet — set n_buckets at creation instead")
+        if snap["n_buckets"] == new_n_buckets:
+            return {"rebucketed": False, "n_buckets": new_n_buckets}
+        tag = f"rebucket-v{snap['version'] + 1}-{uuid.uuid4().hex[:8]}"
+        with self._commit_lock:
+            if self._inflight or self._compacting:
+                raise RuntimeError(
+                    "rebucket needs a quiesced sink: in-flight batches/"
+                    f"rewrites present ({sorted(self._inflight)}, "
+                    f"{sorted(self._compacting)})"
+                )
+            self._rebucketing = True
+            self._inflight.add(tag)  # shields staging/ingest dirs from vacuum
+        try:
+            return self._rebucket_run(snap, new_n_buckets, tag, t0)
+        finally:
+            with self._commit_lock:
+                self._rebucketing = False
+                self._inflight.discard(tag)
+
+    def _rebucket_run(self, snap, new_n_buckets, tag, t0) -> dict:
+        table_schema = T.StructType.fromDDL(snap["schema"])
+        old_buckets = [int(b) for b in snap["buckets"]]
+        raw = self._read_buckets(snap, old_buckets, target=table_schema)
+        staging = os.path.join(self.root, "data", f"_stage-{uuid.uuid4().hex}")
+        dest_root = os.path.join(self.root, "data", f"ingest={tag}")
+        moved: dict[str, list] = {}
+        ddl = _ddl(table_schema)
+        if raw is not None:
+            folded = lww_dedup(raw, KEY, SEQ).withColumn(
+                "_bucket", _bucket_expr(new_n_buckets)
+            )
+            (
+                folded.repartition(new_n_buckets, "_bucket")
+                .sortWithinPartitions("_bucket", KEY)
+                .write.mode("overwrite")
+                .partitionBy("_bucket")
+                .option("compression", self.compression)
+                .parquet(staging)
+            )
+            os.makedirs(dest_root, exist_ok=True)
+            os.utime(dest_root)
+            for d in sorted(os.listdir(staging)):
+                if not d.startswith("_bucket="):
+                    continue
+                b = int(d.split("=", 1)[1])
+                dest = os.path.join(dest_root, f"bucket={b}")
+                if os.path.isdir(dest):
+                    shutil.rmtree(dest)
+                os.replace(os.path.join(staging, d), dest)
+                moved[str(b)] = [
+                    {"path": os.path.relpath(dest, self.root), "schema": ddl,
+                     "compacted": True}
+                ]
+            shutil.rmtree(staging, ignore_errors=True)
+        with self._commit_lock:
+            head = self.current_snapshot()
+            if head["version"] != snap["version"]:
+                # a cross-object batch committed mid-rebucket: its rows
+                # are NOT in the rewrite — publishing would lose them.
+                # Abort; the moved files are unreferenced orphans for
+                # vacuum. (Same-object writers were rejected at entry.)
+                raise RuntimeError(
+                    f"concurrent commit v{head['version']} during rebucket "
+                    f"of v{snap['version']}; quiesce writers and retry"
+                )
+            new_snap = dict(head)
+            new_snap.update(
+                {
+                    "version": head["version"] + 1,
+                    "n_buckets": new_n_buckets,
+                    "buckets": moved,
+                    "parent": head["version"],
+                    "metrics": {
+                        "rebucket": {
+                            "from": snap["n_buckets"], "to": new_n_buckets
+                        },
+                        "wall_s": round(time.time() - t0, 3),
+                    },
+                }
+            )
+            self._write_snapshot(new_snap)
+            self.n_buckets = new_n_buckets
+        return {
+            "rebucketed": True,
+            "from": snap["n_buckets"],
+            "to": new_n_buckets,
+            "wall_s": round(time.time() - t0, 3),
+        }
+
     def _rewrite_buckets(
         self, buckets: list[int] | None, min_deltas: int, row_filter
     ) -> dict:
@@ -789,6 +953,10 @@ class SnapshotSink:
         # RESURRECT tombstones expire_tombstones just dropped (the
         # concurrent fold re-includes them at their original seq)
         with self._commit_lock:
+            if self._rebucketing:
+                raise RuntimeError(
+                    "rebucket in progress; re-run the rewrite after it completes"
+                )
             todo = [
                 b
                 for b in (buckets if buckets is not None else range(self.n_buckets))
@@ -869,6 +1037,12 @@ class SnapshotSink:
         }
         with self._commit_lock:
             head = self.current_snapshot()
+            if head["n_buckets"] != self.n_buckets:
+                raise RuntimeError(
+                    f"table was rebucketed to {head['n_buckets']} buckets "
+                    f"mid-rewrite (planned with {self.n_buckets}); reopen "
+                    "the sink and re-run the rewrite"
+                )
             new_buckets = dict(head["buckets"])
             for key_b, entries in moved.items():
                 kept = [
