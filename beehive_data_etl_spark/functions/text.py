@@ -189,3 +189,143 @@ def pii_redact_sql(expr: str) -> tuple[str, str]:
         red = f"regexp_replace({red}, '{pat}', '<{name.upper()}>', 'g')"
         cnt_terms.append(f"len(regexp_extract_all({expr}, '{pat}'))")
     return red, "(" + " + ".join(cnt_terms) + ")::BIGINT"
+
+
+# ------------------------------------------------- corpus term statistics
+def tfidf_top_terms(
+    docs,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_top: int = 3,
+) -> "DataFrame":
+    """Top-``n_top`` TF-IDF terms per document — the classic keyword-
+    extraction operator (salient-term indexing / topic tagging over a
+    training corpus).
+
+    Shape at 100 TB: the corpus's token explosion — by far the dominant
+    cost — runs ONCE: a single (doc, term) aggregation builds the tf
+    table, and document frequency, document length, and the final
+    ranking all run as WINDOWS over that table (a groupBy+self-join
+    formulation re-executes the explode subtree per join — Spark's
+    no-exchange-reuse-across-join-subtrees behavior, measured in the
+    minhash rewrite). The windows chain term → doc so the rank window
+    reuses the doc partitioning (3 tf-table shuffles total, zero
+    re-scans). The corpus-size scalar is one column-pruned count scan,
+    broadcast. Scores are rounded BEFORE ranking so the cross-engine
+    ordering contract is on the rounded value (ties broken by term) —
+    two engines' last-ulp ln differences can never flip a rank.
+    """
+    from pyspark.sql import Window
+
+    from beehive_data_etl_spark.functions.dedup import (
+        spread_if_narrow,
+        word_shingles_positional,
+    )
+
+    base = spread_if_narrow(docs.select(id_col, text_col))
+    words = base.select(
+        F.col(id_col),
+        F.explode(word_shingles_positional(text_col, 1)).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = words.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("cnt"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    w_term = Window.partitionBy("term")
+    w_doc = Window.partitionBy(id_col)
+    scored = (
+        tf.withColumn("df", F.count(F.lit(1)).over(w_term))
+        .withColumn("len", F.sum("cnt").over(w_doc))
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                (F.col("cnt") / F.col("len"))
+                * (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0),
+                4,
+            ),
+        )
+    )
+    w_rank = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= n_top)
+        .select(id_col, "term", "rank", "tfidf")
+    )
+
+
+def token_cooccurrence(
+    docs,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 5,
+    min_co: int = 15,
+    max_terms_per_doc: int = 10_000,
+) -> "DataFrame":
+    """Document-level term co-occurrence with PMI — the association-
+    mining operator behind collocation detection and topic seeding.
+
+    Pair generation reuses ``dedup.bucket_pairs`` with the document as
+    the bucket: per-doc grouped term lists (bounded by
+    ``max_terms_per_doc``), streaming posexplode-then-slice expansion —
+    never a corpus self-join (the engine's measured no-exchange-reuse
+    lesson) and never an O(m²) single-row array. The df table is
+    vocabulary-sized: it is localCheckpoint-materialized so the three
+    places that need it (eligibility filter, two PMI denominators)
+    never re-execute the corpus aggregation that built it — the corpus
+    token explosion runs exactly twice (once inside the df job, once
+    feeding the pair expansion), plus one column-pruned count scan.
+
+    PMI = ln(n_co * N / (df_a * df_b)), rounded; pairs below ``min_co``
+    docs are dropped (at sf0.01 this prunes the rare-term pairs — the
+    filter provably binds)."""
+    from beehive_data_etl_spark.functions.dedup import (
+        bucket_pairs,
+        spread_if_narrow,
+        word_shingles,
+    )
+
+    base = spread_if_narrow(docs.select(id_col, text_col))
+    toks = base.select(
+        F.col(id_col).alias("doc"),
+        F.explode(word_shingles(text_col, 1)).alias("term"),
+    ).filter((F.col("term") != "") & (F.length("term") >= 2))
+    dft = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= min_df)
+        # vocabulary-sized: pin it so downstream consumers read blocks,
+        # not a re-run of the corpus aggregation (no exchange reuse
+        # across join subtrees)
+        .localCheckpoint()
+    )
+    elig = toks.join(F.broadcast(dft.select("term")), "term")
+    banded = elig.select(
+        F.col("term").alias("id"),
+        F.lit(0).alias("band"),
+        F.col("doc").alias("band_hash"),
+    )
+    pairs = bucket_pairs(
+        banded, max_bucket=max_terms_per_doc, out_a="term_a", out_b="term_b"
+    ).filter(F.col("n_shared_bands") >= min_co)
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    da = dft.select(F.col("term").alias("term_a"), F.col("df").alias("df_a"))
+    db = dft.select(F.col("term").alias("term_b"), F.col("df").alias("df_b"))
+    return (
+        pairs.join(F.broadcast(da), "term_a")
+        .join(F.broadcast(db), "term_b")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "term_a",
+            "term_b",
+            F.col("n_shared_bands").alias("n_co"),
+            F.round(
+                F.log(
+                    F.col("n_shared_bands")
+                    * F.col("n_docs")
+                    / (F.col("df_a") * F.col("df_b"))
+                ),
+                4,
+            ).alias("pmi"),
+        )
+    )

@@ -61,6 +61,9 @@ HEADLINE = [
     "q_dup_ngram_fraction",
     "q_dup_span",
     "q_global_shuffle",
+    # round-3 session-3 term-statistics operators
+    "q_tfidf",
+    "q_cooccur",
 ]
 
 

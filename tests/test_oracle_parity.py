@@ -60,5 +60,7 @@ def test_driver_snapshot_order():
                # de-vacuizations
                "q_decontaminate", "q_dup_ngram_fraction",
                "q_mixture_weights", "q_global_shuffle",
-               "q_dup_span", "q_sql_not_exists"}
+               "q_dup_span", "q_sql_not_exists",
+               # round-3 session-3 additions (never driver-checked)
+               "q_tfidf", "q_cooccur"}
     assert set(never_checked) | touched <= set(keys[:50])

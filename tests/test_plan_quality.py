@@ -216,3 +216,30 @@ def test_incremental_dedup_single_signature_scan(spark):
     # the flags scan must be COLUMN-PRUNED to doc_id alone — reading
     # text there would double the scanned bytes for a boolean flag
     assert "ReadSchema: struct<doc_id:bigint>" in plan, plan
+
+
+def test_tfidf_single_corpus_scan(spark):
+    """q_tfidf: document frequency, document length, and ranking run as
+    windows over the one tf table — a groupBy+join formulation would
+    re-execute the token explosion per join (no exchange reuse across
+    join subtrees). Exactly two scans: the tf pipeline and the
+    column-pruned corpus-size count."""
+    from beehive_data_etl_spark.functions.text import tfidf_top_terms
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = plan_of(tfidf_top_terms(docs))
+    assert plan.count("Scan parquet") == 2 * 2, plan  # formatted: ×2
+
+
+def test_cooccur_checkpointed_df_table(spark):
+    """q_cooccur: the vocabulary-sized df table is materialized once
+    (localCheckpoint) and consumed three times as in-memory blocks —
+    the corpus parquet appears exactly twice (df job runs separately;
+    the live plan holds the pair-expansion scan + the corpus-size
+    count), never once per df consumer."""
+    from beehive_data_etl_spark.functions.text import token_cooccurrence
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = plan_of(token_cooccurrence(docs))
+    assert plan.count("Scan parquet") == 2 * 2, plan  # formatted: ×2
+    assert plan.count("Scan ExistingRDD") >= 3, plan
