@@ -294,10 +294,15 @@ def token_cooccurrence(
         toks.groupBy("term")
         .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") >= min_df)
-        # vocabulary-sized: pin it so downstream consumers read blocks,
-        # not a re-run of the corpus aggregation (no exchange reuse
-        # across join subtrees)
-        .localCheckpoint()
+        # vocabulary-sized: pin it so the three downstream consumers
+        # read blocks, not a re-run of the corpus aggregation (no
+        # exchange reuse across join subtrees). eager=False keeps
+        # DataFrame CONSTRUCTION job-free (explain/compose never runs a
+        # corpus job); materialization happens once, inside the first
+        # action. localCheckpoint blocks are lost with their executor —
+        # a cluster deployment with preemptible executors would use
+        # reliable checkpointing; at vocabulary size either is cheap.
+        .localCheckpoint(eager=False)
     )
     elig = toks.join(F.broadcast(dft.select("term")), "term")
     banded = elig.select(
@@ -319,11 +324,15 @@ def token_cooccurrence(
             "term_a",
             "term_b",
             F.col("n_shared_bands").alias("n_co"),
+            # cast to double BEFORE multiplying: n_co * n_docs in int64
+            # wraps (non-ANSI) or errors (ANSI) at 10^10-doc scale;
+            # products under 2^53 stay exact in double, so small-scale
+            # results are bit-identical to the integer formulation
             F.round(
                 F.log(
-                    F.col("n_shared_bands")
+                    F.col("n_shared_bands").cast("double")
                     * F.col("n_docs")
-                    / (F.col("df_a") * F.col("df_b"))
+                    / (F.col("df_a").cast("double") * F.col("df_b"))
                 ),
                 4,
             ).alias("pmi"),

@@ -2592,8 +2592,12 @@ def q_global_shuffle(spark, sf):
 # ----------------------------------------------------- TF-IDF top terms
 def _tfidf_oracle() -> str:
     # positional (duplicates-kept) unigrams = the raw word split of the
-    # shared tokenization contract (word_shingles_positional with n=1)
-    words = "string_split_regex(trim(lower(text)), '\\s+')"
+    # shared tokenization contract (word_shingles_positional with n=1);
+    # composed from dedup's single SQL definition so a contract change
+    # can never diverge this oracle from the operators
+    from beehive_data_etl_spark.functions.dedup import _words_sql
+
+    words = _words_sql("text")
     return f"""
     WITH words AS (
         SELECT doc_id, u AS term

@@ -163,18 +163,27 @@ class SnapshotSink:
         found = {
             int(f.split(".")[0]) for f in os.listdir(d) if f.endswith(".json")
         }
-        # a manifest is only reusable if its data directory still
+        # a manifest is only reusable if (1) its data directory still
         # exists: vacuum() after a crash removes uncommitted bucket dirs
         # (they're unreferenced by CURRENT), and trusting the stale
         # manifest would commit pointers to deleted paths — silent data
-        # loss (ADVICE round 1). Missing data ⇒ recompute the bucket.
-        return {
-            b
-            for b in found
-            if os.path.isdir(
+        # loss (ADVICE round 1); and (2) it was written in the CURRENT
+        # bucket space: a crashed attempt that straddled a rebucket()
+        # left per-bucket files numbered in the dead space — reusing
+        # them would commit wrong-bucket files that bucket-pruned reads
+        # (lookup, changelog) silently never find. Missing data or a
+        # bucket-space mismatch ⇒ recompute the bucket.
+        reusable = set()
+        for b in found:
+            if not os.path.isdir(
                 os.path.join(self.root, "data", f"ingest={batch_id}", f"bucket={b}")
-            )
-        }
+            ):
+                continue
+            with open(self._manifest_path(batch_id, b)) as fh:
+                m = json.load(fh)
+            if m.get("n_buckets") == self.n_buckets:
+                reusable.add(b)
+        return reusable
 
     def _write_manifest(self, batch_id: str, bucket: int, body: dict) -> None:
         path = self._manifest_path(batch_id, bucket)
@@ -654,6 +663,9 @@ class SnapshotSink:
                     "rows": rows,
                     "files": files,
                     "schema": schema_ddl_payload,
+                    # the bucket space this file was numbered in — a
+                    # rebucket invalidates it for crash-replay reuse
+                    "n_buckets": self.n_buckets,
                     "compacted": b in compact_candidates,
                     # exactly the delta files this compaction folded —
                     # a crash-replay reusing this manifest must replace

@@ -77,7 +77,7 @@ def wal_max_seq(path: str, seq_col: str = "op_sequence") -> int | None:
 
 
 def bootstrap(state_df: DataFrame, sink: CdcSink, as_of_seq: int,
-              batch_id: str | None = None) -> dict:
+              batch_id: str | None = None, assume_empty: bool = False) -> dict:
     """Seed an EMPTY sink from a consistent snapshot export, then tail
     the WAL with ``replay_incremental(start_after_seq=as_of_seq)`` —
     the Debezium-style "initial snapshot + binlog tail" bootstrap that
@@ -100,12 +100,24 @@ def bootstrap(state_df: DataFrame, sink: CdcSink, as_of_seq: int,
     bid = batch_id or f"bootstrap-{as_of_seq}"
     if sink.committed(bid):
         return {"batch_id": bid, "skipped": True}
-    snap = getattr(sink, "current_snapshot", lambda: None)()
-    if snap is not None:
+    # the empty-table guard is load-bearing (bootstrapping over existing
+    # state can resurrect docs whose tombstones the target already
+    # expired) — a sink that cannot report emptiness is REFUSED unless
+    # the caller explicitly vouches with assume_empty=True (e.g. an
+    # IcebergSink over a just-created table, checked via its catalog)
+    snap_fn = getattr(sink, "current_snapshot", None)
+    if snap_fn is not None:
+        snap = snap_fn()
+        if snap is not None:
+            raise ValueError(
+                "bootstrap target must be an empty table (found snapshot "
+                f"v{snap['version']}); tail an existing table with "
+                "replay_incremental instead"
+            )
+    elif not assume_empty:
         raise ValueError(
-            "bootstrap target must be an empty table (found snapshot "
-            f"v{snap['version']}); tail an existing table with "
-            "replay_incremental instead"
+            "sink cannot report emptiness (no current_snapshot); pass "
+            "assume_empty=True only if the table is verifiably empty"
         )
     cols = set(state_df.columns)
     if "op" not in cols:
@@ -168,19 +180,25 @@ def replay_incremental(
     chunks = [files[i : i + files_per_batch] for i in range(0, len(files), files_per_batch)]
     if max_batches is not None:
         chunks = chunks[:max_batches]
-    prunable: set[str] = set()
-    if start_after_seq is not None:
-        for f in files:
+
+    def _prunable(chunk: list[str]) -> bool:
+        if start_after_seq is None:
+            return False
+        for f in chunk:
             top = wal_max_seq(f)
-            if top is not None and top <= start_after_seq:
-                prunable.add(f)
+            if top is None or top > start_after_seq:
+                return False
+        return True
 
     def _one(i: int, chunk: list[str]) -> dict:
         batch_id = f"wal-{i:06d}-{os.path.basename(chunk[0])}"
-        if all(f in prunable for f in chunk):
-            return {"batch_id": batch_id, "skipped": True, "pruned": True}
+        # committed check first: on resume, already-committed chunks
+        # skip without footer I/O — keeps the pruning pass itself
+        # O(uncommitted), not O(history), over a long-lived log dir
         if sink.committed(batch_id):
             return {"batch_id": batch_id, "skipped": True}
+        if _prunable(chunk):
+            return {"batch_id": batch_id, "skipped": True, "pruned": True}
         df = read_wal(spark, chunk)
         if transform is not None:
             df = transform(df)

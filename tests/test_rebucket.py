@@ -135,3 +135,44 @@ def test_rebucket_guards(spark, smoke_log, tmp_path):
     assert sink.rebucket(8) == {"rebucketed": False, "n_buckets": 8}
     with pytest.raises(ValueError, match=">= 1"):
         sink.rebucket(0)
+
+
+def test_crashed_manifests_not_reused_across_rebucket(spark, smoke_log, tmp_path):
+    """Review finding: a batch that crashed after writing manifests, a
+    rebucket, then a re-apply of the same batch — the dead-space
+    manifests must be recomputed, not reused (reuse would commit files
+    whose bucket numbers no longer address their keys; 8→12 is chosen
+    so no bucket coincides by arithmetic accident)."""
+
+    class _Boom(RuntimeError):
+        pass
+
+    def _crash_once_at(point_name):
+        state = {"fired": False}
+
+        def hook(point):
+            if point == point_name and not state["fired"]:
+                state["fired"] = True
+                raise _Boom(point)
+
+        return hook
+
+    root = str(tmp_path / "sink")
+    sink = SnapshotSink(spark, root, n_buckets=8)
+    replay_incremental(spark, smoke_log, sink, files_per_batch=2, max_batches=2)
+    sink.crash_hook = _crash_once_at("after_manifest")
+    with pytest.raises(_Boom):
+        replay_incremental(spark, smoke_log, sink, files_per_batch=2, max_batches=3)
+    sink.crash_hook = lambda point: None
+    sink.rebucket(12)
+    # the crashed batch's manifests exist but are in the 8-bucket space
+    assert sink._manifested_buckets("wal-000002-part-00004.parquet") == set()
+    replay_incremental(spark, smoke_log, sink, files_per_batch=2)
+    engine = sink.read_state().filter(~F.col("deleted"))
+    report = compare_final(engine, oracle_final_spark(spark, smoke_log))
+    assert report["ok"], report
+    # bucket-pruned lookups see every live doc (wrong-bucket files would
+    # make some keys silently invisible)
+    live = [r.doc_id for r in sink.read_final().select("doc_id").collect()]
+    got = sink.lookup(live)
+    assert got.count() == len(live)
