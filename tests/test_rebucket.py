@@ -176,3 +176,22 @@ def test_crashed_manifests_not_reused_across_rebucket(spark, smoke_log, tmp_path
     live = [r.doc_id for r in sink.read_final().select("doc_id").collect()]
     got = sink.lookup(live)
     assert got.count() == len(live)
+
+
+def test_rebucket_chain_interleaved_with_replay(spark, smoke_log, tmp_path):
+    """Grow AND shrink through non-doubling counts (8→5→13) with replay
+    between reshards — final state must stay byte-equal to the oracle
+    and the snapshot bucket maps must never reference dead-space
+    bucket numbers."""
+    sink = SnapshotSink(spark, str(tmp_path / "sink"), n_buckets=8)
+    replay_incremental(spark, smoke_log, sink, files_per_batch=2, max_batches=1)
+    sink.rebucket(5)
+    replay_incremental(spark, smoke_log, sink, files_per_batch=2, max_batches=3)
+    sink.rebucket(13)
+    replay_incremental(spark, smoke_log, sink, files_per_batch=2)
+    snap = sink.current_snapshot()
+    assert snap["n_buckets"] == 13
+    assert all(0 <= int(b) < 13 for b in snap["buckets"])
+    engine = sink.read_state().filter(~F.col("deleted"))
+    report = compare_final(engine, oracle_final_spark(spark, smoke_log))
+    assert report["ok"], report
