@@ -161,3 +161,28 @@ def test_bootstrap_then_tail_tiny_log(spark, ooo_delete_log, tmp_path):
     b = {(r.doc_id, tuple(r.tokens)) for r in boot_sink.read_final().collect()}
     f = {(r.doc_id, tuple(r.tokens)) for r in full_sink.read_final().collect()}
     assert b == f == {("y", (5,))}
+
+
+def test_replica_migration_to_new_bucket_count(spark, smoke_log, tmp_path):
+    """The bootstrap-based alternative to in-place rebucket(): stand up
+    a REPLICA with a different bucket count from a live table's state
+    export + WAL tail. The export's max op_sequence IS the consistent
+    cutoff (it is the last applied event's seq — a superseded event's
+    absence is still reflected in the winner's row), and tombstones ride
+    the export, so the tail is safe under out-of-order delivery."""
+    src = SnapshotSink(spark, str(tmp_path / "src"), n_buckets=8)
+    replay_incremental(spark, smoke_log, src, files_per_batch=2, max_batches=2)
+    export = src.read_state()  # tombstones included — the full contract
+    as_of = export.agg(F.max("op_sequence")).collect()[0][0]
+
+    dst = SnapshotSink(spark, str(tmp_path / "dst"), n_buckets=32)
+    bootstrap(export, dst, as_of)
+    replay_incremental(
+        spark, smoke_log, dst, files_per_batch=2, start_after_seq=as_of
+    )
+    report = compare_final(
+        dst.read_state().filter(~F.col("deleted")),
+        oracle_final_spark(spark, smoke_log),
+    )
+    assert report["ok"], report
+    assert dst.current_snapshot()["n_buckets"] == 32
