@@ -39,6 +39,7 @@ this file are bounded by ``n_buckets``, never by data volume.
 
 from __future__ import annotations
 
+import fcntl
 import glob
 import json
 import os
@@ -47,6 +48,7 @@ import threading
 import time
 import uuid
 from concurrent.futures import ThreadPoolExecutor
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -122,6 +124,30 @@ class SnapshotSink:
     # ------------------------------------------------------------- snapshots
     def _current_path(self) -> str:
         return os.path.join(self.root, "_snapshots", "CURRENT")
+
+    @contextmanager
+    def _table_lock(self):
+        """CROSS-PROCESS commit mutex (flock on a lockfile under the
+        table): ``_commit_lock`` serializes threads of one sink object,
+        but two objects/processes over the same root would otherwise
+        interleave head-read → pointer-swap and the last swap would
+        silently DROP the other commit's bucket entries (the batch
+        stays un-committed and is replayable, but nothing reports it).
+        flock blocks across file descriptors even within one process,
+        so it also covers the two-objects-one-process case. This is
+        the sandbox stand-in for Iceberg's optimistic catalog-CAS
+        commit; flock is advisory and not NFS-reliable — an object
+        store deployment uses the catalog, not this file."""
+        fd = os.open(
+            os.path.join(self.root, "_snapshots", "LOCK"),
+            os.O_CREAT | os.O_RDWR,
+        )
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX)
+            yield
+        finally:
+            fcntl.flock(fd, fcntl.LOCK_UN)
+            os.close(fd)
 
     def current_snapshot(self) -> dict | None:
         try:
@@ -757,7 +783,7 @@ class SnapshotSink:
         against it, merge this batch's bucket entries (a compacted
         bucket replaces exactly the delta files it folded and keeps any
         newer concurrent appends), and swap the pointer."""
-        with self._commit_lock:
+        with self._commit_lock, self._table_lock():
             head = self.current_snapshot()
             if head is not None and head["n_buckets"] != self.n_buckets:
                 # another process rebucketed while this batch planned:
@@ -916,7 +942,7 @@ class SnapshotSink:
                      "compacted": True}
                 ]
             shutil.rmtree(staging, ignore_errors=True)
-        with self._commit_lock:
+        with self._commit_lock, self._table_lock():
             head = self.current_snapshot()
             if head["version"] != snap["version"]:
                 # a cross-object batch committed mid-rebucket: its rows
@@ -1047,7 +1073,7 @@ class SnapshotSink:
             str(b): {e["path"] for e in snap["buckets"].get(str(b), [])}
             for b in todo
         }
-        with self._commit_lock:
+        with self._commit_lock, self._table_lock():
             head = self.current_snapshot()
             if head["n_buckets"] != self.n_buckets:
                 raise RuntimeError(

@@ -162,3 +162,47 @@ def test_crash_replay_keeps_interleaved_commit(spark, tmp_path):
     assert m["reused_buckets"] == [0]
     docs = {r.doc_id for r in sink3.read_state().collect()}
     assert docs == {"d1", "dA", "dB"}, docs
+
+
+def test_two_sink_objects_commit_concurrently_without_losing_batches(
+    spark, smoke_log, tmp_path
+):
+    """Cross-process commit safety (flock table lock): two sink OBJECTS
+    over the same root — each with its own in-process commit lock, the
+    two-writer simulation — apply disjoint batches from two threads.
+    Without the flock, interleaved head-read → pointer-swap sections
+    drop the loser's bucket entries silently; with it, every batch id
+    must be committed exactly once and the final state must equal the
+    oracle."""
+    import glob
+    import threading
+
+    from beehive_data_etl_spark.sources.readers import read_wal
+
+    root = str(tmp_path / "sink")
+    a = SnapshotSink(spark, root, n_buckets=8)
+    b = SnapshotSink(spark, root, n_buckets=8)
+    files = sorted(glob.glob(os.path.join(smoke_log, "part-*.parquet")))
+    errors = []
+
+    def run(sink, mine):
+        try:
+            for i, f in mine:
+                sink.apply_batch(read_wal(spark, [f]), f"x-{i:03d}")
+        except Exception as e:  # surfaces in the main thread's assert
+            errors.append(e)
+
+    work = list(enumerate(files))
+    ta = threading.Thread(target=run, args=(a, work[0::2]))
+    tb = threading.Thread(target=run, args=(b, work[1::2]))
+    ta.start(); tb.start(); ta.join(); tb.join()
+    assert not errors, errors
+    snap = a.current_snapshot()
+    assert sorted(snap["committed_batches"]) == [
+        f"x-{i:03d}" for i in range(len(files))
+    ]
+    state = a.read_state()
+    report = compare_final(
+        state.filter(~state.deleted), oracle_final_spark(spark, smoke_log)
+    )
+    assert report["ok"], report
