@@ -785,6 +785,16 @@ class SnapshotSink:
         newer concurrent appends), and swap the pointer."""
         with self._commit_lock, self._table_lock():
             head = self.current_snapshot()
+            if head is not None and batch_id in head["committed_batches"]:
+                # cross-process duplicate delivery TOCTOU: another
+                # writer committed this batch id between our entry
+                # check and this critical section. Committing again
+                # would double-list the id and double-list our bucket
+                # entries (LWW absorbs the rows, but reads pay forever).
+                # Our published files become orphans for vacuum.
+                metrics["skipped"] = True
+                metrics["reason"] = "committed concurrently by another writer"
+                return
             if head is not None and head["n_buckets"] != self.n_buckets:
                 # another process rebucketed while this batch planned:
                 # its per-bucket files are numbered in a dead bucket

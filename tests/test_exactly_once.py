@@ -206,3 +206,36 @@ def test_two_sink_objects_commit_concurrently_without_losing_batches(
         state.filter(~state.deleted), oracle_final_spark(spark, smoke_log)
     )
     assert report["ok"], report
+
+
+def test_same_batch_committed_concurrently_is_skipped_at_commit(
+    spark, smoke_log, tmp_path
+):
+    """Duplicate-delivery TOCTOU across writers: writer B passes the
+    entry committed-check, then writer A commits the SAME batch id
+    before B reaches its commit section. B must skip at commit (no
+    double-listed id, no duplicate bucket entries) and the state must
+    equal a single application."""
+    import glob
+
+    from beehive_data_etl_spark.sources.readers import read_wal
+
+    root = str(tmp_path / "sink")
+    a = SnapshotSink(spark, root, n_buckets=8)
+    b = SnapshotSink(spark, root, n_buckets=8)
+    files = sorted(glob.glob(os.path.join(smoke_log, "part-*.parquet")))
+    df = read_wal(spark, files[:2])
+
+    def interleave(point):
+        if point == "after_data_write":
+            b.crash_hook = lambda p: None  # fire once
+            a.apply_batch(read_wal(spark, files[:2]), "dup-batch")
+
+    b.crash_hook = interleave
+    m = b.apply_batch(df, "dup-batch")
+    assert m.get("skipped") and "concurrently" in m.get("reason", "")
+    snap = a.current_snapshot()
+    assert snap["committed_batches"].count("dup-batch") == 1
+    # exactly one writer's entries are listed per bucket
+    per_bucket = {k: len(v) for k, v in snap["buckets"].items()}
+    assert all(n == 1 for n in per_bucket.values()), per_bucket
