@@ -234,6 +234,18 @@ class TokenIndex:
             F.col("ts.sign").alias("sign"),
         )
         out = self._write_delta(delta, f"v{v_new:06d}")
+        # a window of pure rewrites (compact / tombstone GC / rebucket
+        # versions) yields ZERO change rows: the partitioned write then
+        # produces a dir with no tbucket= subdirs and no schema-bearing
+        # parquet files, and listing it would poison every later read
+        # ("unable to infer schema" — found by the lifecycle composition
+        # test). Detect driver-side (free: one listdir), drop the husk,
+        # and advance the pointer over the unchanged file list.
+        if not any(d.startswith("tbucket=") for d in os.listdir(out)):
+            shutil.rmtree(out, ignore_errors=True)
+            self._swap(v_new, list(cur["files"]))
+            return {"mode": "noop-delta", "version": v_new,
+                    "from_version": cur["version"]}
         self._swap(v_new, cur["files"] + [out])
         return {"mode": "incremental", "version": v_new, "from_version": cur["version"]}
 

@@ -228,3 +228,21 @@ def test_empty_and_invalid_probes(spark, replayed, tmp_path):
         ix.lookup([])
     # a token that exists nowhere returns an empty frame with the right schema
     assert ix.lookup([99_999_999]).count() == 0
+
+
+def test_empty_change_window_refresh_is_noop_delta(spark, replayed, tmp_path):
+    """A window of pure rewrites (compact bumps the version, changes no
+    rows) must NOT leave an empty partitioned delta dir in the pointer —
+    reading such a dir fails schema inference and poisons every later
+    read (found by the lifecycle composition test)."""
+    ix = TokenIndex(spark, replayed, str(tmp_path / "ix"), n_buckets=8)
+    ix.refresh()
+    before = ix.current()["files"]
+    want = {tuple(r) for r in ix.read().collect()}
+    replayed.compact()
+    r = ix.refresh()
+    assert r["mode"] == "noop-delta"
+    assert ix.current()["files"] == before  # no husk appended
+    assert ix.current()["version"] == replayed.current_snapshot()["version"]
+    assert {tuple(r) for r in ix.read().collect()} == want
+    assert ix.verify()["ok"]
