@@ -201,3 +201,30 @@ def test_replay_job_env_enables_neardup(spark, smoke_log, tmp_path, monkeypatch)
     view = NearDupView(spark, sink2, os.path.join(target, "_views", "neardup"))
     assert view.current()["version"] == sink2.current_snapshot()["version"]
     view.pairs().count()  # readable (smoke log rarely has near-dups)
+
+
+def test_pure_rewrite_window_is_silent(spark, sink, tmp_path):
+    """A compact- or rebucket-only window changes no rows: the refresh
+    must not re-report pairs, ghost-pair, or corrupt the pointer —
+    and the pairs read must keep working afterwards."""
+    view = NearDupView(spark, sink, str(tmp_path / "nd"))
+    b1 = [_ev("I", 1, "a", BASE), _ev("I", 2, "b", BASE + [99])]
+    sink.apply_batch(spark.createDataFrame(b1, SCHEMA), "b1")
+    view.refresh()
+    b2 = [_ev("I", 3, "c", list(range(900, 920)))]
+    sink.apply_batch(spark.createDataFrame(b2, SCHEMA), "b2")
+    view.refresh()
+    want = _norm(view.pairs())
+    assert want == {("a", "b")}
+
+    sink.compact()          # version bump, zero row changes
+    sink.rebucket(8)        # another pure-rewrite version
+    r = view.refresh()
+    assert r["mode"] == "incremental"
+    assert r["version"] == sink.current_snapshot()["version"]
+    assert _norm(view.pairs()) == want
+    # and a real batch after the rewrites still pairs correctly
+    b3 = [_ev("I", 4, "e", BASE + [98])]
+    sink.apply_batch(spark.createDataFrame(b3, SCHEMA), "b3")
+    view.refresh()
+    assert _norm(view.pairs()) == {("a", "b"), ("a", "e"), ("b", "e")}
