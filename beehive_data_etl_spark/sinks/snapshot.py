@@ -609,6 +609,14 @@ class SnapshotSink:
         if compact_candidates:
             tgt = self._read_buckets(snap, compact_candidates, target=table_schema)
             if tgt is not None:
+                # GC stickiness: the inline fold re-applies the table's
+                # tombstone retention floor to the TARGET side only
+                # (batch rows are never floor-filtered — an event below
+                # the floor arriving now is the caller's broken floor
+                # contract, not ours to hide)
+                ff = self._floor_filter(snap)
+                if ff is not None:
+                    tgt = tgt.filter(ff)
                 tgt = tgt.withColumn("_bucket", _bucket_expr(self.n_buckets))
                 # compact only buckets this batch actually touches: a
                 # broadcast semi-join against the batch's bucket set
@@ -646,100 +654,131 @@ class SnapshotSink:
             "appended_buckets": [b for b in written if b not in compact_candidates],
             "reused_buckets": sorted(manifested),
         }
-        new_entries: dict[str, dict] = {}
-        bucket_rows: dict[int, int] = {}
-        dest_root = os.path.join(self.root, "data", f"ingest={batch_id}")
-        os.makedirs(dest_root, exist_ok=True)
-        # bump the mtime explicitly: makedirs(exist_ok=True) does NOT
-        # touch a pre-existing dir (a crashed attempt's leftover), and
-        # the vacuum's rmdir-empty guard keys off the dir's own mtime —
-        # without the bump a cross-process vacuum could rmdir the empty
-        # dir between here and the first os.replace below
-        os.utime(dest_root)
-        schema_ddl_payload = _payload_ddl(table_schema)
-        for b in written:
-            src_dir = os.path.join(staging, f"_bucket={b}")
-            dest = os.path.join(dest_root, f"bucket={b}")
-            if os.path.isdir(dest):
-                shutil.rmtree(dest)  # leftover from a crashed, un-manifested attempt
-            os.replace(src_dir, dest)
-        # footer stats in parallel: 64 sequential pyarrow footer reads
-        # were a measurable slice of the per-batch publish critical path
+        # footer stats in parallel, on the STAGED dirs — basenames
+        # survive the directory move, and reading them here keeps the
+        # slowest publish step OUTSIDE the commit critical section
         with ThreadPoolExecutor(max_workers=min(16, max(1, len(written)))) as ex:
             stats = dict(
                 zip(
                     written,
                     ex.map(
                         lambda b: _parquet_stats(
-                            os.path.join(dest_root, f"bucket={b}")
+                            os.path.join(staging, f"_bucket={b}")
                         ),
                         written,
                     ),
                 )
             ) if written else {}
-        for b in written:
-            rows, files = stats[b]
-            bucket_rows[b] = rows
-            self._write_manifest(
-                batch_id,
-                b,
-                {
-                    "batch_id": batch_id,
-                    "bucket": b,
-                    "rows": rows,
-                    "files": files,
-                    "schema": schema_ddl_payload,
-                    # the bucket space this file was numbered in — a
-                    # rebucket invalidates it for crash-replay reuse
-                    "n_buckets": self.n_buckets,
-                    "compacted": b in compact_candidates,
-                    # exactly the delta files this compaction folded —
-                    # a crash-replay reusing this manifest must replace
-                    # ONLY these at commit, never the then-current list
-                    "folded": sorted(consumed_paths.get(str(b), set())),
-                    "ts": time.time(),
-                },
-            )
-            self.crash_hook("after_manifest")
-            new_entries[str(b)] = {
-                "path": os.path.relpath(
-                    os.path.join(dest_root, f"bucket={b}"), self.root
-                ),
-                "schema": schema_ddl_payload,
-                "compacted": b in compact_candidates,
-            }
-        shutil.rmtree(staging, ignore_errors=True)
-        for b in sorted(manifested):
-            with open(self._manifest_path(batch_id, b)) as fh:
-                m = json.load(fh)
-            bucket_rows[b] = m["rows"]
-            new_entries[str(b)] = {
-                "path": os.path.join("data", f"ingest={batch_id}", f"bucket={b}"),
-                "schema": m["schema"],
-                "compacted": m.get("compacted", False),
-            }
-            # consume exactly what the crashed attempt recorded it
-            # folded (may be absent in legacy manifests → fold nothing,
-            # duplicates are LWW-idempotent)
-            consumed_paths[str(b)] = set(m.get("folded", []))
 
-        metrics["phase_s"] = {
-            "plan": round(t_plan - t0, 3),
-            "merge_write_job": round(t_job - t_plan, 3),
-            "publish": round(time.time() - t_job, 3),
-        }
-        metrics["bucket_rows"] = bucket_rows
-        if obs is not None:
-            metrics["lineage"] = {
-                "events": obs.get["events"],
-                "input_files": sorted(
-                    os.path.basename(f) for f in batch_df.inputFiles()
-                ),
+        # PUBLISH + COMMIT as one critical section (commit lock for
+        # this object's threads, flock for other objects/processes).
+        # The committed-recheck must precede the move loop: the dest
+        # paths are deterministic per batch id, so a duplicate writer
+        # publishing AFTER another writer committed the same id would
+        # rmtree the winner's LIVE committed files and replace them
+        # with content planned from a different head (review-found:
+        # the winner may have folded deltas this loser's append
+        # doesn't carry — silent row loss).
+        new_entries: dict[str, dict] = {}
+        bucket_rows: dict[int, int] = {}
+        dest_root = os.path.join(self.root, "data", f"ingest={batch_id}")
+        schema_ddl_payload = _payload_ddl(table_schema)
+        with self._commit_lock, self._table_lock():
+            head = self.current_snapshot()
+            if head is not None and batch_id in head["committed_batches"]:
+                shutil.rmtree(staging, ignore_errors=True)
+                metrics["skipped"] = True
+                metrics["reason"] = "committed concurrently by another writer"
+                return metrics
+            if head is not None and head["n_buckets"] != self.n_buckets:
+                # another process rebucketed while this batch planned:
+                # its per-bucket files are numbered in a dead bucket
+                # space — committing them would corrupt pruning. The
+                # batch is uncommitted and idempotent; reopen + retry.
+                shutil.rmtree(staging, ignore_errors=True)
+                raise RuntimeError(
+                    f"table was rebucketed to {head['n_buckets']} buckets "
+                    f"(this sink planned with {self.n_buckets}); reopen the "
+                    f"sink and re-apply batch {batch_id}"
+                )
+            os.makedirs(dest_root, exist_ok=True)
+            # bump the mtime explicitly: makedirs(exist_ok=True) does
+            # NOT touch a pre-existing dir (a crashed attempt's
+            # leftover), and the vacuum's rmdir-empty guard keys off
+            # the dir's own mtime
+            os.utime(dest_root)
+            for b in written:
+                src_dir = os.path.join(staging, f"_bucket={b}")
+                dest = os.path.join(dest_root, f"bucket={b}")
+                if os.path.isdir(dest):
+                    shutil.rmtree(dest)  # crashed, un-manifested attempt
+                os.replace(src_dir, dest)
+            for b in written:
+                rows, files = stats[b]
+                bucket_rows[b] = rows
+                self._write_manifest(
+                    batch_id,
+                    b,
+                    {
+                        "batch_id": batch_id,
+                        "bucket": b,
+                        "rows": rows,
+                        "files": files,
+                        "schema": schema_ddl_payload,
+                        # the bucket space this file was numbered in — a
+                        # rebucket invalidates it for crash-replay reuse
+                        "n_buckets": self.n_buckets,
+                        "compacted": b in compact_candidates,
+                        # exactly the delta files this compaction folded
+                        # — a crash-replay reusing this manifest must
+                        # replace ONLY these at commit, never the
+                        # then-current list
+                        "folded": sorted(consumed_paths.get(str(b), set())),
+                        "ts": time.time(),
+                    },
+                )
+                self.crash_hook("after_manifest")
+                new_entries[str(b)] = {
+                    "path": os.path.relpath(
+                        os.path.join(dest_root, f"bucket={b}"), self.root
+                    ),
+                    "schema": schema_ddl_payload,
+                    "compacted": b in compact_candidates,
+                }
+            shutil.rmtree(staging, ignore_errors=True)
+            for b in sorted(manifested):
+                with open(self._manifest_path(batch_id, b)) as fh:
+                    m = json.load(fh)
+                bucket_rows[b] = m["rows"]
+                new_entries[str(b)] = {
+                    "path": os.path.join(
+                        "data", f"ingest={batch_id}", f"bucket={b}"
+                    ),
+                    "schema": m["schema"],
+                    "compacted": m.get("compacted", False),
+                }
+                # consume exactly what the crashed attempt recorded it
+                # folded (may be absent in legacy manifests → fold
+                # nothing, duplicates are LWW-idempotent)
+                consumed_paths[str(b)] = set(m.get("folded", []))
+
+            metrics["phase_s"] = {
+                "plan": round(t_plan - t0, 3),
+                "merge_write_job": round(t_job - t_plan, 3),
+                "publish": round(time.time() - t_job, 3),
             }
-        self._commit(
-            batch_id, batch_payload_schema, new_entries, consumed_paths,
-            metrics, t0,
-        )
+            metrics["bucket_rows"] = bucket_rows
+            if obs is not None:
+                metrics["lineage"] = {
+                    "events": obs.get["events"],
+                    "input_files": sorted(
+                        os.path.basename(f) for f in batch_df.inputFiles()
+                    ),
+                }
+            self._commit_locked(
+                head, batch_id, batch_payload_schema, new_entries,
+                consumed_paths, metrics, t0,
+            )
         return metrics
 
     def _evolved_schema(
@@ -773,70 +812,58 @@ class SnapshotSink:
             snap["schema_version"] + (1 if ddl_log else 0),
         )
 
-    def _commit(
-        self, batch_id, batch_payload_schema, new_entries, consumed_paths,
-        metrics, t0,
+    def _commit_locked(
+        self, head, batch_id, batch_payload_schema, new_entries,
+        consumed_paths, metrics, t0,
     ) -> None:
-        """The commit critical section (pipelined-replay safe): re-read
-        the CURRENT head under the lock — concurrent batches may have
-        committed since this batch planned — re-evolve the table schema
-        against it, merge this batch's bucket entries (a compacted
-        bucket replaces exactly the delta files it folded and keeps any
-        newer concurrent appends), and swap the pointer."""
-        with self._commit_lock, self._table_lock():
-            head = self.current_snapshot()
-            if head is not None and batch_id in head["committed_batches"]:
-                # cross-process duplicate delivery TOCTOU: another
-                # writer committed this batch id between our entry
-                # check and this critical section. Committing again
-                # would double-list the id and double-list our bucket
-                # entries (LWW absorbs the rows, but reads pay forever).
-                # Our published files become orphans for vacuum.
-                metrics["skipped"] = True
-                metrics["reason"] = "committed concurrently by another writer"
-                return
-            if head is not None and head["n_buckets"] != self.n_buckets:
-                # another process rebucketed while this batch planned:
-                # its per-bucket files are numbered in a dead bucket
-                # space — committing them would corrupt pruning. The
-                # batch is uncommitted and idempotent; reopen + retry.
-                raise RuntimeError(
-                    f"table was rebucketed to {head['n_buckets']} buckets "
-                    f"(this sink planned with {self.n_buckets}); reopen the "
-                    f"sink and re-apply batch {batch_id}"
-                )
-            table_schema, ddl_log, schema_version = self._evolved_schema(
-                head, batch_payload_schema
-            )
-            buckets = {} if head is None else dict(head["buckets"])
-            committed = [] if head is None else list(head["committed_batches"])
-            version = 0 if head is None else head["version"]
-            for key_b, entry in new_entries.items():
-                cur = list(buckets.get(key_b, []))
-                if entry["compacted"]:
-                    folded = consumed_paths.get(key_b, set())
-                    buckets[key_b] = [entry] + [
-                        e for e in cur if e["path"] not in folded
-                    ]
-                else:
-                    buckets[key_b] = cur + [entry]
-            metrics["schema_ddl"] = ddl_log
-            metrics["schema_version"] = schema_version
-            metrics["wall_s"] = round(time.time() - t0, 4)
-            metrics["commit_ts"] = time.time()
-            new_snap = {
-                "version": version + 1,
-                "n_buckets": self.n_buckets,
-                "schema": _ddl(table_schema),
-                "schema_version": schema_version,
-                "buckets": buckets,
-                "committed_batches": committed + [batch_id],
-                "parent": None if head is None else head["version"],
-                "metrics": {k: v for k, v in metrics.items() if k != "lineage"},
-            }
-            self._write_snapshot(new_snap)
-            with open(os.path.join(self.root, "_metrics", "commits.jsonl"), "a") as fh:
-                fh.write(json.dumps(metrics) + "\n")
+        """The commit merge (caller holds ``_commit_lock`` AND the
+        cross-process ``_table_lock``, and has already re-read ``head``
+        and done the duplicate/rebucket rechecks): re-evolve the table
+        schema against the head — concurrent batches may have committed
+        since this batch planned — merge this batch's bucket entries (a
+        compacted bucket replaces exactly the delta files it folded and
+        keeps any newer concurrent appends), and swap the pointer."""
+        table_schema, ddl_log, schema_version = self._evolved_schema(
+            head, batch_payload_schema
+        )
+        buckets = {} if head is None else dict(head["buckets"])
+        committed = [] if head is None else list(head["committed_batches"])
+        version = 0 if head is None else head["version"]
+        for key_b, entry in new_entries.items():
+            cur = list(buckets.get(key_b, []))
+            if entry["compacted"]:
+                folded = consumed_paths.get(key_b, set())
+                # a concurrent rewrite may have already delisted some
+                # of the deltas this fold consumed — keep everything
+                # it didn't consume (duplicate rows across our fold
+                # and the concurrent one are LWW-idempotent), and a
+                # stale fold that re-includes tombstones a concurrent
+                # expire_tombstones dropped is re-dropped by the next
+                # fold via the snapshot's tombstone_floor (GC is
+                # monotone-sticky, never abort-and-retry)
+                buckets[key_b] = [entry] + [
+                    e for e in cur if e["path"] not in folded
+                ]
+            else:
+                buckets[key_b] = cur + [entry]
+        metrics["schema_ddl"] = ddl_log
+        metrics["schema_version"] = schema_version
+        metrics["wall_s"] = round(time.time() - t0, 4)
+        metrics["commit_ts"] = time.time()
+        new_snap = {
+            "version": version + 1,
+            "n_buckets": self.n_buckets,
+            "schema": _ddl(table_schema),
+            "schema_version": schema_version,
+            "buckets": buckets,
+            "committed_batches": committed + [batch_id],
+            "parent": None if head is None else head["version"],
+            "tombstone_floor": 0 if head is None else head.get("tombstone_floor", 0),
+            "metrics": {k: v for k, v in metrics.items() if k != "lineage"},
+        }
+        self._write_snapshot(new_snap)
+        with open(os.path.join(self.root, "_metrics", "commits.jsonl"), "a") as fh:
+            fh.write(json.dumps(metrics) + "\n")
 
     # ------------------------------------------------------- maintenance
     def compact(self, buckets: list[int] | None = None) -> dict:
@@ -862,7 +889,25 @@ class SnapshotSink:
         Same staged-snapshot publish as compact(): crash-safe,
         idempotent."""
         drop = F.col("deleted") & (F.col(SEQ) < F.lit(min_op_sequence))
-        return self._rewrite_buckets(buckets, min_deltas=1, row_filter=~drop)
+        return self._rewrite_buckets(
+            buckets, min_deltas=1, row_filter=~drop, floor=min_op_sequence
+        )
+
+    @staticmethod
+    def _floor_filter(snap: dict | None):
+        """Predicate dropping tombstones below the table's recorded
+        retention floor, or None when no floor was ever declared.
+        Applied at EVERY fold (inline compaction, compact(), rebucket)
+        so tombstone GC is monotone-sticky: a stale fold that
+        re-includes an expired tombstone (a crash-replayed manifest, a
+        concurrent writer's fold planned pre-GC) is re-dropped by the
+        next fold instead of surviving forever — resurrection is
+        benign for visible data (the floor promises no event below it
+        can still arrive) but would otherwise defeat the GC."""
+        floor = 0 if snap is None else snap.get("tombstone_floor", 0)
+        if not floor:
+            return None
+        return ~(F.col("deleted") & (F.col(SEQ) < F.lit(floor)))
 
     def rebucket(self, new_n_buckets: int) -> dict:
         """Online partition evolution: rewrite the table into a new
@@ -926,9 +971,11 @@ class SnapshotSink:
         moved: dict[str, list] = {}
         ddl = _ddl(table_schema)
         if raw is not None:
-            folded = lww_dedup(raw, KEY, SEQ).withColumn(
-                "_bucket", _bucket_expr(new_n_buckets)
-            )
+            folded = lww_dedup(raw, KEY, SEQ)
+            ff = self._floor_filter(snap)
+            if ff is not None:
+                folded = folded.filter(ff)  # GC stickiness at every fold
+            folded = folded.withColumn("_bucket", _bucket_expr(new_n_buckets))
             (
                 folded.repartition(new_n_buckets, "_bucket")
                 .sortWithinPartitions("_bucket", KEY)
@@ -988,7 +1035,8 @@ class SnapshotSink:
         }
 
     def _rewrite_buckets(
-        self, buckets: list[int] | None, min_deltas: int, row_filter
+        self, buckets: list[int] | None, min_deltas: int, row_filter,
+        floor: int | None = None,
     ) -> dict:
         t0 = time.time()
         snap = self.current_snapshot()
@@ -1023,19 +1071,26 @@ class SnapshotSink:
         with self._commit_lock:
             self._inflight.add(tag)
         try:
-            return self._rewrite_buckets_run(snap, todo, row_filter, tag, t0)
+            return self._rewrite_buckets_run(
+                snap, todo, row_filter, tag, t0, floor
+            )
         finally:
             with self._commit_lock:
                 self._compacting -= set(todo)
                 self._inflight.discard(tag)
 
-    def _rewrite_buckets_run(self, snap, todo, row_filter, tag, t0) -> dict:
+    def _rewrite_buckets_run(
+        self, snap, todo, row_filter, tag, t0, floor: int | None = None
+    ) -> dict:
         table_schema = T.StructType.fromDDL(snap["schema"])
         folded = lww_dedup(
             self._read_buckets(snap, todo, target=table_schema), KEY, SEQ
         )
         if row_filter is not None:
             folded = folded.filter(row_filter)
+        ff = self._floor_filter(snap)
+        if ff is not None:
+            folded = folded.filter(ff)  # GC stickiness at every fold
         folded = folded.withColumn("_bucket", _bucket_expr(self.n_buckets))
         staging = os.path.join(self.root, "data", f"_stage-{uuid.uuid4().hex}")
         (
@@ -1105,6 +1160,11 @@ class SnapshotSink:
                     "version": head["version"] + 1,
                     "buckets": new_buckets,
                     "parent": head["version"],
+                    # monotone retention floor: every later fold
+                    # re-drops tombstones below it (GC stickiness)
+                    "tombstone_floor": max(
+                        head.get("tombstone_floor", 0), floor or 0
+                    ),
                     "metrics": {
                         "compaction": todo,
                         "wall_s": round(time.time() - t0, 3),
@@ -1141,8 +1201,15 @@ class SnapshotSink:
         whose files are by definition fresh — survives. Set it
         comfortably above the longest batch wall time; 0 (the default)
         keeps the same-process behavior, where the in-flight set makes
-        the age guard redundant."""
-        with self._commit_lock:
+        the age guard redundant. On a MULTI-WRITER root (two sink
+        objects/processes — the pattern the flock table lock supports
+        for commits), ``older_than_s > 0`` is REQUIRED: another
+        writer's published-but-uncommitted files are invisible to this
+        object's in-flight set, and only their freshness protects
+        them. The table lock below makes the CURRENT-read + reap
+        atomic against concurrent commits; it cannot cover publishes
+        that haven't reached their critical section."""
+        with self._commit_lock, self._table_lock():
             return self._vacuum_locked(older_than_s)
 
     def _vacuum_locked(self, older_than_s: float = 0.0) -> dict:

@@ -201,6 +201,14 @@ class TokenIndex:
                 F.lit(1).alias("sign"),
             )
             out = self._write_delta(pairs, f"v{v_new:06d}-full")
+            # same husk hazard as the incremental path below: a table
+            # whose live state yields ZERO postings (tombstone-only
+            # bootstrap, all-empty token arrays) writes a dir with no
+            # tbucket= subdirs — don't list it
+            if not any(d.startswith("tbucket=") for d in os.listdir(out)):
+                shutil.rmtree(out, ignore_errors=True)
+                self._swap(v_new, [])
+                return {"mode": "full-empty", "version": v_new}
             self._swap(v_new, [out])
             return {"mode": "full", "version": v_new}
         ch = self.sink.read_changes_pruned(cur["version"], v_new, include_old=True)

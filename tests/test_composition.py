@@ -54,7 +54,11 @@ def test_full_lifecycle_composition(spark, smoke_log, tmp_path):
     # rewrite window emits zero change rows — exercised here)
     view.refresh()
     index.refresh()
-    sink.vacuum(older_than_s=0.0)  # reap pre-rebucket + superseded files
+    # single-writer root here, so the zero-horizon vacuum is safe; it
+    # must actually reclaim the dead pre-rebucket bucket space + the
+    # deltas the compaction superseded
+    vac = sink.vacuum(older_than_s=0.0)
+    assert vac["removed"] > 0, vac
 
     # table equals the oracle; both derived views equal full recomputes
     report = compare_final(
@@ -80,8 +84,18 @@ def test_full_lifecycle_composition(spark, smoke_log, tmp_path):
     )
     assert r2["ok"], r2
 
-    # vacuum really reclaimed the dead pre-rebucket bucket space
-    ingest_dirs = os.listdir(os.path.join(root, "data"))
-    assert any(d.startswith("ingest=rebucket-") for d in ingest_dirs) or any(
-        d.startswith("ingest=compact-") for d in ingest_dirs
-    )
+    # every surviving data dir is referenced by CURRENT (the dead
+    # pre-rebucket wal-batch dirs are gone, not merely "a rebucket dir
+    # exists" — the earlier form of this assertion was vacuous)
+    snap = sink.current_snapshot()
+    live = {
+        os.path.normpath(os.path.join(root, e["path"]))
+        for ents in snap["buckets"].values()
+        for e in ents
+    }
+    live_ingest_roots = {os.path.dirname(p) for p in live}
+    for d in os.listdir(os.path.join(root, "data")):
+        full = os.path.normpath(os.path.join(root, "data", d))
+        assert any(r.startswith(full) for r in live_ingest_roots), (
+            f"unreferenced data dir survived vacuum: {d}"
+        )

@@ -7,6 +7,7 @@ import json
 import os
 
 import pytest
+from pyspark.sql import functions as F
 
 from beehive_data_etl_spark.sinks.snapshot import SnapshotSink
 from beehive_data_etl_spark.streaming.replay import replay_incremental
@@ -239,3 +240,47 @@ def test_same_batch_committed_concurrently_is_skipped_at_commit(
     # exactly one writer's entries are listed per bucket
     per_bucket = {k: len(v) for k, v in snap["buckets"].items()}
     assert all(n == 1 for n in per_bucket.values()), per_bucket
+
+
+def test_duplicate_writer_cannot_destroy_winners_committed_fold(
+    spark, smoke_log, tmp_path
+):
+    """Review finding: the duplicate-delivery skip must fire BEFORE the
+    publish loop. Writer B plans batch X as an append from an old head;
+    writer A (after another batch pushed buckets to the compact
+    threshold) applies the same X as an inline FOLD carrying all prior
+    rows. If B's publish ran before its skip, it would rmtree A's
+    committed fold and replace it with X-only rows — silent loss of
+    every pre-X row in those buckets."""
+    import glob
+
+    from beehive_data_etl_spark.operators.lww import lww_dedup
+    from beehive_data_etl_spark.sources.readers import read_wal
+
+    root = str(tmp_path / "sink")
+    a = SnapshotSink(spark, root, n_buckets=4, compact_threshold=2)
+    b = SnapshotSink(spark, root, n_buckets=4, compact_threshold=2)
+    files = sorted(glob.glob(os.path.join(smoke_log, "part-*.parquet")))
+    a.apply_batch(read_wal(spark, [files[0]]), "b0")  # 1 delta per bucket
+
+    def interleave(point):
+        if point == "after_data_write":
+            b.crash_hook = lambda p: None
+            # push buckets to the fold threshold, then A applies the
+            # SAME batch id X — as an inline compaction
+            a.apply_batch(read_wal(spark, [files[2]]), "w")
+            a.apply_batch(read_wal(spark, [files[1]]), "x")
+
+    b.crash_hook = interleave
+    m = b.apply_batch(read_wal(spark, [files[1]]), "x")  # B planned append
+    assert m.get("skipped") and "concurrently" in m.get("reason", "")
+    # A's folds survived: state equals the LWW fold of all three files
+    want = lww_dedup(
+        read_wal(spark, files[:3]).drop("event_ts", "batch_hint"),
+        "doc_id", "op_sequence",
+    )
+    report = compare_final(
+        a.read_state().filter(~F.col("deleted")),
+        want.filter(F.col("op") != "D").drop("op"),
+    )
+    assert report["ok"], report

@@ -163,3 +163,62 @@ def test_cross_process_vacuum_age_cutoff(spark, smoke_log, tmp_path):
     for entries in snap["buckets"].values():
         for e in entries:
             assert os.path.isdir(os.path.join(root, e["path"]))
+
+
+def test_tombstone_gc_is_sticky_through_stale_folds(spark, tmp_path):
+    """A crash-replayed pre-GC fold legitimately resurrects an expired
+    tombstone (benign: the floor promises no pre-floor event can still
+    arrive, so visible data is unchanged) — but the snapshot's recorded
+    tombstone_floor must make the NEXT fold re-drop it, so the GC
+    converges instead of being silently undone forever."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    SCHEMA = (
+        "op string, op_sequence long, doc_id string, tokens array<int>, "
+        "n_tok int, source string, event_ts timestamp, batch_hint int"
+    )
+
+    def _b(rows):
+        return spark.createDataFrame(
+            [(op, seq, doc, toks, len(toks), "s", None, 0)
+             for op, seq, doc, toks in rows],
+            SCHEMA,
+        )
+
+    class _Boom(RuntimeError):
+        pass
+
+    def _crash_at(name):
+        def hook(point):
+            if point == name:
+                raise _Boom(point)
+        return hook
+
+    sink = SnapshotSink(spark, str(tmp_path / "t"), n_buckets=2,
+                        compact_threshold=2)
+    sink.apply_batch(_b([("I", 1, "x", [1]), ("I", 2, "y", [2])]), "b1")
+    sink.apply_batch(_b([("D", 10, "x", [])]), "b2")
+    # b3 folds (threshold reached) and crashes before the pointer swap:
+    # its manifested fold still CONTAINS x's tombstone
+    sink.crash_hook = _crash_at("before_pointer_swap")
+    with pytest.raises(_Boom):
+        sink.apply_batch(_b([("U", 11, "y", [3])]), "b3")
+    sink.crash_hook = lambda p: None
+
+    sink.expire_tombstones(min_op_sequence=11)
+    assert sink.current_snapshot()["tombstone_floor"] == 11
+    assert sink.read_state().filter(F.col("doc_id") == "x").count() == 0
+
+    # crash-replay b3: the stale pre-GC fold commits and resurrects the
+    # tombstone (documented-benign: read_final is unaffected)
+    sink.apply_batch(_b([("U", 11, "y", [3])]), "b3")
+    assert sink.read_state().filter(F.col("doc_id") == "x").count() == 1
+    assert sink.read_final().filter(F.col("doc_id") == "x").count() == 0
+
+    # stickiness: the next fold re-applies the floor
+    sink.compact()
+    assert sink.read_state().filter(F.col("doc_id") == "x").count() == 0
+    assert {r.doc_id: list(r.tokens) for r in sink.read_final().collect()} == {
+        "y": [3]
+    }
