@@ -1,0 +1,145 @@
+"""Table-to-table CDC replication: the engine as its own source.
+
+``Replicator`` tails an upstream ``SnapshotSink``'s row-level changelog
+(``read_changes_pruned`` — O(changed rows), never O(table)) and applies
+each version window to a downstream ``CdcSink`` as an ordinary change
+batch. This is the fan-out pattern a 10^10-row training-corpus table
+needs — region replicas, a dev mirror, a downstream table with extra
+derived columns — without re-reading the upstream WAL or re-scanning
+the table.
+
+Design points (each tested in tests/test_replicate.py):
+
+- **Exactly-once with no side-channel state.** The replication cursor
+  IS the downstream table's committed-batch set: batch ids encode the
+  half-open version window (``<name>-v<from>-v<to>``), windows always
+  start at the cursor, and the downstream sink's manifests/pointer give
+  the same crash/idempotency guarantees as any ingest batch. A crashed
+  sync retries with a possibly wider window under a new batch id; the
+  crashed attempt's files are unreferenced orphans for vacuum.
+- **The cursor pins upstream retention.** After every applied window
+  the replicator moves a tag (``repl-<name>``) on the SOURCE to the new
+  cursor version, so ``vacuum()`` keeps exactly the files the next
+  incremental diff needs (the from-version old images). Crash between
+  apply and re-tag leaves the tag one window behind — strictly more
+  retained, never less.
+- **Initial sync = state copy, tombstones included.** The first window
+  replicates ``read_state(version=to)`` whole — delete tombstones carry
+  over so a late out-of-order event delivered to the REPLICA loses LWW
+  exactly as it would upstream (same invariant as
+  ``streaming.replay.bootstrap``).
+- **Rewrite windows are silent.** Compaction / tombstone GC / rebucket
+  bump versions without changing rows; the strict ``seq > old_seq``
+  predicate inside the changelog yields an empty batch, which still
+  commits (advancing the cursor past the rewrite).
+- **Upstream rollback is refused, loudly.** A window spanning a
+  ``rollback_to`` commit cannot be expressed as forward change events
+  with trustworthy LWW sequence numbers (a doc can vanish with no
+  tombstone to carry the delete's op_sequence). The operator must make
+  the downstream consistent explicitly: roll the downstream back to a
+  tag taken at/below the cursor, or re-bootstrap it. Detection walks
+  the window's snapshot metadata — O(window), driver-side.
+
+Limits, documented not hidden: deletes whose tombstones were expired
+(``expire_tombstones``) BELOW the replication cursor are fine; expiring
+tombstones for versions the replica has not consumed yet would drop
+those deletes from the diff — keep the retention floor behind the
+slowest replica's cursor, which the auto-tag makes visible.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from beehive_data_etl_spark.sinks.snapshot import SnapshotSink
+
+
+class Replicator:
+    def __init__(self, src: SnapshotSink, dst, name: str = "repl") -> None:
+        """``name`` must be unique per (source, destination) pair when a
+        table receives multiple replication streams — it namespaces both
+        the batch ids (the cursor) and the upstream retention tag."""
+        if not re.fullmatch(r"[A-Za-z0-9_.]+", name):
+            raise ValueError(f"replicator name must be [A-Za-z0-9_.]+, got {name!r}")
+        self.src = src
+        self.dst = dst
+        self.name = name
+        self._id_pat = re.compile(rf"^{re.escape(name)}-v(\d+)-v(\d+)$")
+
+    # ------------------------------------------------------------- cursor
+    def _batch_id(self, frm: int, to: int) -> str:
+        return f"{self.name}-v{frm:06d}-v{to:06d}"
+
+    def cursor(self) -> int:
+        """Highest upstream version the downstream has durably applied —
+        read from the downstream's committed batches, so it survives
+        crashes/restarts with zero extra state."""
+        snap_fn = getattr(self.dst, "current_snapshot", None)
+        snap = snap_fn() if snap_fn is not None else None
+        if snap is None:
+            return 0
+        best = 0
+        for bid in snap["committed_batches"]:
+            m = self._id_pat.match(bid)
+            if m:
+                best = max(best, int(m.group(2)))
+        return best
+
+    # --------------------------------------------------------------- sync
+    def sync(self, to_version: int | str | None = None) -> dict:
+        """Replicate one window: (cursor, to_version] — default head.
+        Returns the downstream commit metrics, or a skip record when
+        there is nothing new."""
+        src_head = self.src.current_snapshot()
+        if src_head is None:
+            return {"skipped": True, "reason": "source has no snapshot"}
+        to = (
+            src_head["version"]
+            if to_version is None
+            else self.src.resolve_ref(to_version)
+        )
+        frm = self.cursor()
+        if to <= frm:
+            return {"skipped": True, "from": frm, "to": to}
+        bid = self._batch_id(frm, to)
+        if self.dst.committed(bid):
+            return {"skipped": True, "batch_id": bid, "reason": "already committed"}
+
+        if frm == 0:
+            # initial sync: full state INCLUDING tombstones (see module
+            # docstring); op_sequence carries over so replica-side LWW
+            # matches the source clock
+            state = self.src.read_state(version=to)
+            env = state.withColumn(
+                "op", F.when(F.col("deleted"), F.lit("D")).otherwise(F.lit("U"))
+            ).drop("deleted")
+        else:
+            self._refuse_rollback_window(frm, to)
+            changes = self.src.read_changes_pruned(frm, to)
+            env = changes.withColumn(
+                "op",
+                F.when(F.col("change_type") == "D", F.lit("D")).otherwise(
+                    F.lit("U")
+                ),
+            ).drop("change_type", "deleted")
+
+        out = self.dst.apply_batch(env, bid)
+        self._advance_retention_tag(to)
+        return out
+
+    def _refuse_rollback_window(self, frm: int, to: int) -> None:
+        for v in range(frm + 1, to + 1):
+            if "rollback_to" in self.src.snapshot(v).get("metrics", {}):
+                raise RuntimeError(
+                    f"upstream rolled back at v{v} inside replication "
+                    f"window ({frm}, {to}]: forward change events cannot "
+                    "express it (no tombstone carries the removal's "
+                    "op_sequence). Roll the downstream back to a tag at "
+                    f"or below v{frm}, or re-bootstrap it, then resume."
+                )
+
+    def _advance_retention_tag(self, to: int) -> None:
+        # atomic move — no crash window where the pin is absent
+        self.src.move_tag(f"repl-{self.name}", to)

@@ -175,6 +175,174 @@ class SnapshotSink:
         snap = self.current_snapshot()
         return snap is not None and str(batch_id) in snap["committed_batches"]
 
+    # ------------------------------------------------------------- refs
+    def _tags_path(self) -> str:
+        return os.path.join(self.root, "_snapshots", "TAGS.json")
+
+    def tags(self) -> dict[str, int]:
+        """Named refs (Iceberg tags): name → committed snapshot version.
+        A tagged version's data files are RETAINED by ``vacuum()`` even
+        once superseded — the retention mechanism that makes audit
+        pins / reproducible-training snapshots ("the corpus as of the
+        v3 run") survive routine maintenance."""
+        try:
+            with open(self._tags_path()) as fh:
+                return json.load(fh)
+        except FileNotFoundError:
+            return {}
+
+    def tag(self, name: str, version: int | None = None) -> int:
+        """Pin ``name`` to a committed snapshot (default: CURRENT).
+        Re-tagging the same version is an idempotent no-op; moving an
+        existing tag is refused (drop it first) — silent moves are how
+        audit pins get lost."""
+        with self._commit_lock, self._table_lock():
+            snap = self.current_snapshot()
+            if snap is None:
+                raise ValueError("no snapshot yet — nothing to tag")
+            v = snap["version"] if version is None else int(version)
+            self.snapshot(v)  # must exist (raises otherwise)
+            tags = self.tags()
+            if name in tags and tags[name] != v:
+                raise ValueError(
+                    f"tag {name!r} already pins v{tags[name]}; "
+                    "drop_tag() it before re-pointing"
+                )
+            tags[name] = v
+            self._write_tags(tags)
+        return v
+
+    def move_tag(self, name: str, version: int | None = None) -> int:
+        """Atomically re-point ``name`` (creating it if absent) — the
+        explicit-move API for cursor-style tags (e.g. a replication
+        cursor). One tags-file write, so no crash window where the pin
+        is absent (a drop_tag + tag sequence would have one)."""
+        with self._commit_lock, self._table_lock():
+            snap = self.current_snapshot()
+            if snap is None:
+                raise ValueError("no snapshot yet — nothing to tag")
+            v = snap["version"] if version is None else int(version)
+            self.snapshot(v)  # must exist (raises otherwise)
+            tags = self.tags()
+            tags[name] = v
+            self._write_tags(tags)
+        return v
+
+    def drop_tag(self, name: str) -> int:
+        with self._commit_lock, self._table_lock():
+            tags = self.tags()
+            if name not in tags:
+                raise KeyError(f"no tag {name!r}")
+            v = tags.pop(name)
+            self._write_tags(tags)
+        return v
+
+    def _write_tags(self, tags: dict[str, int]) -> None:
+        tmp = self._tags_path() + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as fh:
+            json.dump(tags, fh)
+        os.replace(tmp, self._tags_path())
+
+    def resolve_ref(self, ref: int | str) -> int:
+        """A version number passes through; a string resolves via the
+        tag table. Every time-travel entry point (``read_state``,
+        ``lookup``, ``read_changes*``) accepts either."""
+        if isinstance(ref, str):
+            tags = self.tags()
+            if ref not in tags:
+                raise KeyError(f"no tag {ref!r} (known: {sorted(tags)})")
+            return tags[ref]
+        return int(ref)
+
+    def rollback_to(self, version: int | str) -> dict:
+        """Reset the table to an earlier committed snapshot — Iceberg's
+        ``rollback_to_snapshot``. Published as a NEW commit (the version
+        counter stays monotone; history is preserved for time travel),
+        whose buckets / schema / bucket count / committed-batch set are
+        copied from the target snapshot.
+
+        Semantics that matter for CDC exactly-once:
+
+        - batches committed AFTER the target are **de-committed**: a
+          replayer resuming against the rolled-back table re-applies
+          them (that is the point of rolling back — undo, then replay a
+          corrected log). Their commit MANIFESTS are deleted *before*
+          the pointer swap: a crashed-or-rolled-back attempt's manifest
+          can reference a compacted file that folded OTHER de-committed
+          batches' rows, and reusing it on re-apply would silently
+          resurrect exactly the rows the rollback removed (regression-
+          tested). Deleting first is crash-safe — if we die before the
+          swap, those batches are still committed and manifests of
+          committed batches are never consulted.
+        - ``tombstone_floor`` keeps the HEAD's value (monotone): the
+          retention promise "no event below the floor can still arrive"
+          is about the source, and does not un-happen on rollback.
+        - rolling back across a ``rebucket()`` restores the old bucket
+          count; cross-object writers straddling the rollback are
+          refused by the existing n_buckets head-check at their commit.
+        - refused if ``vacuum()`` already reaped any of the target's
+          data files (tag a version to protect it), or if this sink has
+          in-flight work (quiesce first, like rebucket)."""
+        t0 = time.time()
+        target_v = self.resolve_ref(version)
+        target = self.snapshot(target_v)
+        missing = [
+            e["path"]
+            for entries in target["buckets"].values()
+            for e in entries
+            if not os.path.isdir(os.path.join(self.root, e["path"]))
+        ]
+        if missing:
+            raise ValueError(
+                f"cannot roll back to v{target_v}: {len(missing)} data "
+                f"dir(s) already vacuumed (first: {missing[0]}); tag "
+                "versions you may need to restore"
+            )
+        with self._commit_lock:
+            if self._inflight or self._compacting or self._rebucketing:
+                raise RuntimeError(
+                    "rollback needs a quiesced sink: in-flight batches/"
+                    f"rewrites present ({sorted(self._inflight)})"
+                )
+        with self._commit_lock, self._table_lock():
+            head = self.current_snapshot()
+            if head["version"] == target_v and head.get("buckets") == target["buckets"]:
+                return {"rolled_back": False, "version": target_v}
+            target_committed = set(target["committed_batches"])
+            decommitted = [
+                b for b in head["committed_batches"] if b not in target_committed
+            ]
+            for bid in decommitted:
+                shutil.rmtree(
+                    os.path.join(self.root, "_manifests", bid), ignore_errors=True
+                )
+            new_snap = {
+                "version": head["version"] + 1,
+                "n_buckets": target["n_buckets"],
+                "schema": target["schema"],
+                "schema_version": target.get("schema_version", 0),
+                "buckets": target["buckets"],
+                "committed_batches": list(target["committed_batches"]),
+                "parent": head["version"],
+                "tombstone_floor": max(
+                    head.get("tombstone_floor", 0),
+                    target.get("tombstone_floor", 0),
+                ),
+                "metrics": {
+                    "rollback_to": target_v,
+                    "decommitted_batches": decommitted,
+                    "wall_s": round(time.time() - t0, 4),
+                },
+            }
+            self._write_snapshot(new_snap)
+            self.n_buckets = target["n_buckets"]
+        return {
+            "rolled_back": True,
+            "version": new_snap["version"],
+            "restored": target_v,
+            "decommitted_batches": decommitted,
+        }
+
     # ------------------------------------------------------------- manifests
     def _manifest_path(self, batch_id: str, bucket: int) -> str:
         return os.path.join(self.root, "_manifests", str(batch_id), f"{bucket:05d}.json")
@@ -246,18 +414,20 @@ class SnapshotSink:
             out = out.unionByName(p)
         return out
 
-    def snapshot(self, version: int) -> dict:
-        """Load a specific committed snapshot for time travel. Raises if
-        it was never written; vacuum() trades old snapshots' DATA for
-        space, so a time-travel read after vacuum may reference removed
-        files (the JSON metadata itself is always kept)."""
+    def snapshot(self, version: int | str) -> dict:
+        """Load a specific committed snapshot for time travel — by
+        version number or tag name. Raises if it was never written;
+        vacuum() trades old snapshots' DATA for space (TAGGED versions
+        excepted), so a time-travel read after vacuum may reference
+        removed files (the JSON metadata itself is always kept)."""
+        version = self.resolve_ref(version)
         with open(
             os.path.join(self.root, "_snapshots", f"v{version:06d}.json")
         ) as fh:
             return json.load(fh)
 
     def read_state(
-        self, buckets: list[int] | None = None, version: int | None = None
+        self, buckets: list[int] | None = None, version: int | str | None = None
     ) -> DataFrame:
         """State at CURRENT (default) or a time-travel ``version``, one
         row per key (payload + op_sequence + deleted tombstones):
@@ -433,7 +603,7 @@ class SnapshotSink:
         payload = [c for c in state.columns if c not in _INTERNAL]
         return state.filter(~F.col("deleted")).select(KEY, *[c for c in payload if c != KEY])
 
-    def lookup(self, ids: list, version: int | None = None) -> DataFrame:
+    def lookup(self, ids: list, version: int | str | None = None) -> DataFrame:
         """Point read: current live rows for the given keys, touching
         the minimum of the table.
 
@@ -769,8 +939,17 @@ class SnapshotSink:
             }
             metrics["bucket_rows"] = bucket_rows
             if obs is not None:
+                # obs.get raises a JVM assertion when the CollectMetrics
+                # node was optimized away — AQE's empty-relation
+                # propagation does exactly that for an all-filtered
+                # batch (e.g. a rewrite-only replication window). Zero
+                # rows observed IS the right answer then.
+                try:
+                    observed_events = obs.get["events"]
+                except Exception:
+                    observed_events = 0
                 metrics["lineage"] = {
-                    "events": obs.get["events"],
+                    "events": observed_events,
                     "input_files": sorted(
                         os.path.basename(f) for f in batch_df.inputFiles()
                     ),
@@ -1234,9 +1413,16 @@ class SnapshotSink:
         if snap is None:
             return {"removed": 0}
         inflight = set(self._inflight)
+        # retention refs: files referenced by CURRENT or by any TAGGED
+        # snapshot survive (Iceberg: expire_snapshots keeps refs). A
+        # tag created after a file was superseded can't resurrect it —
+        # tag() only pins committed snapshots, whose files a prior
+        # vacuum under this rule never removed while the tag existed.
+        retained = [snap] + [self.snapshot(v) for v in self.tags().values()]
         live = {
             os.path.normpath(os.path.join(self.root, e["path"]))
-            for entries in snap["buckets"].values()
+            for s in retained
+            for entries in s["buckets"].values()
             for e in entries
         }
         removed = 0
