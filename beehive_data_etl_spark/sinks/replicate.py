@@ -110,13 +110,16 @@ class Replicator:
         if frm == 0:
             # initial sync: full state INCLUDING tombstones (see module
             # docstring); op_sequence carries over so replica-side LWW
-            # matches the source clock
+            # matches the source clock. Deliberately EXEMPT from the
+            # rollback/backfill window refusal below — a state copy
+            # carries rewritten values by construction, only the
+            # changelog is blind to them.
             state = self.src.read_state(version=to)
             env = state.withColumn(
                 "op", F.when(F.col("deleted"), F.lit("D")).otherwise(F.lit("U"))
             ).drop("deleted")
         else:
-            self._refuse_rollback_window(frm, to)
+            self._refuse_unreplicable_window(frm, to)
             changes = self.src.read_changes_pruned(frm, to)
             env = changes.withColumn(
                 "op",
@@ -129,15 +132,42 @@ class Replicator:
         self._advance_retention_tag(to)
         return out
 
-    def _refuse_rollback_window(self, frm: int, to: int) -> None:
+    def mark_synced(self, to_version: int | str) -> dict:
+        """Advance the cursor WITHOUT replicating rows — the operator
+        override after reconciling out of band (ran the same backfill
+        downstream, or rolled the downstream back to match an upstream
+        rollback). Commits an empty batch under the window's batch id,
+        so the advance is exactly-once and crash-safe like any sync."""
+        to = self.src.resolve_ref(to_version)
+        frm = self.cursor()
+        if to <= frm:
+            return {"skipped": True, "from": frm, "to": to}
+        empty = self.src.read_state(version=to).limit(0)
+        env = empty.withColumn("op", F.lit("U")).drop("deleted")
+        out = self.dst.apply_batch(env, self._batch_id(frm, to))
+        self._advance_retention_tag(to)
+        return out
+
+    def _refuse_unreplicable_window(self, frm: int, to: int) -> None:
         for v in range(frm + 1, to + 1):
-            if "rollback_to" in self.src.snapshot(v).get("metrics", {}):
+            m = self.src.snapshot(v).get("metrics", {})
+            if "rollback_to" in m:
                 raise RuntimeError(
                     f"upstream rolled back at v{v} inside replication "
                     f"window ({frm}, {to}]: forward change events cannot "
                     "express it (no tombstone carries the removal's "
                     "op_sequence). Roll the downstream back to a tag at "
-                    f"or below v{frm}, or re-bootstrap it, then resume."
+                    f"or below v{frm}, or re-bootstrap it, then "
+                    "mark_synced(to) to resume."
+                )
+            if "backfill" in m:
+                raise RuntimeError(
+                    f"upstream backfill at v{v} inside replication window "
+                    f"({frm}, {to}]: backfilled rows keep their "
+                    "op_sequence (the changelog is silent about them), so "
+                    "syncing would silently diverge the replica. Run the "
+                    "same backfill on the downstream table, then "
+                    "mark_synced(to) past it."
                 )
 
     def _advance_retention_tag(self, to: int) -> None:

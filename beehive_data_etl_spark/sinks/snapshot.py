@@ -1213,9 +1213,77 @@ class SnapshotSink:
             "wall_s": round(time.time() - t0, 3),
         }
 
+    def backfill(
+        self,
+        columns: dict,
+        buckets: list[int] | None = None,
+        name: str | None = None,
+    ) -> dict:
+        """Retro-compute derived payload columns over the LIVE table —
+        the "we shipped a new quality score / tokenizer stat; now apply
+        it to 10^10 existing rows" operation. ``columns`` maps column
+        name → a pyspark Column expression over the row's existing
+        payload (built-ins or a vectorized pandas UDF — the usual
+        no-per-row-Python rule applies). Applied to live rows only;
+        tombstones keep (or NULL-get) the column. New columns evolve the
+        table schema at publish through the same add/widen rules as
+        ingest-time evolution.
+
+        Shape and scale: each call is ONE rewrite commit over the given
+        buckets (default all) — the same one-shuffle key-sorted job as
+        compact(), so cost is O(rewritten buckets' state). For a big
+        table, run it CHUNKED: ``backfill(cols, buckets=range(0,64),
+        name="q2")`` per chunk, one commit each; ``backfill_status(
+        "q2")`` reports which buckets a named backfill already rewrote
+        (recorded in snapshot metadata), so a crashed driver resumes by
+        re-running — completed chunks are skipped, the interrupted one
+        is re-rewritten idempotently.
+
+        Two caveats, deliberate and documented rather than hidden:
+
+        - **The changelog is silent about backfills** (rewritten rows
+          keep their op_sequence, exactly like compaction — the LWW
+          clock belongs to the SOURCE and must not be forged). Derived
+          consumers that read the transformed columns (AggregateView
+          over them, replicas) must re-run the same backfill or
+          rebuild; ``sinks.replicate.Replicator`` detects a backfill
+          commit inside a sync window and refuses it with instructions
+          instead of silently diverging.
+        - **Rows ingested concurrently are not transformed.** Deploy
+          the forward path (the ingest transform stage emitting the new
+          column) FIRST, then backfill history — the standard two-step;
+          then concurrent arrivals already carry the column.
+        """
+        if not columns:
+            raise ValueError("backfill needs at least one column expression")
+        reserved = {KEY, SEQ, "deleted", "_bucket"}
+        bad = reserved & set(columns)
+        if bad:
+            raise ValueError(f"backfill cannot target internal columns: {sorted(bad)}")
+        return self._rewrite_buckets(
+            buckets, min_deltas=1, row_filter=None, transform=dict(columns),
+            op_label="backfill", backfill_name=name,
+        )
+
+    def backfill_status(self, name: str) -> set[int]:
+        """Buckets a named backfill has already rewritten, recovered
+        from committed snapshot metadata (parent-chain walk — driver-
+        side JSON reads, O(versions), the same order as Iceberg's
+        snapshot log). Resume = re-run the chunk loop skipping these."""
+        done: set[int] = set()
+        snap = self.current_snapshot()
+        while snap is not None:
+            m = snap.get("metrics", {})
+            if m.get("backfill_name") == name:
+                done.update(m.get("backfill", []))
+            parent = snap.get("parent")
+            snap = None if parent is None else self.snapshot(parent)
+        return done
+
     def _rewrite_buckets(
         self, buckets: list[int] | None, min_deltas: int, row_filter,
-        floor: int | None = None,
+        floor: int | None = None, transform: dict | None = None,
+        op_label: str = "compaction", backfill_name: str | None = None,
     ) -> dict:
         t0 = time.time()
         snap = self.current_snapshot()
@@ -1251,7 +1319,8 @@ class SnapshotSink:
             self._inflight.add(tag)
         try:
             return self._rewrite_buckets_run(
-                snap, todo, row_filter, tag, t0, floor
+                snap, todo, row_filter, tag, t0, floor, transform,
+                op_label, backfill_name,
             )
         finally:
             with self._commit_lock:
@@ -1259,7 +1328,9 @@ class SnapshotSink:
                 self._inflight.discard(tag)
 
     def _rewrite_buckets_run(
-        self, snap, todo, row_filter, tag, t0, floor: int | None = None
+        self, snap, todo, row_filter, tag, t0, floor: int | None = None,
+        transform: dict | None = None, op_label: str = "compaction",
+        backfill_name: str | None = None,
     ) -> dict:
         table_schema = T.StructType.fromDDL(snap["schema"])
         folded = lww_dedup(
@@ -1270,6 +1341,19 @@ class SnapshotSink:
         ff = self._floor_filter(snap)
         if ff is not None:
             folded = folded.filter(ff)  # GC stickiness at every fold
+        if transform:
+            for cname, expr in transform.items():
+                # dtype probe so a tombstone's NULL (or the column's
+                # prior value) lands with the expression's exact type
+                dtype = folded.withColumn(cname, expr).schema[cname].dataType
+                keep = (
+                    F.col(cname).cast(dtype)
+                    if cname in folded.columns
+                    else F.lit(None).cast(dtype)
+                )
+                folded = folded.withColumn(
+                    cname, F.when(~F.col("deleted"), expr).otherwise(keep)
+                )
         folded = folded.withColumn("_bucket", _bucket_expr(self.n_buckets))
         staging = os.path.join(self.root, "data", f"_stage-{uuid.uuid4().hex}")
         (
@@ -1287,7 +1371,14 @@ class SnapshotSink:
         dest_root = os.path.join(self.root, "data", f"ingest={tag}")
         os.makedirs(dest_root, exist_ok=True)
         os.utime(dest_root)  # same vacuum-rmdir race guard as publish
-        ddl = _ddl(table_schema)
+        # entries record the schema the FILES were written with — for a
+        # transforming rewrite (backfill) that includes the new/replaced
+        # columns; untouched buckets keep their old entries and are
+        # aligned at read time like any schema evolution
+        written_schema = T.StructType(
+            [f for f in folded.schema.fields if f.name != "_bucket"]
+        )
+        ddl = _ddl(written_schema)
         moved: dict[str, list] = {}
         for b in todo:
             src_dir = os.path.join(staging, f"_bucket={b}")
@@ -1333,6 +1424,9 @@ class SnapshotSink:
                     if e["path"] not in folded_paths.get(key_b, set())
                 ]
                 new_buckets[key_b] = entries + kept
+            metrics = {op_label: todo, "wall_s": round(time.time() - t0, 3)}
+            if backfill_name is not None:
+                metrics["backfill_name"] = backfill_name
             new_snap = dict(head)
             new_snap.update(
                 {
@@ -1344,12 +1438,22 @@ class SnapshotSink:
                     "tombstone_floor": max(
                         head.get("tombstone_floor", 0), floor or 0
                     ),
-                    "metrics": {
-                        "compaction": todo,
-                        "wall_s": round(time.time() - t0, 3),
-                    },
+                    "metrics": metrics,
                 }
             )
+            if transform:
+                # a transforming rewrite can ADD columns: evolve the
+                # snapshot schema against the head exactly like an
+                # ingest batch would (add/widen only; incompatible
+                # changes raise here, before the pointer swap)
+                payload_schema = T.StructType(
+                    [f for f in written_schema.fields if f.name not in _INTERNAL]
+                )
+                evolved, _, schema_version = self._evolved_schema(
+                    head, payload_schema
+                )
+                new_snap["schema"] = _ddl(evolved)
+                new_snap["schema_version"] = schema_version
             self._write_snapshot(new_snap)
         # tag discarded by the caller's finally (published files are
         # referenced by CURRENT from here on, so vacuum keeps them)

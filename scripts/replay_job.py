@@ -73,6 +73,30 @@ def _derived_views(spark, sink) -> list:
     return views
 
 
+def _replicator(spark, sink):
+    """REPLAY_REPLICATE_TO=<path> tails this table's changelog into a
+    second SnapshotSink after every epoch (stream mode) or once after
+    the replay (pipelined — out-of-order commits make the quiesced end
+    the only safe sync point). REPLAY_REPLICATE_BUCKETS sizes the
+    replica (default: same as source). Filesystem sink only — the
+    replicator reads SnapshotSink snapshots."""
+    target = os.environ.get("REPLAY_REPLICATE_TO")
+    if not target:
+        return None
+    if not isinstance(sink, SnapshotSink):
+        raise ValueError("REPLAY_REPLICATE_TO requires the filesystem sink")
+    from beehive_data_etl_spark.sinks.replicate import Replicator
+
+    dst = SnapshotSink(
+        spark,
+        target,
+        n_buckets=int(
+            os.environ.get("REPLAY_REPLICATE_BUCKETS", str(sink.n_buckets))
+        ),
+    )
+    return Replicator(sink, dst, name=os.environ.get("REPLAY_REPLICATE_NAME", "repl"))
+
+
 def main() -> None:
     wal_dir, target = sys.argv[1], sys.argv[2]
     spark = SparkSession.builder.appName("beehive-cdc-replay").getOrCreate()
@@ -88,6 +112,7 @@ def main() -> None:
             salt_partials=int(os.environ.get("REPLAY_SALT", "8")),
         )
     views = _derived_views(spark, sink)
+    replicator = _replicator(spark, sink)
     if os.environ.get("REPLAY_MODE", "stream") == "pipelined":
         t0 = time.time()
         batches = replay_incremental(
@@ -112,11 +137,15 @@ def main() -> None:
                 "VIEW_METRICS "
                 + json.dumps([type(v).__name__ for v in views])
             )
+        if replicator is not None:
+            replicator.sync()
         return
 
     def _refresh_views(epoch_id: int) -> None:
         for v in views:
             v.refresh()
+        if replicator is not None:
+            replicator.sync()
 
     replay_stream(
         spark,
@@ -128,7 +157,9 @@ def main() -> None:
         schema_ddl=BASE_ENVELOPE_DDL,
         max_files_per_trigger=8,
         watermark=("event_ts", "10 minutes"),
-        on_batch_commit=_refresh_views if views else None,
+        on_batch_commit=(
+            _refresh_views if (views or replicator is not None) else None
+        ),
     )
 
 

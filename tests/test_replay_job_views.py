@@ -74,3 +74,40 @@ def test_replay_job_env_wiring(spark, smoke_log, tmp_path, monkeypatch, mode):
     # the aggregate actually aggregates the replayed corpus
     total = agg.read().agg(F.sum("n_rows")).collect()[0][0]
     assert total == sink.read_final().count()
+
+
+@pytest.mark.parametrize("mode", ["stream", "pipelined"])
+def test_replay_job_replication_wiring(spark, smoke_log, tmp_path, monkeypatch, mode):
+    """REPLAY_REPLICATE_TO: the job tails its own table's changelog
+    into a replica — per-epoch in stream mode, post-replay in
+    pipelined mode — and the replica's final state equals the
+    source's."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    import replay_job
+
+    target = str(tmp_path / f"src_{mode}")
+    replica = str(tmp_path / f"dst_{mode}")
+    monkeypatch.setattr(sys, "argv", ["replay_job.py", smoke_log, target])
+    monkeypatch.setenv("REPLAY_MODE", mode)
+    monkeypatch.setenv("REPLAY_N_BUCKETS", "8")
+    monkeypatch.setenv("REPLAY_REPLICATE_TO", replica)
+    monkeypatch.setenv("REPLAY_REPLICATE_BUCKETS", "4")
+    if mode == "pipelined":
+        monkeypatch.setenv("REPLAY_FILES_PER_BATCH", "2")
+        monkeypatch.setenv("REPLAY_INFLIGHT", "2")
+    replay_job.main()
+
+    src = SnapshotSink(spark, target, n_buckets=8)
+    dst = SnapshotSink(spark, replica, n_buckets=4)
+
+    def fmap(s):
+        return {
+            r.doc_id: (r.op_sequence, tuple(r.tokens) if r.tokens is not None else None)
+            for r in s.read_state().filter("NOT deleted").collect()
+        }
+
+    assert fmap(dst) == fmap(src)
+    # the cursor (committed repl batch ids) reached the source head
+    from beehive_data_etl_spark.sinks.replicate import Replicator
+
+    assert Replicator(src, dst).cursor() == src.current_snapshot()["version"]
