@@ -99,6 +99,29 @@ class IcebergSink:
     def evolve_ddl(self, ddl_log: list[str]) -> list[str]:
         return [f"ALTER TABLE {self.table} {stmt}" for stmt in ddl_log]
 
+    def tag_sql(self, name: str, snapshot_id: int | None = None) -> str:
+        """SnapshotSink.tag()'s cluster twin: an Iceberg tag retains the
+        snapshot's files through expire_snapshots — the same vacuum-
+        survival contract the filesystem sink implements."""
+        at = f" AS OF VERSION {snapshot_id}" if snapshot_id is not None else ""
+        return f"ALTER TABLE {self.table} CREATE TAG `{name}`{at}"
+
+    def drop_tag_sql(self, name: str) -> str:
+        return f"ALTER TABLE {self.table} DROP TAG `{name}`"
+
+    def rollback_sql(self, snapshot_id: int) -> str:
+        """SnapshotSink.rollback_to()'s cluster twin. Iceberg's
+        procedure restores the old snapshot as the new current one;
+        the engine-side consequence is identical — batch ids stamped in
+        rolled-back snapshot summaries stop being the CURRENT history's
+        ancestors, so ``committed()`` (which must then scan only the
+        current ancestry, see note) reports them re-appliable."""
+        cat = self.table.split(".")[0]
+        return (
+            f"CALL {cat}.system.rollback_to_snapshot"
+            f"('{self.table}', {snapshot_id})"
+        )
+
     def merge_sql(self, view: str = "__beehive_batch") -> str:
         """The LWW MERGE — identical semantics to the snapshot sink's
         single LWW aggregation: newer op_sequence wins, deletes
@@ -115,8 +138,16 @@ class IcebergSink:
 
     # ------------------------------------------------------------- protocol
     def committed(self, batch_id: str) -> bool:
+        # restricted to the CURRENT ancestry (history.is_current_
+        # ancestor): after rollback_sql, batch ids stamped only in
+        # rolled-back snapshots must read as NOT committed so a
+        # resuming replayer re-applies them — the filesystem twin
+        # de-commits them the same way
         rows = self.spark.sql(
-            f"SELECT summary['{BATCH_PROP}'] AS b FROM {self.table}.snapshots"
+            f"SELECT s.summary['{BATCH_PROP}'] AS b "
+            f"FROM {self.table}.snapshots s "
+            f"JOIN {self.table}.history h ON s.snapshot_id = h.snapshot_id "
+            "WHERE h.is_current_ancestor"
         ).collect()
         return any(r.b == str(batch_id) for r in rows)
 

@@ -298,13 +298,15 @@ class SnapshotSink:
                 f"dir(s) already vacuumed (first: {missing[0]}); tag "
                 "versions you may need to restore"
             )
-        with self._commit_lock:
+        with self._commit_lock, self._table_lock():
+            # quiesce check INSIDE the commit critical section — a
+            # separate check-then-lock had a window where apply_batch
+            # could register in-flight between the two acquisitions
             if self._inflight or self._compacting or self._rebucketing:
                 raise RuntimeError(
                     "rollback needs a quiesced sink: in-flight batches/"
                     f"rewrites present ({sorted(self._inflight)})"
                 )
-        with self._commit_lock, self._table_lock():
             head = self.current_snapshot()
             if head["version"] == target_v and head.get("buckets") == target["buckets"]:
                 return {"rolled_back": False, "version": target_v}
@@ -328,6 +330,13 @@ class SnapshotSink:
                     head.get("tombstone_floor", 0),
                     target.get("tombstone_floor", 0),
                 ),
+                # monotone: any writer/rewrite that PLANNED against a
+                # pre-rollback head is refused at its commit (and its
+                # crash manifests at replay) by an epoch mismatch —
+                # cross-object/process writers are invisible to the
+                # quiesce check above, and their compacted folds could
+                # otherwise re-publish de-committed rows
+                "rollback_epoch": head.get("rollback_epoch", 0) + 1,
                 "metrics": {
                     "rollback_to": target_v,
                     "decommitted_batches": decommitted,
@@ -350,7 +359,9 @@ class SnapshotSink:
     def manifest_contains(self, batch_id: str, bucket: int) -> bool:
         return os.path.exists(self._manifest_path(batch_id, bucket))
 
-    def _manifested_buckets(self, batch_id: str) -> set[int]:
+    def _manifested_buckets(
+        self, batch_id: str, rollback_epoch: int = 0
+    ) -> set[int]:
         d = os.path.join(self.root, "_manifests", str(batch_id))
         if not os.path.isdir(d):
             return set()
@@ -375,7 +386,12 @@ class SnapshotSink:
                 continue
             with open(self._manifest_path(batch_id, b)) as fh:
                 m = json.load(fh)
-            if m.get("n_buckets") == self.n_buckets:
+            # epoch mismatch ⇒ planned before a rollback: its compacted
+            # fold may embed de-committed rows — recompute the bucket
+            if (
+                m.get("n_buckets") == self.n_buckets
+                and m.get("rollback_epoch", 0) == rollback_epoch
+            ):
                 reusable.add(b)
         return reusable
 
@@ -665,13 +681,23 @@ class SnapshotSink:
             return {"batch_id": batch_id, "skipped": True, "reason": "already committed"}
         # register in-flight BEFORE planning: _manifested_buckets below
         # decides to reuse a crashed attempt's files, and a vacuum that
-        # fires in between would reap exactly those files as orphans
+        # fires in between would reap exactly those files as orphans.
+        # The head is RE-READ under the same lock: a rollback_to()
+        # commits while holding it, so planning from the pre-lock read
+        # could fold just-de-committed deltas into a compacted file and
+        # resurrect exactly the rows the rollback removed (rollback's
+        # quiesce check only covers batches registered BEFORE it ran)
         with self._commit_lock:
             if self._rebucketing:
                 raise RuntimeError(
                     "rebucket in progress; re-apply the batch after it completes"
                 )
+            snap = self.current_snapshot()
             self._inflight.add(batch_id)
+        if snap is not None and batch_id in snap["committed_batches"]:
+            with self._commit_lock:
+                self._inflight.discard(batch_id)
+            return {"batch_id": batch_id, "skipped": True, "reason": "already committed"}
         compact_candidates: list[int] = []
         try:
             return self._plan_and_apply(
@@ -704,7 +730,9 @@ class SnapshotSink:
         # crash-replay bookkeeping, all driver-side file metadata — no
         # Spark job: buckets already manifested for this batch_id are
         # excluded from recomputation and their outputs reused
-        manifested = self._manifested_buckets(batch_id)
+        manifested = self._manifested_buckets(
+            batch_id, 0 if snap is None else snap.get("rollback_epoch", 0)
+        )
         # merge-on-read planning (also metadata-only): buckets at the
         # delta threshold are COMPACTED on touch (fold all deltas +
         # batch into one file); everything else APPENDS its delta —
@@ -871,6 +899,19 @@ class SnapshotSink:
                     f"(this sink planned with {self.n_buckets}); reopen the "
                     f"sink and re-apply batch {batch_id}"
                 )
+            plan_epoch = 0 if snap is None else snap.get("rollback_epoch", 0)
+            head_epoch = 0 if head is None else head.get("rollback_epoch", 0)
+            if head_epoch != plan_epoch:
+                # a rollback_to() landed while this batch planned (only
+                # possible from ANOTHER sink object/process — same-
+                # object batches block rollback via the in-flight
+                # quiesce): a compacted fold planned pre-rollback
+                # embeds de-committed rows and must not publish
+                shutil.rmtree(staging, ignore_errors=True)
+                raise RuntimeError(
+                    f"table rolled back while batch {batch_id} planned "
+                    f"(epoch {plan_epoch} -> {head_epoch}); re-apply it"
+                )
             os.makedirs(dest_root, exist_ok=True)
             # bump the mtime explicitly: makedirs(exist_ok=True) does
             # NOT touch a pre-existing dir (a crashed attempt's
@@ -898,6 +939,10 @@ class SnapshotSink:
                         # the bucket space this file was numbered in — a
                         # rebucket invalidates it for crash-replay reuse
                         "n_buckets": self.n_buckets,
+                        # the rollback epoch it was planned under — a
+                        # rollback invalidates it likewise (the folded
+                        # file may embed de-committed rows)
+                        "rollback_epoch": plan_epoch,
                         "compacted": b in compact_candidates,
                         # exactly the delta files this compaction folded
                         # — a crash-replay reusing this manifest must
@@ -1038,6 +1083,7 @@ class SnapshotSink:
             "committed_batches": committed + [batch_id],
             "parent": None if head is None else head["version"],
             "tombstone_floor": 0 if head is None else head.get("tombstone_floor", 0),
+            "rollback_epoch": 0 if head is None else head.get("rollback_epoch", 0),
             "metrics": {k: v for k, v in metrics.items() if k != "lineage"},
         }
         self._write_snapshot(new_snap)
@@ -1276,8 +1322,16 @@ class SnapshotSink:
             m = snap.get("metrics", {})
             if m.get("backfill_name") == name:
                 done.update(m.get("backfill", []))
-            parent = snap.get("parent")
-            snap = None if parent is None else self.snapshot(parent)
+            if "rollback_to" in m:
+                # follow the RESTORED lineage, not the raw parent: a
+                # rollback reverted every commit between its target and
+                # its parent — a backfill in that span was undone with
+                # them, and counting it "done" would make a resume skip
+                # buckets whose rewritten files no longer exist
+                nxt = m["rollback_to"]
+            else:
+                nxt = snap.get("parent")
+            snap = None if nxt is None else self.snapshot(nxt)
         return done
 
     def _rewrite_buckets(
@@ -1374,9 +1428,15 @@ class SnapshotSink:
         # entries record the schema the FILES were written with — for a
         # transforming rewrite (backfill) that includes the new/replaced
         # columns; untouched buckets keep their old entries and are
-        # aligned at read time like any schema evolution
-        written_schema = T.StructType(
-            [f for f in folded.schema.fields if f.name != "_bucket"]
+        # aligned at read time like any schema evolution. Parquet reads
+        # match columns BY NAME, but the recorded DDL string keys the
+        # read-side schema grouping — non-transform rewrites keep the
+        # table-schema string so compacted and appended entries stay in
+        # ONE scan group
+        written_schema = (
+            T.StructType([f for f in folded.schema.fields if f.name != "_bucket"])
+            if transform
+            else table_schema
         )
         ddl = _ddl(written_schema)
         moved: dict[str, list] = {}
@@ -1415,6 +1475,14 @@ class SnapshotSink:
                     f"table was rebucketed to {head['n_buckets']} buckets "
                     f"mid-rewrite (planned with {self.n_buckets}); reopen "
                     "the sink and re-run the rewrite"
+                )
+            if head.get("rollback_epoch", 0) != snap.get("rollback_epoch", 0):
+                # a cross-object rollback landed mid-rewrite: this fold
+                # was planned from the pre-rollback head and would
+                # re-publish de-committed rows
+                raise RuntimeError(
+                    "table rolled back mid-rewrite; re-run it against "
+                    "the restored head"
                 )
             new_buckets = dict(head["buckets"])
             for key_b, entries in moved.items():

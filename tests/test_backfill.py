@@ -165,3 +165,25 @@ def test_initial_sync_carries_backfilled_values(spark, smoke_log, tmp_path):
     out = Replicator(src, dst).sync()
     assert not out.get("skipped")
     assert _col_map(dst, "n_tok_x2") == _col_map(src, "n_tok_x2")
+
+
+def test_backfill_status_follows_rollback_lineage(spark, smoke_log, tmp_path):
+    """A rollback past a backfill undoes its rewritten files; status
+    must walk the RESTORED lineage so a resume re-runs those buckets
+    instead of skipping them."""
+    sink = SnapshotSink(spark, str(tmp_path / "t"), n_buckets=8)
+    replay_incremental(spark, smoke_log, sink, files_per_batch=4)
+    v_pre = sink.current_snapshot()["version"]
+
+    done = sink.backfill(DOUBLE_NTOK(), buckets=[0, 1], name="x2")["compacted"]
+    assert set(sink.backfill_status("x2")) == set(done)
+
+    sink.rollback_to(v_pre)
+    assert sink.backfill_status("x2") == set()  # undone with the rollback
+    assert "n_tok_x2" not in sink.read_state().columns
+
+    # resume from scratch works and the column is complete again
+    sink.backfill(DOUBLE_NTOK(), name="x2")
+    vals = _col_map(sink, "n_tok_x2")
+    ntok = _col_map(sink, "n_tok")
+    assert vals and all(vals[k] == ntok[k] * 2 for k in vals)

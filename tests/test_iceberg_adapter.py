@@ -176,3 +176,21 @@ def test_apply_batch_serializes_commits(monkeypatch):
     assert stub.views == {}  # views dropped after commit
     assert stub.conf.props == {}  # property unset after commit
     assert stub.checkpoints == 4  # every batch materialized pre-lock
+
+
+def test_tag_and_rollback_sql_strings(spark):
+    from beehive_data_etl_spark.sinks.iceberg import IcebergSink
+
+    sink = IcebergSink.__new__(IcebergSink)
+    sink.table = "lake.db.tokens"
+    sink.n_buckets = 64
+    assert (
+        sink.tag_sql("audit_q2")
+        == "ALTER TABLE lake.db.tokens CREATE TAG `audit_q2`"
+    )
+    assert "AS OF VERSION 42" in sink.tag_sql("audit_q2", 42)
+    assert sink.drop_tag_sql("audit_q2") == "ALTER TABLE lake.db.tokens DROP TAG `audit_q2`"
+    assert (
+        sink.rollback_sql(99)
+        == "CALL lake.system.rollback_to_snapshot('lake.db.tokens', 99)"
+    )

@@ -152,3 +152,34 @@ def test_derived_replica_with_transform(spark, smoke_log, tmp_path):
     assert rows and all(
         r.tok_sq == r.n_tok * r.n_tok for r in rows if r.n_tok is not None
     )
+
+
+def test_replication_across_schema_evolution(spark, evolution_log, tmp_path):
+    """A window whose batches added/widened columns evolves the replica
+    schema through the normal ingest-evolution path."""
+    src = SnapshotSink(spark, str(tmp_path / "a"), n_buckets=8)
+    dst = SnapshotSink(spark, str(tmp_path / "b"), n_buckets=4)
+    rep = Replicator(src, dst)
+
+    # stage 1: pre-evolution shape only
+    replay_incremental(spark, evolution_log, src, files_per_batch=2, max_batches=2)
+    rep.sync()
+    assert "lang" not in dst.read_state().columns
+
+    # stage 2: the log adds `lang` and widens `n_tok` mid-replay
+    replay_incremental(spark, evolution_log, src, files_per_batch=2)
+    rep.sync()
+
+    def rows(sink):
+        df = sink.read_state().filter("NOT deleted")
+        cols = sorted(df.columns)
+        return sorted(
+            tuple(
+                tuple(v) if isinstance(v, list) else v
+                for v in (r[c] for c in cols)
+            )
+            for r in df.collect()
+        )
+
+    assert sorted(dst.read_state().columns) == sorted(src.read_state().columns)
+    assert rows(dst) == rows(src)

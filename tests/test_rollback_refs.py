@@ -216,3 +216,49 @@ def test_rollback_noop_and_refuses_inflight(spark, smoke_log, tmp_path):
             sink.rollback_to(v)
     finally:
         sink._inflight.discard("fake")
+
+
+def test_crashed_attempt_manifests_rejected_after_rollback(
+    spark, smoke_log, tmp_path
+):
+    """The rollback-epoch guard: a batch that CRASHED after writing
+    manifests (never committed, so rollback doesn't delete them) must
+    not reuse those manifests when retried after a rollback — with
+    copy-on-write its folded files embed the de-committed batches'
+    rows, and reuse would resurrect them."""
+    files = _log_files(smoke_log)
+
+    def batch(sink_spark, file_group):
+        return read_wal(sink_spark, [files[i] for i in file_group])
+
+    boom = {"armed": False}
+
+    def hook(point):
+        if point == "before_pointer_swap" and boom["armed"]:
+            boom["armed"] = False
+            raise RuntimeError("injected crash")
+
+    sink = SnapshotSink(
+        spark, str(tmp_path / "t"), n_buckets=2, compact_threshold=1,
+        crash_hook=hook,
+    )
+    sink.apply_batch(batch(spark, [0, 1]), "b1")
+    v1 = sink.current_snapshot()["version"]
+    keys_b1 = {r.doc_id for r in batch(spark, [0, 1]).select("doc_id").collect()}
+    keys_b2 = {r.doc_id for r in batch(spark, [2, 3]).select("doc_id").collect()}
+    sink.apply_batch(batch(spark, [2, 3]), "b2")
+
+    boom["armed"] = True
+    with pytest.raises(RuntimeError, match="injected"):
+        sink.apply_batch(batch(spark, [4, 5]), "b3")  # manifests written
+    assert os.path.isdir(os.path.join(sink.root, "_manifests", "b3"))
+
+    sink.rollback_to(v1)  # de-commits b2; b3's crash manifests survive
+    assert os.path.isdir(os.path.join(sink.root, "_manifests", "b3"))
+    assert sink.current_snapshot().get("rollback_epoch") == 1
+
+    sink.apply_batch(batch(spark, [4, 5]), "b3")  # retry post-rollback
+    keys_b3 = {r.doc_id for r in batch(spark, [4, 5]).select("doc_id").collect()}
+    present = {r.doc_id for r in sink.read_state().select("doc_id").collect()}
+    ghosts = (keys_b2 - keys_b1 - keys_b3) & present
+    assert not ghosts, f"crash-manifest reuse resurrected b2 rows: {sorted(ghosts)[:5]}"
