@@ -1,0 +1,90 @@
+"""spark-submit entry point: scheduled table maintenance for the CDC
+sink — the operational companion to replay_job.py.
+
+A 10^10-row merge-on-read table accumulates deltas, dead tombstones,
+superseded files, and (eventually) an undersized bucket space; this job
+runs the maintenance passes in the safe order, each one an independent
+crash-safe commit, so a cron/Airflow cadence keeps read amplification
+and storage bounded without pausing ingest (all passes take the same
+commit locks as writers; only REBUCKET requires a quiesced table and
+is therefore opt-in and last):
+
+  1. compact            — fold multi-delta buckets to one key-sorted
+                          file each (row-group pruning for lookups)
+  2. expire_tombstones  — drop delete markers below the retention
+                          floor MAINTAIN_TOMBSTONE_FLOOR (the caller
+                          owns the promise that no event below it can
+                          still arrive; replication cursors — visible
+                          as repl-* tags — should stay AHEAD of it)
+  3. vacuum             — reap superseded/orphaned files older than
+                          MAINTAIN_VACUUM_AGE_S (default 86400; >0 is
+                          REQUIRED on multi-writer roots). Tagged
+                          snapshots' files are retained.
+  4. rebucket           — only when MAINTAIN_REBUCKET_TO is set and
+                          differs from the table's bucket count.
+
+MAINTAIN_SECTIONS (comma list, default "compact,tombstones,vacuum")
+selects passes. Prints one MAINTAIN_METRICS JSON line for schedulers.
+
+Usage:
+  spark-submit --py-files beehive.zip scripts/maintain_job.py <table_root>
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import SparkSession
+
+from beehive_data_etl_spark.sinks.snapshot import SnapshotSink
+
+
+def main() -> None:
+    root = sys.argv[1]
+    spark = SparkSession.builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    current = os.path.join(root, "_snapshots", "CURRENT")
+    if not os.path.exists(current):
+        print("MAINTAIN_METRICS " + json.dumps({"skipped": "no snapshot"}))
+        return
+    with open(current) as fh:
+        name = fh.read().strip()
+    with open(os.path.join(root, "_snapshots", name)) as fh:
+        n_buckets = json.load(fh)["n_buckets"]
+    sink = SnapshotSink(spark, root, n_buckets=n_buckets)
+
+    sections = [
+        s
+        for s in os.environ.get(
+            "MAINTAIN_SECTIONS", "compact,tombstones,vacuum"
+        ).split(",")
+        if s
+    ]
+    out: dict = {"sections": sections}
+    t0 = time.time()
+    if "compact" in sections:
+        out["compact"] = sink.compact()
+    if "tombstones" in sections:
+        floor = int(os.environ.get("MAINTAIN_TOMBSTONE_FLOOR", "0"))
+        if floor > 0:
+            out["tombstones"] = sink.expire_tombstones(floor)
+        else:
+            out["tombstones"] = {"skipped": "MAINTAIN_TOMBSTONE_FLOOR unset"}
+    if "vacuum" in sections:
+        out["vacuum"] = sink.vacuum(
+            older_than_s=float(os.environ.get("MAINTAIN_VACUUM_AGE_S", "86400"))
+        )
+    target = os.environ.get("MAINTAIN_REBUCKET_TO")
+    if target and int(target) != sink.n_buckets:
+        out["rebucket"] = sink.rebucket(int(target))
+    out["wall_s"] = round(time.time() - t0, 2)
+    out["version"] = sink.current_snapshot()["version"]
+    print("MAINTAIN_METRICS " + json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

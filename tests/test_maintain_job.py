@@ -1,0 +1,59 @@
+"""The maintenance entry point (scripts/maintain_job.py): compaction +
+tombstone GC + vacuum (+ opt-in rebucket) as one schedulable job over
+an existing table, each pass its own crash-safe commit."""
+
+import json
+import os
+import sys
+
+from beehive_data_etl_spark.sinks.snapshot import SnapshotSink
+from beehive_data_etl_spark.streaming.replay import replay_incremental
+from beehive_data_etl_spark.verify import compare_final, oracle_final_spark
+
+
+def test_maintain_job_end_to_end(spark, smoke_log, tmp_path, monkeypatch, capsys):
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    import maintain_job
+
+    root = str(tmp_path / "t")
+    sink = SnapshotSink(spark, root, n_buckets=8, compact_threshold=100)
+    replay_incremental(spark, smoke_log, sink, files_per_batch=1)  # many deltas
+    max_seq = sink.read_state().agg({"op_sequence": "max"}).collect()[0][0]
+    tombs_before = sink.read_state().filter("deleted").count()
+    assert tombs_before > 0
+
+    monkeypatch.setattr(sys, "argv", ["maintain_job.py", root])
+    monkeypatch.setenv("MAINTAIN_TOMBSTONE_FLOOR", str(int(max_seq) + 1))
+    monkeypatch.setenv("MAINTAIN_VACUUM_AGE_S", "0")
+    monkeypatch.setenv("MAINTAIN_REBUCKET_TO", "12")
+    maintain_job.main()
+    line = next(
+        ln for ln in capsys.readouterr().out.splitlines()
+        if ln.startswith("MAINTAIN_METRICS ")
+    )
+    metrics = json.loads(line.split(" ", 1)[1])
+    assert metrics["compact"]["compacted"]
+    assert metrics["vacuum"]["removed"] >= 0
+    assert metrics["rebucket"]["to"] == 12
+
+    # table state is intact and fully maintained
+    after = SnapshotSink(spark, root, n_buckets=12)
+    state = after.read_state()
+    assert state.filter("deleted").count() == 0  # floor above max seq
+    assert compare_final(
+        state.filter(~state.deleted), oracle_final_spark(spark, smoke_log)
+    )["ok"]
+    # every bucket is a single compacted file after rebucket
+    snap = after.current_snapshot()
+    assert all(len(ents) <= 1 for ents in snap["buckets"].values())
+
+
+def test_maintain_job_no_snapshot_is_noop(spark, tmp_path, monkeypatch, capsys):
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    import maintain_job
+
+    root = str(tmp_path / "empty")
+    os.makedirs(os.path.join(root, "_snapshots"), exist_ok=True)
+    monkeypatch.setattr(sys, "argv", ["maintain_job.py", root])
+    maintain_job.main()
+    assert "no snapshot" in capsys.readouterr().out
