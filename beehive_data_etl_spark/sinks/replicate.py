@@ -142,6 +142,15 @@ class Replicator:
         frm = self.cursor()
         if to <= frm:
             return {"skipped": True, "from": frm, "to": to}
+        if frm == 0:
+            # a never-synced replica has no baseline to reconcile FROM —
+            # skipping the initial state copy would permanently miss
+            # every row older than `to` (later windows carry changes
+            # only). sync() the bootstrap first.
+            raise RuntimeError(
+                "mark_synced on a never-synced replica would skip the "
+                "initial state copy; run sync() first"
+            )
         empty = self.src.read_state(version=to).limit(0)
         env = empty.withColumn("op", F.lit("U")).drop("deleted")
         out = self.dst.apply_batch(env, self._batch_id(frm, to))

@@ -1259,6 +1259,59 @@ class SnapshotSink:
             "wall_s": round(time.time() - t0, 3),
         }
 
+    def trim_committed_batches(self, retain_last: int) -> dict:
+        """Metadata GC: bound the exactly-once dedup window.
+
+        ``committed_batches`` is append-ordered, grows O(stream length),
+        and is copied into EVERY snapshot JSON — at 10^10 events /
+        millions of batches that is tens of MB rewritten per commit,
+        violating the "driver state bounded by n_buckets" rule for the
+        metadata layer. This trims it to the ``retain_last`` most
+        recent ids as one metadata-only commit (Iceberg analog:
+        expire_snapshots bounding the summary-scan window).
+
+        Safety: dropping an id only forfeits the skip-on-redelivery
+        fast path for batches OLDER than the window — re-application is
+        LWW-idempotent by design (module docstring: duplicate rows at
+        their original op_sequence fold away), so final state is
+        untouched even if an ancient batch is somehow re-delivered.
+        Size ``retain_last`` to the source's re-delivery horizon (the
+        stream checkpoint / binlog retention window — the same horizon
+        ``expire_tombstones`` keys off), and keep it ABOVE the
+        replication sync cadence so ``Replicator.cursor()`` still sees
+        its latest window id. Trimmed ids' manifest dirs are deleted
+        (before the swap — crash-safe by the same argument as
+        rollback's: if we die first, the ids are still committed and
+        committed ids' manifests are never consulted)."""
+        if retain_last < 0:
+            raise ValueError(f"retain_last must be >= 0, got {retain_last}")
+        with self._commit_lock, self._table_lock():
+            head = self.current_snapshot()
+            if head is None:
+                raise ValueError("no snapshot yet")
+            batches = head["committed_batches"]
+            dropped = batches[: max(0, len(batches) - retain_last)]
+            if not dropped:
+                return {"trimmed": 0}
+            for bid in dropped:
+                shutil.rmtree(
+                    os.path.join(self.root, "_manifests", bid), ignore_errors=True
+                )
+            new_snap = dict(head)
+            new_snap.update(
+                {
+                    "version": head["version"] + 1,
+                    "committed_batches": batches[len(dropped):],
+                    "parent": head["version"],
+                    "metrics": {
+                        "trim_committed": len(dropped),
+                        "retained": retain_last,
+                    },
+                }
+            )
+            self._write_snapshot(new_snap)
+        return {"trimmed": len(dropped), "version": new_snap["version"]}
+
     def backfill(
         self,
         columns: dict,

@@ -78,6 +78,12 @@ def main() -> None:
         out["vacuum"] = sink.vacuum(
             older_than_s=float(os.environ.get("MAINTAIN_VACUUM_AGE_S", "86400"))
         )
+    retain = int(os.environ.get("MAINTAIN_RETAIN_BATCHES", "0"))
+    if retain > 0:
+        # bound the exactly-once dedup window (see
+        # SnapshotSink.trim_committed_batches): size to the source's
+        # re-delivery horizon, above the replication sync cadence
+        out["trim_batches"] = sink.trim_committed_batches(retain)
     target = os.environ.get("MAINTAIN_REBUCKET_TO")
     if target and int(target) != sink.n_buckets:
         out["rebucket"] = sink.rebucket(int(target))

@@ -222,3 +222,44 @@ def test_tombstone_gc_is_sticky_through_stale_folds(spark, tmp_path):
     assert {r.doc_id: list(r.tokens) for r in sink.read_final().collect()} == {
         "y": [3]
     }
+
+
+def test_trim_committed_batches_bounds_metadata(spark, smoke_log, tmp_path):
+    """The exactly-once dedup window is trimmable: dropped ids lose
+    only the skip-on-redelivery fast path — re-application is
+    LWW-idempotent, so a full re-replay still converges to the
+    oracle."""
+    from beehive_data_etl_spark.streaming.replay import replay_incremental
+    from beehive_data_etl_spark.verify import compare_final, oracle_final_spark
+
+    sink = SnapshotSink(spark, str(tmp_path / "t"), n_buckets=8)
+    replay_incremental(spark, smoke_log, sink, files_per_batch=2)
+    all_ids = list(sink.current_snapshot()["committed_batches"])
+    assert len(all_ids) == 4
+
+    out = sink.trim_committed_batches(retain_last=2)
+    assert out["trimmed"] == 2
+    snap = sink.current_snapshot()
+    assert snap["committed_batches"] == all_ids[2:]
+    for bid in all_ids[:2]:
+        assert not sink.committed(bid)
+        assert not os.path.isdir(os.path.join(sink.root, "_manifests", bid))
+    for bid in all_ids[2:]:
+        assert sink.committed(bid)
+
+    # a full re-delivery re-applies the trimmed prefix (not skipped),
+    # skips the retained suffix, and the state is still oracle-equal
+    results = replay_incremental(spark, smoke_log, sink, files_per_batch=2)
+    skipped = [r for r in results if r.get("skipped")]
+    assert len(skipped) == 2
+    state = sink.read_state()
+    assert compare_final(
+        state.filter(~state.deleted), oracle_final_spark(spark, smoke_log)
+    )["ok"]
+
+    # no-op below threshold; refuse nonsense
+    import pytest
+
+    assert sink.trim_committed_batches(retain_last=10)["trimmed"] == 0
+    with pytest.raises(ValueError):
+        sink.trim_committed_batches(retain_last=-1)

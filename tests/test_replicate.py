@@ -183,3 +183,12 @@ def test_replication_across_schema_evolution(spark, evolution_log, tmp_path):
 
     assert sorted(dst.read_state().columns) == sorted(src.read_state().columns)
     assert rows(dst) == rows(src)
+
+
+def test_mark_synced_refuses_fresh_replica(spark, smoke_log, tmp_path):
+    src = SnapshotSink(spark, str(tmp_path / "a"), n_buckets=8)
+    replay_incremental(spark, smoke_log, src, files_per_batch=4, max_batches=1)
+    dst = SnapshotSink(spark, str(tmp_path / "b"), n_buckets=4)
+    rep = Replicator(src, dst)
+    with pytest.raises(RuntimeError, match="never-synced"):
+        rep.mark_synced(src.current_snapshot()["version"])
