@@ -116,9 +116,17 @@ class IcebergSink:
         rolled-back snapshot summaries stop being the CURRENT history's
         ancestors, so ``committed()`` (which must then scan only the
         current ancestry, see note) reports them re-appliable."""
-        cat = self.table.split(".")[0]
+        parts = self.table.split(".")
+        if len(parts) < 3:
+            # a 2-part identifier resolves under the SESSION catalog,
+            # whose name this adapter cannot know — emitting
+            # "CALL <db>.system…" would target a nonexistent catalog
+            raise ValueError(
+                "rollback_sql needs a catalog-qualified table name "
+                f"(catalog.db.table), got {self.table!r}"
+            )
         return (
-            f"CALL {cat}.system.rollback_to_snapshot"
+            f"CALL {parts[0]}.system.rollback_to_snapshot"
             f"('{self.table}', {snapshot_id})"
         )
 

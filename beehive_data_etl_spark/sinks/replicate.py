@@ -17,12 +17,16 @@ Design points (each tested in tests/test_replicate.py):
   the same crash/idempotency guarantees as any ingest batch. A crashed
   sync retries with a possibly wider window under a new batch id; the
   crashed attempt's files are unreferenced orphans for vacuum.
-- **The cursor pins upstream retention.** After every applied window
-  the replicator moves a tag (``repl-<name>``) on the SOURCE to the new
-  cursor version, so ``vacuum()`` keeps exactly the files the next
-  incremental diff needs (the from-version old images). Crash between
-  apply and re-tag leaves the tag one window behind — strictly more
-  retained, never less.
+- **The cursor pins upstream retention, crash-safely.** Two source
+  tags: ``repl-<name>`` tracks the cursor (the next diff's from-version
+  old images), and ``repl-<name>-next`` pins the window's TO version
+  BEFORE the downstream apply — without it, a crash between the
+  downstream commit and the main-tag move would advance the cursor to
+  ``to`` while only ``frm`` stayed pinned, letting a routine
+  compact+vacuum reap exactly the files the next window's old-image
+  read needs (review-found). At every crash point at least one tag
+  covers each version the next sync will read; ``-next`` is dropped
+  once the main tag catches up.
 - **Initial sync = state copy, tombstones included.** The first window
   replicates ``read_state(version=to)`` whole — delete tombstones carry
   over so a late out-of-order event delivered to the REPLICA loses LWW
@@ -63,6 +67,17 @@ class Replicator:
         the batch ids (the cursor) and the upstream retention tag."""
         if not re.fullmatch(r"[A-Za-z0-9_.]+", name):
             raise ValueError(f"replicator name must be [A-Za-z0-9_.]+, got {name!r}")
+        if getattr(dst, "current_snapshot", None) is None:
+            # without a readable committed-batch set there is no cursor:
+            # every sync would silently degrade to a full O(table) state
+            # copy under a fresh batch id (review-found). IcebergSink
+            # callers: derive a cursor from the snapshot summaries
+            # before wiring it here.
+            raise TypeError(
+                "Replicator needs a destination exposing current_snapshot()"
+                " (the committed-batch set IS the cursor); got "
+                f"{type(dst).__name__}"
+            )
         self.src = src
         self.dst = dst
         self.name = name
@@ -76,8 +91,7 @@ class Replicator:
         """Highest upstream version the downstream has durably applied —
         read from the downstream's committed batches, so it survives
         crashes/restarts with zero extra state."""
-        snap_fn = getattr(self.dst, "current_snapshot", None)
-        snap = snap_fn() if snap_fn is not None else None
+        snap = self.dst.current_snapshot()
         if snap is None:
             return 0
         best = 0
@@ -114,6 +128,25 @@ class Replicator:
             # rollback/backfill window refusal below — a state copy
             # carries rewritten values by construction, only the
             # changelog is blind to them.
+            #
+            # REFUSED onto a non-empty downstream: a state copy is only
+            # reconciling when the source still carries every relevant
+            # tombstone — if the source GC'd a delete, the copy has no
+            # row for that doc and the replica's stale copy would
+            # silently survive. frm == 0 with existing downstream state
+            # means the replica took unrelated writes or its cursor ids
+            # were trimmed past the window (see
+            # SnapshotSink.trim_committed_batches sizing guidance);
+            # recover with mark_synced(..., force=True) after manual
+            # reconciliation, or re-bootstrap a fresh table.
+            if self.dst.current_snapshot() is not None:
+                raise RuntimeError(
+                    "no replication cursor but the downstream already "
+                    "has state: refusing the initial full copy (it can "
+                    "resurrect deletes whose tombstones the source "
+                    "expired). Re-bootstrap a fresh table, or reconcile "
+                    "manually and mark_synced(to, force=True)."
+                )
             state = self.src.read_state(version=to)
             env = state.withColumn(
                 "op", F.when(F.col("deleted"), F.lit("D")).otherwise(F.lit("U"))
@@ -128,28 +161,40 @@ class Replicator:
                 ),
             ).drop("change_type", "deleted")
 
+        # pin TO before applying (module docstring: crash between the
+        # downstream commit and the main-tag move must not leave the
+        # new cursor version unpinned against vacuum)
+        self.src.move_tag(f"repl-{self.name}-next", to)
         out = self.dst.apply_batch(env, bid)
         self._advance_retention_tag(to)
         return out
 
-    def mark_synced(self, to_version: int | str) -> dict:
+    def mark_synced(self, to_version: int | str, force: bool = False) -> dict:
         """Advance the cursor WITHOUT replicating rows — the operator
         override after reconciling out of band (ran the same backfill
         downstream, or rolled the downstream back to match an upstream
         rollback). Commits an empty batch under the window's batch id,
-        so the advance is exactly-once and crash-safe like any sync."""
+        so the advance is exactly-once and crash-safe like any sync.
+
+        ``force=True`` is the recovery path when the cursor itself was
+        lost (all repl-* ids trimmed past the retention window): the
+        caller asserts the replica's state is in fact consistent with
+        the source at ``to_version`` — nothing here can check that."""
         to = self.src.resolve_ref(to_version)
         frm = self.cursor()
         if to <= frm:
             return {"skipped": True, "from": frm, "to": to}
-        if frm == 0:
+        if frm == 0 and not force:
             # a never-synced replica has no baseline to reconcile FROM —
             # skipping the initial state copy would permanently miss
             # every row older than `to` (later windows carry changes
-            # only). sync() the bootstrap first.
+            # only). sync() the bootstrap first; force=True only for
+            # trimmed-cursor recovery (docstring).
             raise RuntimeError(
-                "mark_synced on a never-synced replica would skip the "
-                "initial state copy; run sync() first"
+                "mark_synced with no replication cursor would skip the "
+                "initial state copy; run sync() first (or pass "
+                "force=True if recovering a trimmed cursor on a replica "
+                "you have verified consistent)"
             )
         empty = self.src.read_state(version=to).limit(0)
         env = empty.withColumn("op", F.lit("U")).drop("deleted")
@@ -182,3 +227,7 @@ class Replicator:
     def _advance_retention_tag(self, to: int) -> None:
         # atomic move — no crash window where the pin is absent
         self.src.move_tag(f"repl-{self.name}", to)
+        try:
+            self.src.drop_tag(f"repl-{self.name}-next")
+        except KeyError:
+            pass  # mark_synced paths never pinned one

@@ -286,12 +286,16 @@ class SnapshotSink:
         t0 = time.time()
         target_v = self.resolve_ref(version)
         target = self.snapshot(target_v)
-        missing = [
-            e["path"]
-            for entries in target["buckets"].values()
-            for e in entries
-            if not os.path.isdir(os.path.join(self.root, e["path"]))
-        ]
+
+        def _missing() -> list[str]:
+            return [
+                e["path"]
+                for entries in target["buckets"].values()
+                for e in entries
+                if not os.path.isdir(os.path.join(self.root, e["path"]))
+            ]
+
+        missing = _missing()  # fast-fail before taking the locks
         if missing:
             raise ValueError(
                 f"cannot roll back to v{target_v}: {len(missing)} data "
@@ -310,6 +314,17 @@ class SnapshotSink:
             head = self.current_snapshot()
             if head["version"] == target_v and head.get("buckets") == target["buckets"]:
                 return {"rolled_back": False, "version": target_v}
+            # re-verify UNDER the locks (vacuum takes the same locks):
+            # a vacuum between the fast-fail check and here could have
+            # reaped the target's files — publishing would point
+            # CURRENT at deleted dirs (review-found TOCTOU)
+            missing = _missing()
+            if missing:
+                raise ValueError(
+                    f"cannot roll back to v{target_v}: {len(missing)} "
+                    f"data dir(s) vacuumed since the pre-check "
+                    f"(first: {missing[0]})"
+                )
             target_committed = set(target["committed_batches"])
             decommitted = [
                 b for b in head["committed_batches"] if b not in target_committed
@@ -359,38 +374,61 @@ class SnapshotSink:
     def manifest_contains(self, batch_id: str, bucket: int) -> bool:
         return os.path.exists(self._manifest_path(batch_id, bucket))
 
+    def _referenced_paths(self, snap: dict | None) -> set[str]:
+        """Every data path referenced by the head snapshot or any tagged
+        snapshot — the set that must never be destroyed or relinked as
+        if it were a fresh attempt's output."""
+        retained = ([] if snap is None else [snap]) + [
+            self.snapshot(v) for v in self.tags().values()
+        ]
+        return {
+            e["path"]
+            for s in retained
+            for ents in s["buckets"].values()
+            for e in ents
+        }
+
     def _manifested_buckets(
-        self, batch_id: str, rollback_epoch: int = 0
+        self, batch_id: str, rollback_epoch: int = 0,
+        referenced: set[str] | None = None,
     ) -> set[int]:
         d = os.path.join(self.root, "_manifests", str(batch_id))
         if not os.path.isdir(d):
             return set()
+        referenced = referenced or set()
         found = {
             int(f.split(".")[0]) for f in os.listdir(d) if f.endswith(".json")
         }
-        # a manifest is only reusable if (1) its data directory still
-        # exists: vacuum() after a crash removes uncommitted bucket dirs
-        # (they're unreferenced by CURRENT), and trusting the stale
-        # manifest would commit pointers to deleted paths — silent data
-        # loss (ADVICE round 1); and (2) it was written in the CURRENT
-        # bucket space: a crashed attempt that straddled a rebucket()
-        # left per-bucket files numbered in the dead space — reusing
-        # them would commit wrong-bucket files that bucket-pruned reads
-        # (lookup, changelog) silently never find. Missing data or a
-        # bucket-space mismatch ⇒ recompute the bucket.
+        # a manifest is only reusable for CRASH-REPLAY — an attempt that
+        # published files but never committed. Conditions: (1) its data
+        # directory still exists: vacuum() after a crash removes
+        # uncommitted bucket dirs, and trusting the stale manifest would
+        # commit pointers to deleted paths — silent data loss (ADVICE
+        # round 1); (2) it was written in the CURRENT bucket space: a
+        # crashed attempt straddling a rebucket() left files numbered in
+        # the dead space; (3) the CURRENT rollback epoch (a pre-rollback
+        # fold may embed de-committed rows); and (4) the data dir is NOT
+        # referenced by the head or any tagged snapshot — a referenced
+        # dir means this batch COMMITTED long ago and was trimmed from
+        # the dedup window: its manifest describes a stale fold whose
+        # `folded` list would delist CURRENT entries at the same
+        # deterministic paths (review-reproduced state regression).
+        # Re-delivery of a trimmed batch must REPLAN; LWW makes the
+        # re-application idempotent.
         reusable = set()
         for b in found:
-            if not os.path.isdir(
-                os.path.join(self.root, "data", f"ingest={batch_id}", f"bucket={b}")
-            ):
-                continue
             with open(self._manifest_path(batch_id, b)) as fh:
                 m = json.load(fh)
-            # epoch mismatch ⇒ planned before a rollback: its compacted
-            # fold may embed de-committed rows — recompute the bucket
+            rel = m.get(
+                "path",
+                os.path.join("data", f"ingest={batch_id}", f"bucket={b}"),
+            )
+            if not os.path.isdir(os.path.join(self.root, rel)):
+                continue
             if (
                 m.get("n_buckets") == self.n_buckets
                 and m.get("rollback_epoch", 0) == rollback_epoch
+                and rel not in referenced
             ):
                 reusable.add(b)
         return reusable
@@ -731,7 +769,9 @@ class SnapshotSink:
         # Spark job: buckets already manifested for this batch_id are
         # excluded from recomputation and their outputs reused
         manifested = self._manifested_buckets(
-            batch_id, 0 if snap is None else snap.get("rollback_epoch", 0)
+            batch_id,
+            0 if snap is None else snap.get("rollback_epoch", 0),
+            referenced=self._referenced_paths(snap),
         )
         # merge-on-read planning (also metadata-only): buckets at the
         # delta threshold are COMPACTED on touch (fold all deltas +
@@ -918,12 +958,53 @@ class SnapshotSink:
             # leftover), and the vacuum's rmdir-empty guard keys off
             # the dir's own mtime
             os.utime(dest_root)
+            # REFERENCED dest dirs are live table data, not a crashed
+            # attempt's leftover — this batch_id was committed before
+            # and later trimmed from the dedup window
+            # (trim_committed_batches). Never rmtree them (an inline-
+            # compacted fold can be the ONLY copy of older batches'
+            # rows — review-found data-loss path):
+            # - referenced by the HEAD → the bucket's rows are already
+            #   current state: skip (no replace, no new entry);
+            # - referenced only by a TAG/time-travel snapshot → the
+            #   staged fold IS new current state but must not overwrite
+            #   the pinned history: publish under an alternate ingest
+            #   dir (manifests record the actual path).
+            head_live = (
+                set()
+                if head is None
+                else {
+                    e["path"]
+                    for ents in head["buckets"].values()
+                    for e in ents
+                }
+            )
+            referenced = self._referenced_paths(head)
+            skipped_live: set[int] = set()
+            dests: dict[int, str] = {}
+            alt_root = None
             for b in written:
                 src_dir = os.path.join(staging, f"_bucket={b}")
                 dest = os.path.join(dest_root, f"bucket={b}")
+                if os.path.relpath(dest, self.root) in head_live:
+                    skipped_live.add(b)
+                    shutil.rmtree(src_dir, ignore_errors=True)
+                    continue
+                if os.path.relpath(dest, self.root) in referenced:
+                    if alt_root is None:
+                        alt_root = os.path.join(
+                            self.root,
+                            "data",
+                            f"ingest={batch_id}-r{uuid.uuid4().hex[:8]}",
+                        )
+                        os.makedirs(alt_root, exist_ok=True)
+                        os.utime(alt_root)
+                    dest = os.path.join(alt_root, f"bucket={b}")
                 if os.path.isdir(dest):
                     shutil.rmtree(dest)  # crashed, un-manifested attempt
                 os.replace(src_dir, dest)
+                dests[b] = os.path.relpath(dest, self.root)
+            written = [b for b in written if b not in skipped_live]
             for b in written:
                 rows, files = stats[b]
                 bucket_rows[b] = rows
@@ -944,6 +1025,10 @@ class SnapshotSink:
                         # file may embed de-committed rows)
                         "rollback_epoch": plan_epoch,
                         "compacted": b in compact_candidates,
+                        # the ACTUAL published dir (may be an alternate
+                        # root when the deterministic path was pinned
+                        # by a tag) — crash-replay relinks this
+                        "path": dests[b],
                         # exactly the delta files this compaction folded
                         # — a crash-replay reusing this manifest must
                         # replace ONLY these at commit, never the
@@ -954,9 +1039,7 @@ class SnapshotSink:
                 )
                 self.crash_hook("after_manifest")
                 new_entries[str(b)] = {
-                    "path": os.path.relpath(
-                        os.path.join(dest_root, f"bucket={b}"), self.root
-                    ),
+                    "path": dests[b],
                     "schema": schema_ddl_payload,
                     "compacted": b in compact_candidates,
                 }
@@ -966,8 +1049,9 @@ class SnapshotSink:
                     m = json.load(fh)
                 bucket_rows[b] = m["rows"]
                 new_entries[str(b)] = {
-                    "path": os.path.join(
-                        "data", f"ingest={batch_id}", f"bucket={b}"
+                    "path": m.get(
+                        "path",
+                        os.path.join("data", f"ingest={batch_id}", f"bucket={b}"),
                     ),
                     "schema": m["schema"],
                     "compacted": m.get("compacted", False),
@@ -1112,7 +1196,21 @@ class SnapshotSink:
         weight in every read and compaction. Caller owns the floor —
         expiring below an event that later arrives WOULD resurrect.
         Same staged-snapshot publish as compact(): crash-safe,
-        idempotent."""
+        idempotent.
+
+        A floor at or below the table's recorded ``tombstone_floor`` is
+        a NO-OP instead of a rewrite: tombstones under the recorded
+        floor are already dropped at every fold (``_floor_filter``), so
+        re-running with a static floor — the steady-state of a cron'd
+        maintain_job — must not cost an O(table) full rewrite per run
+        (review-found)."""
+        snap = self.current_snapshot()
+        if snap is not None and min_op_sequence <= snap.get("tombstone_floor", 0):
+            return {
+                "compacted": [],
+                "skipped": f"floor {min_op_sequence} <= recorded "
+                f"{snap.get('tombstone_floor', 0)}",
+            }
         drop = F.col("deleted") & (F.col(SEQ) < F.lit(min_op_sequence))
         return self._rewrite_buckets(
             buckets, min_deltas=1, row_filter=~drop, floor=min_op_sequence
@@ -1279,10 +1377,18 @@ class SnapshotSink:
         stream checkpoint / binlog retention window — the same horizon
         ``expire_tombstones`` keys off), and keep it ABOVE the
         replication sync cadence so ``Replicator.cursor()`` still sees
-        its latest window id. Trimmed ids' manifest dirs are deleted
-        (before the swap — crash-safe by the same argument as
-        rollback's: if we die first, the ids are still committed and
-        committed ids' manifests are never consulted)."""
+        its latest window id.
+
+        Trimmed ids' MANIFEST dirs are deleted (before the swap —
+        crash-safe by the rollback argument: if we die first, the ids
+        are still committed and committed ids' manifests are never
+        consulted). They could not be reused anyway: manifest reuse is
+        restricted to crash-replay of UNCOMMITTED attempts — a trimmed
+        batch's manifest describes a long-committed fold whose
+        ``folded`` list would delist CURRENT entries at the same
+        deterministic paths (review-reproduced). Re-delivery replans;
+        the publish path refuses to replace head- or tag-referenced
+        dirs, so live data survives regardless."""
         if retain_last < 0:
             raise ValueError(f"retain_last must be >= 0, got {retain_last}")
         with self._commit_lock, self._table_lock():

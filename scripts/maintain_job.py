@@ -57,13 +57,19 @@ def main() -> None:
         n_buckets = json.load(fh)["n_buckets"]
     sink = SnapshotSink(spark, root, n_buckets=n_buckets)
 
+    known = {"compact", "tombstones", "vacuum"}
     sections = [
-        s
+        s.strip()
         for s in os.environ.get(
             "MAINTAIN_SECTIONS", "compact,tombstones,vacuum"
         ).split(",")
-        if s
+        if s.strip()
     ]
+    unknown = [s for s in sections if s not in known]
+    if unknown:
+        # fail loudly: a typo silently skipping a maintenance pass
+        # means unbounded storage growth with no signal
+        raise ValueError(f"unknown MAINTAIN_SECTIONS {unknown}; known: {sorted(known)}")
     out: dict = {"sections": sections}
     t0 = time.time()
     if "compact" in sections:

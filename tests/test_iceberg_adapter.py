@@ -194,3 +194,15 @@ def test_tag_and_rollback_sql_strings(spark):
         sink.rollback_sql(99)
         == "CALL lake.system.rollback_to_snapshot('lake.db.tokens', 99)"
     )
+
+
+def test_rollback_sql_requires_catalog_qualified_name(spark):
+    import pytest
+
+    from beehive_data_etl_spark.sinks.iceberg import IcebergSink
+
+    sink = IcebergSink.__new__(IcebergSink)
+    sink.table = "db.tokens"  # 2-part: session-catalog relative
+    sink.n_buckets = 64
+    with pytest.raises(ValueError, match="catalog-qualified"):
+        sink.rollback_sql(7)

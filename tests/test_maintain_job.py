@@ -57,3 +57,25 @@ def test_maintain_job_no_snapshot_is_noop(spark, tmp_path, monkeypatch, capsys):
     monkeypatch.setattr(sys, "argv", ["maintain_job.py", root])
     maintain_job.main()
     assert "no snapshot" in capsys.readouterr().out
+
+
+def test_maintain_sections_strict(spark, smoke_log, tmp_path, monkeypatch):
+    """Whitespace tolerated; unknown section names fail loudly instead
+    of silently skipping maintenance."""
+    import pytest
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    import maintain_job
+
+    root = str(tmp_path / "t")
+    sink = SnapshotSink(spark, root, n_buckets=4)
+    replay_incremental(spark, smoke_log, sink, files_per_batch=4, max_batches=1)
+    monkeypatch.setattr(sys, "argv", ["maintain_job.py", root])
+
+    monkeypatch.setenv("MAINTAIN_SECTIONS", "compact, vacuumm")
+    with pytest.raises(ValueError, match="vacuumm"):
+        maintain_job.main()
+
+    monkeypatch.setenv("MAINTAIN_SECTIONS", " compact , vacuum ")
+    monkeypatch.setenv("MAINTAIN_VACUUM_AGE_S", "0")
+    maintain_job.main()  # stripped tokens accepted

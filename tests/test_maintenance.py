@@ -243,6 +243,8 @@ def test_trim_committed_batches_bounds_metadata(spark, smoke_log, tmp_path):
     assert snap["committed_batches"] == all_ids[2:]
     for bid in all_ids[:2]:
         assert not sink.committed(bid)
+        # manifests deleted: reuse is crash-replay-only — a trimmed
+        # batch's manifest describes a stale fold (re-delivery replans)
         assert not os.path.isdir(os.path.join(sink.root, "_manifests", bid))
     for bid in all_ids[2:]:
         assert sink.committed(bid)
@@ -263,3 +265,92 @@ def test_trim_committed_batches_bounds_metadata(spark, smoke_log, tmp_path):
     assert sink.trim_committed_batches(retain_last=10)["trimmed"] == 0
     with pytest.raises(ValueError):
         sink.trim_committed_batches(retain_last=-1)
+
+
+def test_trim_redelivery_cannot_destroy_live_fold(spark, smoke_log, tmp_path):
+    """Review-found data-loss path: with copy-on-write, a batch's
+    ingest dir holds the fold of ALL prior batches. After trim +
+    vacuum, re-delivery of that batch must relink the live dirs (via
+    surviving manifests), never replan-and-replace them."""
+    import glob as _glob
+
+    from beehive_data_etl_spark.sources.readers import read_wal
+
+    files = sorted(_glob.glob(os.path.join(smoke_log, "part-*.parquet")))
+    sink = SnapshotSink(
+        spark, str(tmp_path / "t"), n_buckets=2, compact_threshold=1
+    )
+    sink.apply_batch(read_wal(spark, files[0:2]), "b1")
+    sink.apply_batch(read_wal(spark, files[2:4]), "b2")  # folds b1+b2
+    expect = {
+        r.doc_id: (r.op_sequence, tuple(r.tokens) if r.tokens is not None else None)
+        for r in sink.read_state().filter("NOT deleted").collect()
+    }
+
+    sink.trim_committed_batches(retain_last=0)
+    sink.vacuum()  # reaps b1's superseded dirs
+
+    # re-delivery replans (trim deleted the stale manifests) and the
+    # publish path refuses to replace the head-referenced live fold —
+    # the bucket is skipped, state byte-identical
+    sink.apply_batch(read_wal(spark, files[2:4]), "b2")
+    got = {
+        r.doc_id: (r.op_sequence, tuple(r.tokens) if r.tokens is not None else None)
+        for r in sink.read_state().filter("NOT deleted").collect()
+    }
+    assert got == expect, "re-delivery of a trimmed batch lost folded rows"
+
+
+def test_expire_tombstones_static_floor_is_noop(spark, smoke_log, tmp_path):
+    """Steady-state cron with an unmoved floor must not rewrite the
+    table every run (review-found O(table)-per-cycle)."""
+    sink = SnapshotSink(spark, str(tmp_path / "t"), n_buckets=4)
+    replay_incremental(spark, smoke_log, sink, files_per_batch=4)
+    max_seq = sink.read_state().agg({"op_sequence": "max"}).collect()[0][0]
+
+    out1 = sink.expire_tombstones(int(max_seq) + 1)
+    assert out1["compacted"]
+    v = sink.current_snapshot()["version"]
+
+    out2 = sink.expire_tombstones(int(max_seq) + 1)  # same floor again
+    assert out2["compacted"] == [] and "skipped" in out2
+    assert sink.current_snapshot()["version"] == v  # no commit, no rewrite
+
+    out3 = sink.expire_tombstones(int(max_seq) + 2)  # advanced floor runs
+    assert out3["compacted"]
+
+
+def test_trim_redelivery_with_tag_pinned_history(spark, smoke_log, tmp_path):
+    """The verify-caught regression: a tag (here the replication
+    cursor's) pins an OLD version whose dirs share the re-delivered
+    batch's deterministic paths. Re-delivery must neither relink the
+    stale fold as current state (manifest reuse is crash-replay-only)
+    nor overwrite the pinned files (alternate-path publish) — head
+    stays oracle-true AND the tagged version stays readable."""
+    sink = SnapshotSink(
+        spark, str(tmp_path / "t"), n_buckets=4, compact_threshold=1
+    )
+    replay_incremental(spark, smoke_log, sink, files_per_batch=2, max_batches=2)
+    v_pin = sink.tag("pin")  # pins v2 = batch2's fold
+    pinned = {
+        r.doc_id: (r.op_sequence, tuple(r.tokens) if r.tokens is not None else None)
+        for r in sink.read_state(version="pin").filter("NOT deleted").collect()
+    }
+    replay_incremental(spark, smoke_log, sink, files_per_batch=2)
+    sink.trim_committed_batches(retain_last=1)
+    sink.vacuum()
+
+    # full re-delivery: 3 trimmed batches re-apply over the live table
+    results = replay_incremental(spark, smoke_log, sink, files_per_batch=2)
+    assert sum(1 for r in results if not r.get("skipped")) == 3
+
+    state = sink.read_state()
+    assert compare_final(
+        state.filter(~state.deleted), oracle_final_spark(spark, smoke_log)
+    )["ok"], "re-delivery over tag-pinned history corrupted head state"
+    # the pinned version still reads its ORIGINAL content
+    back = {
+        r.doc_id: (r.op_sequence, tuple(r.tokens) if r.tokens is not None else None)
+        for r in sink.read_state(version=v_pin).filter("NOT deleted").collect()
+    }
+    assert back == pinned, "re-delivery overwrote tag-pinned files"

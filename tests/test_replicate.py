@@ -190,5 +190,83 @@ def test_mark_synced_refuses_fresh_replica(spark, smoke_log, tmp_path):
     replay_incremental(spark, smoke_log, src, files_per_batch=4, max_batches=1)
     dst = SnapshotSink(spark, str(tmp_path / "b"), n_buckets=4)
     rep = Replicator(src, dst)
-    with pytest.raises(RuntimeError, match="never-synced"):
+    with pytest.raises(RuntimeError, match="no replication cursor"):
         rep.mark_synced(src.current_snapshot()["version"])
+
+
+def test_lost_cursor_refuses_full_copy_onto_state(spark, smoke_log, tmp_path):
+    """If every repl-* id is trimmed from the downstream, cursor()==0
+    with existing state — the initial-copy path must refuse (a state
+    copy cannot reconcile deletes whose tombstones the source GC'd);
+    force=True mark_synced is the verified-recovery path."""
+    src = SnapshotSink(spark, str(tmp_path / "a"), n_buckets=8)
+    dst = SnapshotSink(spark, str(tmp_path / "b"), n_buckets=4)
+    rep = Replicator(src, dst, name="m")
+
+    replay_incremental(spark, smoke_log, src, files_per_batch=2, max_batches=2)
+    rep.sync()
+    dst.trim_committed_batches(retain_last=0)  # simulate over-trim
+    assert rep.cursor() == 0
+
+    replay_incremental(spark, smoke_log, src, files_per_batch=2)
+    with pytest.raises(RuntimeError, match="already has state"):
+        rep.sync()
+
+    # verified-recovery: re-point the cursor, then incremental resumes
+    rep.mark_synced(src.tags()["repl-m"], force=True)
+    rep.sync()
+    assert _final_map(dst) == _final_map(src)
+
+
+def test_retention_pin_survives_crash_before_tag_move(
+    spark, smoke_log, tmp_path, monkeypatch
+):
+    """Review-found crash window: downstream commit lands, then the
+    process dies before the main-tag move. The pre-apply `-next` tag
+    must keep pinning the new cursor version's files through a
+    compact+vacuum, or the next incremental diff reads reaped paths."""
+    src = SnapshotSink(spark, str(tmp_path / "a"), n_buckets=4,
+                       compact_threshold=100)
+    dst = SnapshotSink(spark, str(tmp_path / "b"), n_buckets=4)
+    rep = Replicator(src, dst, name="m")
+
+    replay_incremental(spark, smoke_log, src, files_per_batch=2, max_batches=1)
+    rep.sync()
+    replay_incremental(spark, smoke_log, src, files_per_batch=2, max_batches=2)
+    v2 = src.current_snapshot()["version"]
+
+    # crash AFTER the downstream apply, BEFORE the main-tag move
+    real_advance = Replicator._advance_retention_tag
+
+    def boom(self, to):
+        raise RuntimeError("crash before tag move")
+
+    monkeypatch.setattr(Replicator, "_advance_retention_tag", boom)
+    with pytest.raises(RuntimeError, match="crash before tag move"):
+        rep.sync()
+    monkeypatch.setattr(Replicator, "_advance_retention_tag", real_advance)
+    assert rep.cursor() == v2               # downstream committed
+    assert src.tags()["repl-m-next"] == v2  # and v2 stays pinned
+
+    src.compact()   # supersedes v2's delta files
+    src.vacuum()    # would reap them without the -next pin
+    replay_incremental(spark, smoke_log, src, files_per_batch=2)
+    out = rep.sync()  # incremental diff reads v2's old images
+    assert not out.get("skipped")
+    assert _final_map(dst) == _final_map(src)
+    assert src.tags()["repl-m"] == rep.cursor()
+    assert "repl-m-next" not in src.tags()  # dropped once caught up
+
+
+def test_replicator_requires_cursor_capable_destination(spark, smoke_log, tmp_path):
+    src = SnapshotSink(spark, str(tmp_path / "a"), n_buckets=4)
+
+    class NoCursorSink:
+        def committed(self, batch_id):
+            return False
+
+        def apply_batch(self, df, batch_id):
+            return {}
+
+    with pytest.raises(TypeError, match="current_snapshot"):
+        Replicator(src, NoCursorSink())
