@@ -81,12 +81,18 @@ class SnapshotSink:
         compact_threshold: int = 4,
         compression: str = "zstd",
         crash_hook=None,
+        audit=None,
     ) -> None:
         self.spark = spark
         self.root = root
         self.n_buckets = n_buckets
         self.salt_partials = salt_partials
         self.lineage = lineage
+        # write-audit-publish gate (operators.audit): called with the
+        # STAGED batch output + metrics after the merge job writes and
+        # before anything publishes; raising aborts the batch with the
+        # table untouched
+        self.audit = audit
         # merge-on-read dial: a bucket holding this many delta files is
         # folded to one on its next touch; 1 = classic copy-on-write
         self.compact_threshold = max(1, compact_threshold)
@@ -907,6 +913,21 @@ class SnapshotSink:
                     ),
                 )
             ) if written else {}
+
+        # write-audit-publish: the gate runs on the STAGED files — the
+        # real post-dedup, schema-aligned bytes about to be committed —
+        # before any manifest or pointer moves. A violation aborts
+        # crash-equivalently (staging cleaned, table untouched).
+        # Manifested buckets bypass: their manifests exist only because
+        # a prior attempt passed this same gate.
+        if self.audit is not None and written:
+            try:
+                self.audit(
+                    self.spark.read.parquet(staging), {"batch_id": batch_id}
+                )
+            except Exception:
+                shutil.rmtree(staging, ignore_errors=True)
+                raise
 
         # PUBLISH + COMMIT as one critical section (commit lock for
         # this object's threads, flock for other objects/processes).

@@ -103,6 +103,18 @@ def main() -> None:
     if iceberg_available(spark) and "/" not in target:
         sink = IcebergSink(spark, target)
     else:
+        audit = None
+        if os.environ.get("REPLAY_AUDIT") == "standard":
+            # write-audit-publish gate on every batch (operators.audit):
+            # a batch violating the token-payload contract aborts before
+            # anything publishes
+            from beehive_data_etl_spark.operators.audit import (
+                standard_token_audit,
+            )
+
+            audit = standard_token_audit(
+                max_violations=int(os.environ.get("REPLAY_AUDIT_TOLERANCE", "0"))
+            )
         sink = SnapshotSink(
             spark,
             target,
@@ -110,6 +122,7 @@ def main() -> None:
             # -event cluster table; local smokes pass a smaller count
             n_buckets=int(os.environ.get("REPLAY_N_BUCKETS", "4096")),
             salt_partials=int(os.environ.get("REPLAY_SALT", "8")),
+            audit=audit,
         )
     views = _derived_views(spark, sink)
     replicator = _replicator(spark, sink)
