@@ -91,6 +91,11 @@ def patch_events(
         cells, F.array_repeat(F.col(seq).cast("long"), F.size(cells))
     )
     out = df.withColumn(_EXIST, F.col(op_col) == "D").withColumn(CELL, cell_map)
+    # normalize deletes: a D event's payload cells are NULL no matter
+    # what the wire carried — the row is gone, not sparse (without this
+    # a junk-payload delete would store those values as live cells)
+    for c in payload_cols:
+        out = out.withColumn(c, F.when(F.col(op_col) != "D", F.col(c)))
     return out.drop(*[c for c in (op_col, mask_col) if c in df.columns])
 
 

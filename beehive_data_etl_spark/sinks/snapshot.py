@@ -55,6 +55,11 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from beehive_data_etl_spark.operators.lww import lww_dedup
+from beehive_data_etl_spark.operators.patch import (
+    CELL,
+    cell_lww_dedup,
+    patch_events,
+)
 from beehive_data_etl_spark.operators.schema_evolution import (
     align_to_schema,
     evolve_schema,
@@ -62,8 +67,14 @@ from beehive_data_etl_spark.operators.schema_evolution import (
 
 KEY = "doc_id"
 SEQ = "op_sequence"
-_INTERNAL = [SEQ, "deleted"]
+# CELL (operators.patch) appears only on patch-mode tables; listing it
+# unconditionally is harmless for row-LWW tables (they never carry it)
+_INTERNAL = [SEQ, "deleted", CELL]
 _ENVELOPE_META = ["op", "event_ts", "batch_hint"]
+# patch-mode mask column (array<string> of columns a 'P' event sets) —
+# envelope metadata, never payload, but NOT in _ENVELOPE_META because
+# the batch dataflow must keep it until patch_events() consumes it
+_PATCH_MASK = "patch_cols"
 
 
 def _bucket_expr(n_buckets: int):
@@ -82,12 +93,22 @@ class SnapshotSink:
         compression: str = "zstd",
         crash_hook=None,
         audit=None,
+        patch: bool = False,
     ) -> None:
         self.spark = spark
         self.root = root
         self.n_buckets = n_buckets
         self.salt_partials = salt_partials
         self.lineage = lineage
+        # per-cell LWW mode (operators.patch): change events may be
+        # partial updates (op 'P' + a patch_cols mask); every fold in
+        # the protocol — merge, compaction, rewrite, read — swaps to
+        # cell_lww_dedup, which is associative/commutative like row
+        # LWW, so the commit/crash/pipelining machinery is unchanged.
+        # The choice is per-TABLE and recorded in every snapshot; a
+        # reopen with the other mode is refused at apply time.
+        self.patch = patch
+        self._fold = cell_lww_dedup if patch else lww_dedup
         # write-audit-publish gate (operators.audit): called with the
         # STAGED batch output + metrics after the merge job writes and
         # before anything publishes; raising aborts the batch with the
@@ -503,7 +524,7 @@ class SnapshotSink:
         df = self._read_buckets(snap, buckets)
         if df is None:
             return self.spark.createDataFrame([], T.StructType.fromDDL(snap["schema"]))
-        return lww_dedup(df, KEY, SEQ)
+        return self._fold(df, KEY, SEQ)
 
     def read_changes(self, from_version: int, to_version: int) -> DataFrame:
         """Row-level changelog between two committed snapshots — the
@@ -521,7 +542,7 @@ class SnapshotSink:
             F.col(SEQ).alias("_old_seq"),
             F.col("deleted").alias("_old_del"),
         )
-        payload = [c for c in new.columns if c != KEY]
+        payload = [c for c in new.columns if c not in (KEY, CELL)]
         n = new.select(KEY, *payload)
         j = n.join(o, KEY, "full_outer")
         old_live = F.col("_old_del").isNotNull() & ~F.col("_old_del")
@@ -585,7 +606,9 @@ class SnapshotSink:
                 fresh_buckets[b_str] = fresh
         # mirror read_changes' column order (= lww_dedup's: KEY, SEQ,
         # remaining payload) so the two changelog readers interchange
-        payload = [f.name for f in target.fields if f.name not in (KEY, SEQ)]
+        payload = [
+            f.name for f in target.fields if f.name not in (KEY, SEQ, CELL)
+        ]
         payload = [SEQ] + payload
         by_name = {f.name: f for f in target.fields}
         out_schema = T.StructType(
@@ -604,16 +627,6 @@ class SnapshotSink:
         if not fresh_buckets:
             return self.spark.createDataFrame([], out_schema)
         touched = [int(b) for b in fresh_buckets]
-        # new candidate images: LWW fold of just the fresh files — for a
-        # key the fold wins (seq > old), this IS the new state image,
-        # because the full state fold is max(old row, fresh rows)
-        d = lww_dedup(
-            self._read_buckets(
-                {"schema": new_snap["schema"], "buckets": fresh_buckets}, touched
-            ),
-            KEY,
-            SEQ,
-        )
         # old images by OLD bucket numbering — identical to `touched`
         # unless a rebucket renumbered the space (then: all old buckets,
         # since any old bucket may hold a touched key's pre-image)
@@ -621,10 +634,27 @@ class SnapshotSink:
             [int(b) for b in old_snap["buckets"]] if rebucketed else touched
         )
         o = self._read_buckets(old_snap, old_touched, target=target)
-        if o is None:
+        old_state = None if o is None else self._fold(o, KEY, SEQ)
+        fresh_raw = self._read_buckets(
+            {"schema": new_snap["schema"], "buckets": fresh_buckets}, touched
+        )
+        if self.patch and old_state is not None:
+            # per-cell mode: a fresh PATCH delta alone is NOT the new
+            # row image — its unmasked cells are unset. Fold the old
+            # state in (folded rows re-enter the fold losslessly), so
+            # emitted changes carry FULL images; the seq > old_seq
+            # filter below still prunes untouched keys (patches advance
+            # the row seq).
+            d = self._fold(fresh_raw.unionByName(old_state), KEY, SEQ)
+        else:
+            # row-LWW: the fold of just the fresh files IS the new state
+            # image for every key it wins (full state fold is
+            # max(old row, fresh rows))
+            d = self._fold(fresh_raw, KEY, SEQ)
+        if old_state is None:
             old_img = None
         else:
-            old_img = lww_dedup(o, KEY, SEQ).select(
+            old_img = old_state.select(
                 F.col(KEY),
                 *[F.col(c).alias(f"_old_{c}") for c in payload],
             )
@@ -705,7 +735,7 @@ class SnapshotSink:
         df = self._read_buckets(snap, buckets, target=table_schema)
         if df is None:
             return self.spark.createDataFrame([], table_schema).drop(*_INTERNAL)
-        state = lww_dedup(df.filter(F.col(KEY).isin(keys)), KEY, SEQ)
+        state = self._fold(df.filter(F.col(KEY).isin(keys)), KEY, SEQ)
         payload = [c for c in state.columns if c not in _INTERNAL and c != KEY]
         return state.filter(~F.col("deleted")).select(KEY, *payload)
 
@@ -721,6 +751,15 @@ class SnapshotSink:
         t0 = time.time()
         batch_id = str(batch_id)
         snap = self.current_snapshot()
+        if snap is not None and bool(snap.get("patch", False)) != self.patch:
+            # the fold mode is a per-table property: folding per-cell
+            # deltas with row LWW (or vice versa) silently corrupts
+            # state, so a mode-mismatched reopen is refused outright
+            raise RuntimeError(
+                f"table at {self.root} was written with patch="
+                f"{snap.get('patch', False)}; this sink was constructed "
+                f"with patch={self.patch}"
+            )
         if snap is not None and batch_id in snap["committed_batches"]:
             return {"batch_id": batch_id, "skipped": True, "reason": "already committed"}
         # register in-flight BEFORE planning: _manifested_buckets below
@@ -758,7 +797,9 @@ class SnapshotSink:
     ) -> dict:
         payload_fields = [
             f for f in batch_df.schema.fields
-            if f.name not in _ENVELOPE_META and f.name not in _INTERNAL
+            if f.name not in _ENVELOPE_META
+            and f.name not in _INTERNAL
+            and f.name != _PATCH_MASK
         ]
         batch_payload_schema = T.StructType(payload_fields)
 
@@ -830,10 +871,20 @@ class SnapshotSink:
         #   semi-joined to the batch's touched buckets) → single
         #   LWW aggregation (in-batch dedup + cross-delta fold in one
         #   shuffle, hot keys salted per A8) → bucket-partitioned write
-        state_rows = align_to_schema(
-            events.withColumn("deleted", F.col("op") == F.lit("D")).drop("op"),
-            table_schema,
-        ).withColumn("_bucket", _bucket_expr(self.n_buckets))
+        if self.patch:
+            # per-cell mode: build the _cell_seq map from op + mask
+            # (full events set every cell, 'P' events their masked
+            # cells) before alignment; patch_events drops op/mask
+            cell_rows = patch_events(
+                events, key=KEY, seq=SEQ, op_col="op", mask_col=_PATCH_MASK
+            )
+        else:
+            cell_rows = events.withColumn(
+                "deleted", F.col("op") == F.lit("D")
+            ).drop("op")
+        state_rows = align_to_schema(cell_rows, table_schema).withColumn(
+            "_bucket", _bucket_expr(self.n_buckets)
+        )
         if manifested:
             state_rows = state_rows.filter(~F.col("_bucket").isin(sorted(manifested)))
         obs = None
@@ -868,7 +919,7 @@ class SnapshotSink:
                 batch_buckets = state_rows.select("_bucket").distinct()
                 tgt = tgt.join(F.broadcast(batch_buckets), "_bucket", "left_semi")
                 merge_in = state_rows.unionByName(tgt)
-        merged = lww_dedup(
+        merged = self._fold(
             merge_in.drop("_bucket"), KEY, SEQ, salt_partials=self.salt_partials
         ).withColumn("_bucket", _bucket_expr(self.n_buckets))
 
@@ -1116,14 +1167,18 @@ class SnapshotSink:
         """(table schema incl. internal cols, DDL log, schema version)
         after merging the batch's payload schema into ``snap``'s."""
         if snap is None:
+            internal = [
+                T.StructField(SEQ, T.LongType(), False),
+                T.StructField("deleted", T.BooleanType(), False),
+            ]
+            if self.patch:
+                internal.append(
+                    T.StructField(
+                        CELL, T.MapType(T.StringType(), T.LongType()), True
+                    )
+                )
             return (
-                T.StructType(
-                    list(batch_payload_schema.fields)
-                    + [
-                        T.StructField(SEQ, T.LongType(), False),
-                        T.StructField("deleted", T.BooleanType(), False),
-                    ]
-                ),
+                T.StructType(list(batch_payload_schema.fields) + internal),
                 [],
                 0,
             )
@@ -1189,6 +1244,7 @@ class SnapshotSink:
             "parent": None if head is None else head["version"],
             "tombstone_floor": 0 if head is None else head.get("tombstone_floor", 0),
             "rollback_epoch": 0 if head is None else head.get("rollback_epoch", 0),
+            "patch": self.patch,
             "metrics": {k: v for k, v in metrics.items() if k != "lineage"},
         }
         self._write_snapshot(new_snap)
@@ -1315,7 +1371,7 @@ class SnapshotSink:
         moved: dict[str, list] = {}
         ddl = _ddl(table_schema)
         if raw is not None:
-            folded = lww_dedup(raw, KEY, SEQ)
+            folded = self._fold(raw, KEY, SEQ)
             ff = self._floor_filter(snap)
             if ff is not None:
                 folded = folded.filter(ff)  # GC stickiness at every fold
@@ -1567,7 +1623,7 @@ class SnapshotSink:
         backfill_name: str | None = None,
     ) -> dict:
         table_schema = T.StructType.fromDDL(snap["schema"])
-        folded = lww_dedup(
+        folded = self._fold(
             self._read_buckets(snap, todo, target=table_schema), KEY, SEQ
         )
         if row_filter is not None:
@@ -1587,6 +1643,32 @@ class SnapshotSink:
                 )
                 folded = folded.withColumn(
                     cname, F.when(~F.col("deleted"), expr).otherwise(keep)
+                )
+            if self.patch:
+                # per-cell mode: stamp every transformed column's cell
+                # with the row's current op_sequence as setter — without
+                # a _cell_seq entry the next fold would treat the cell
+                # as never-set and null it. A later patch/upsert (higher
+                # seq) overrides the backfilled value, which is the
+                # backfill contract (changelog-silent derived columns).
+                names = list(transform)
+                upd = F.map_from_arrays(
+                    F.array(*[F.lit(c) for c in names]),
+                    F.array_repeat(F.col(SEQ).cast("long"), len(names)),
+                )
+                empty = F.map_from_arrays(
+                    F.array().cast("array<string>"),
+                    F.array().cast("array<bigint>"),
+                )
+                folded = folded.withColumn(
+                    CELL,
+                    F.map_concat(
+                        F.map_filter(
+                            F.coalesce(F.col(CELL), empty),
+                            lambda k, _v: ~k.isin(*names),
+                        ),
+                        upd,
+                    ),
                 )
         folded = folded.withColumn("_bucket", _bucket_expr(self.n_buckets))
         staging = os.path.join(self.root, "data", f"_stage-{uuid.uuid4().hex}")
