@@ -78,6 +78,18 @@ class Replicator:
                 " (the committed-batch set IS the cursor); got "
                 f"{type(dst).__name__}"
             )
+        if getattr(src, "patch", False) and not getattr(dst, "patch", False):
+            # a per-cell source can change state WITHOUT advancing the
+            # row op_sequence (a late out-of-order patch), so a row-LWW
+            # replica has no clock to order such an image against the
+            # one it already holds — same-seq different-payload rows
+            # tie-break arbitrarily and the replica diverges silently.
+            # A patch-mode replica folds the carried cell seqs exactly.
+            raise TypeError(
+                "a patch-mode source replicates only into a patch-mode "
+                "destination (row-LWW replicas cannot order same-seq "
+                "cell changes); construct the destination with patch=True"
+            )
         self.src = src
         self.dst = dst
         self.name = name
@@ -153,7 +165,12 @@ class Replicator:
             ).drop("deleted")
         else:
             self._refuse_unreplicable_window(frm, to)
-            changes = self.src.read_changes_pruned(frm, to)
+            # patch-mode source: carry the per-cell seqs so the (patch-
+            # mode) destination folds cells exactly — full images alone
+            # cannot order a late out-of-order patch's state change
+            changes = self.src.read_changes_pruned(
+                frm, to, include_cells=getattr(self.src, "patch", False)
+            )
             env = changes.withColumn(
                 "op",
                 F.when(F.col("change_type") == "D", F.lit("D")).otherwise(

@@ -81,6 +81,14 @@ def _bucket_expr(n_buckets: int):
     return F.pmod(F.xxhash64(F.col(KEY)), F.lit(n_buckets)).cast("int")
 
 
+def _cell_fp(col):
+    """Comparable fingerprint of a ``_cell_seq`` map: Spark forbids
+    equality on map columns, so compare sorted entry arrays instead.
+    Equal maps ⇒ identical per-cell state (every cell's setter seq is
+    in the map, and a setter seq determines the value)."""
+    return F.sort_array(F.map_entries(col))
+
+
 class SnapshotSink:
     def __init__(
         self,
@@ -379,6 +387,10 @@ class SnapshotSink:
                 # quiesce check above, and their compacted folds could
                 # otherwise re-publish de-committed rows
                 "rollback_epoch": head.get("rollback_epoch", 0) + 1,
+                # the fold mode survives rollback (it is a per-table
+                # property, not per-version — review-found: omitting it
+                # made the table refuse its own sink's next apply)
+                "patch": head.get("patch", self.patch),
                 "metrics": {
                     "rollback_to": target_v,
                     "decommitted_batches": decommitted,
@@ -526,40 +538,66 @@ class SnapshotSink:
             return self.spark.createDataFrame([], T.StructType.fromDDL(snap["schema"]))
         return self._fold(df, KEY, SEQ)
 
-    def read_changes(self, from_version: int, to_version: int) -> DataFrame:
+    def read_changes(
+        self, from_version: int, to_version: int, include_cells: bool = False
+    ) -> DataFrame:
         """Row-level changelog between two committed snapshots — the
         incremental read a downstream consumer tails instead of
         re-scanning the table: one row per doc whose LIVE state differs,
         tagged ``change_type`` I (absent/deleted → live), U (live →
-        live with a newer op_sequence), or D (live → deleted/absent).
+        live with changed state), or D (live → deleted/absent).
         Computed as a full-outer join of the two LWW states on the key;
         both sides prune to their own bucket lists, so cost is
-        O(state), never O(history)."""
+        O(state), never O(history).
+
+        Change detection: row-LWW compares op_sequence (state changed ⇔
+        row seq advanced). Per-cell mode ALSO compares the _cell_seq
+        fingerprints — a late out-of-order patch (seq below the row's
+        current max) changes state WITHOUT advancing the row seq
+        (review-found: the seq-only predicate silently dropped those
+        rows from every replica). ``include_cells=True`` (patch tables
+        only) keeps the internal _cell_seq column on emitted rows for
+        cell-exact replication into another patch table."""
         old = self.read_state(version=from_version)
         new = self.read_state(version=to_version)
-        o = old.select(
+        o_cols = [
             F.col(KEY),
             F.col(SEQ).alias("_old_seq"),
             F.col("deleted").alias("_old_del"),
-        )
+        ]
+        if self.patch:
+            o_cols.append(_cell_fp(F.col(CELL)).alias("_old_fp"))
+        o = old.select(*o_cols)
         payload = [c for c in new.columns if c not in (KEY, CELL)]
-        n = new.select(KEY, *payload)
+        n = new.select(KEY, *payload, *([CELL] if self.patch else []))
         j = n.join(o, KEY, "full_outer")
         old_live = F.col("_old_del").isNotNull() & ~F.col("_old_del")
         new_live = F.col("deleted").isNotNull() & ~F.col("deleted")
+        u_changed = F.col(SEQ) > F.col("_old_seq")
+        if self.patch:
+            u_changed = u_changed | (_cell_fp(F.col(CELL)) != F.col("_old_fp"))
         change = (
             F.when(new_live & ~old_live, F.lit("I"))
-            .when(new_live & old_live & (F.col(SEQ) > F.col("_old_seq")), F.lit("U"))
+            .when(new_live & old_live & u_changed, F.lit("U"))
             .when(~new_live & old_live, F.lit("D"))
         )
+        drop = ["_old_seq", "_old_del"]
+        if self.patch:
+            drop.append("_old_fp")
+            if not include_cells:
+                drop.append(CELL)
         return (
             j.withColumn("change_type", change)
             .filter(F.col("change_type").isNotNull())
-            .drop("_old_seq", "_old_del")
+            .drop(*drop)
         )
 
     def read_changes_pruned(
-        self, from_version: int, to_version: int, include_old: bool = False
+        self,
+        from_version: int,
+        to_version: int,
+        include_old: bool = False,
+        include_cells: bool = False,
     ) -> DataFrame:
         """``read_changes`` computed from the DELTA FILES committed
         between the two snapshots instead of a full-outer join of the
@@ -611,9 +649,11 @@ class SnapshotSink:
         ]
         payload = [SEQ] + payload
         by_name = {f.name: f for f in target.fields}
+        keep_cell = self.patch and include_cells and CELL in by_name
         out_schema = T.StructType(
             [by_name[KEY]]
             + [by_name[c] for c in payload]
+            + ([by_name[CELL]] if keep_cell else [])
             + [T.StructField("change_type", T.StringType())]
             + (
                 [
@@ -642,9 +682,13 @@ class SnapshotSink:
             # per-cell mode: a fresh PATCH delta alone is NOT the new
             # row image — its unmasked cells are unset. Fold the old
             # state in (folded rows re-enter the fold losslessly), so
-            # emitted changes carry FULL images; the seq > old_seq
-            # filter below still prunes untouched keys (patches advance
-            # the row seq).
+            # emitted changes carry FULL images. The old-state fold
+            # feeds TWO plan branches here (this union and the
+            # old-image join below) — persist it so the dominant cost
+            # of the pruned changelog is paid once, not twice; the
+            # block is dropped when the consumer's DataFrame is GC'd
+            # (review-found double scan).
+            old_state = old_state.persist()
             d = self._fold(fresh_raw.unionByName(old_state), KEY, SEQ)
         else:
             # row-LWW: the fold of just the fresh files IS the new state
@@ -657,13 +701,24 @@ class SnapshotSink:
             old_img = old_state.select(
                 F.col(KEY),
                 *[F.col(c).alias(f"_old_{c}") for c in payload],
+                *(
+                    [_cell_fp(F.col(CELL)).alias("_old_fp")]
+                    if self.patch
+                    else []
+                ),
             )
         if old_img is None:
             types = {f.name: f.dataType for f in target.fields}
             j = d.select(
                 KEY,
                 *payload,
+                *([CELL] if self.patch else []),
                 *[F.lit(None).cast(types[c]).alias(f"_old_{c}") for c in payload],
+                *(
+                    [F.lit(None).cast("array<struct<key:string,value:bigint>>").alias("_old_fp")]
+                    if self.patch
+                    else []
+                ),
             )
         else:
             j = d.join(old_img, KEY, "left_outer")
@@ -672,6 +727,12 @@ class SnapshotSink:
         changed = F.col(f"_old_{SEQ}").isNull() | (
             F.col(SEQ) > F.col(f"_old_{SEQ}")
         )
+        if self.patch:
+            # a late out-of-order patch (seq below the row's max)
+            # changes state WITHOUT advancing the row seq — the seq
+            # predicate alone silently dropped it from every replica
+            # (review-found); the cell fingerprints catch it
+            changed = changed | (_cell_fp(F.col(CELL)) != F.col("_old_fp"))
         change = (
             F.when(new_live & ~old_live, F.lit("I"))
             .when(new_live & old_live, F.lit("U"))
@@ -682,8 +743,11 @@ class SnapshotSink:
             .withColumn("change_type", change)
             .filter(F.col("change_type").isNotNull())
         )
-        keep = [KEY, *payload, "change_type"] + (
-            [f"_old_{c}" for c in payload] if include_old else []
+        keep = (
+            [KEY, *payload]
+            + ([CELL] if keep_cell else [])
+            + ["change_type"]
+            + ([f"_old_{c}" for c in payload] if include_old else [])
         )
         return out.select(*keep)
 
@@ -799,7 +863,10 @@ class SnapshotSink:
             f for f in batch_df.schema.fields
             if f.name not in _ENVELOPE_META
             and f.name not in _INTERNAL
-            and f.name != _PATCH_MASK
+            # the mask column is envelope metadata only in patch mode; a
+            # row-LWW table may legitimately carry a payload column of
+            # that name
+            and not (self.patch and f.name == _PATCH_MASK)
         ]
         batch_payload_schema = T.StructType(payload_fields)
 
@@ -871,12 +938,50 @@ class SnapshotSink:
         #   semi-joined to the batch's touched buckets) → single
         #   LWW aggregation (in-batch dedup + cross-delta fold in one
         #   shuffle, hot keys salted per A8) → bucket-partitioned write
-        if self.patch:
+        if self.patch and CELL in events.columns:
+            # pre-built cell events (replication from another patch
+            # table): trust the incoming per-cell seqs verbatim — the
+            # source fold already stamped every cell, and rebuilding
+            # from op would collapse them all onto the row seq
+            cell_rows = events.withColumn(
+                "deleted", F.col("op") == F.lit("D")
+            ).drop("op")
+        elif self.patch:
             # per-cell mode: build the _cell_seq map from op + mask
             # (full events set every cell, 'P' events their masked
-            # cells) before alignment; patch_events drops op/mask
+            # cells) before alignment; patch_events drops op/mask.
+            # The cell maps are built against the TABLE's payload
+            # columns, not the batch's: a full/delete event must stamp
+            # EVERY table column — review-found, a delete arriving in a
+            # batch narrower than the evolved table left the missing
+            # columns' cells alive, and a later revive resurrected the
+            # deleted values
+            table_payload = [
+                f
+                for f in table_schema.fields
+                if f.name not in _INTERNAL and f.name != KEY
+            ]
+            env_keep = [c for c in ("op", _PATCH_MASK) if c in events.columns]
+            widened = events.select(
+                *env_keep,
+                F.col(KEY),
+                F.col(SEQ),
+                *[
+                    (
+                        F.col(f.name)
+                        if f.name in events.columns
+                        else F.lit(None).cast(f.dataType)
+                    ).alias(f.name)
+                    for f in table_payload
+                ],
+            )
             cell_rows = patch_events(
-                events, key=KEY, seq=SEQ, op_col="op", mask_col=_PATCH_MASK
+                widened,
+                key=KEY,
+                seq=SEQ,
+                op_col="op",
+                mask_col=_PATCH_MASK,
+                payload_cols=[f.name for f in table_payload],
             )
         else:
             cell_rows = events.withColumn(

@@ -8,6 +8,10 @@ import pandas as pd
 import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
+from patch_model import PAYLOAD, SCHEMA
+from patch_model import model as _model
+from patch_model import ops_strategy as _ops_strategy
+from patch_model import to_events as _to_events
 from pyspark.sql import functions as F
 
 from beehive_data_etl_spark.operators.patch import (
@@ -15,65 +19,6 @@ from beehive_data_etl_spark.operators.patch import (
     cell_lww_dedup,
     patch_events,
 )
-
-PAYLOAD = ["a", "b", "c"]
-SCHEMA = (
-    "op string, op_sequence long, doc_id string, "
-    "a double, b string, c long, patch_cols array<string>"
-)
-
-
-def _ops_strategy():
-    op_entry = st.tuples(
-        st.sampled_from(["I", "U", "D", "P", "P", "P"]),  # patch-heavy
-        st.integers(min_value=0, max_value=5),  # doc index
-        st.lists(st.sampled_from(PAYLOAD), min_size=0, max_size=3, unique=True),
-        st.integers(min_value=0, max_value=99),  # value seed
-    )
-    return st.lists(op_entry, min_size=1, max_size=50)
-
-
-def _to_events(ops):
-    events = []
-    for seq, (op, doc, mask, vs) in enumerate(ops, start=1):
-        full = op != "P"
-        row = {
-            "op": op,
-            "op_sequence": seq,
-            "doc_id": f"doc-{doc}",
-            "a": float(vs) if (op in ("I", "U") or (full is False and "a" in mask)) else None,
-            "b": f"s{vs}" if (op in ("I", "U") or (full is False and "b" in mask)) else None,
-            "c": vs * 10 if (op in ("I", "U") or (full is False and "c" in mask)) else None,
-            "patch_cols": mask if op == "P" else None,
-        }
-        events.append(row)
-    return events
-
-
-def _model(events):
-    """Plain-Python per-cell fold-left (events applied in seq order)."""
-    cells: dict[str, dict] = {}
-    top: dict[str, int] = {}
-    for e in sorted(events, key=lambda e: e["op_sequence"]):
-        k, s = e["doc_id"], e["op_sequence"]
-        st_ = cells.setdefault(k, {})
-        top[k] = max(top.get(k, 0), s)
-        if e["op"] == "P":
-            for c in e["patch_cols"] or []:
-                if c in PAYLOAD:
-                    st_[c] = e[c]
-        else:
-            for c in PAYLOAD:
-                st_[c] = None if e["op"] == "D" else e[c]
-            st_["deleted"] = e["op"] == "D"
-    return {
-        k: {
-            "op_sequence": top[k],
-            "deleted": bool(st_.get("deleted", False)),
-            **{c: st_.get(c) for c in PAYLOAD},
-        }
-        for k, st_ in cells.items()
-    }
 
 
 def _fold(spark, events, salt=0):

@@ -10,68 +10,19 @@ import pandas as pd
 import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
+from patch_model import SCHEMA
+from patch_model import model as _model
+from patch_model import to_events as _to_events
 from pyspark.sql import functions as F
 
 from beehive_data_etl_spark.operators.patch import CELL
 from beehive_data_etl_spark.sinks.snapshot import SnapshotSink
 
-PAYLOAD = ["a", "b", "c"]
-SCHEMA = (
-    "op string, op_sequence long, doc_id string, "
-    "a double, b string, c long, patch_cols array<string>"
-)
-
 
 def _ops_strategy():
-    op_entry = st.tuples(
-        st.sampled_from(["I", "U", "D", "P", "P", "P"]),
-        st.integers(min_value=0, max_value=5),
-        st.lists(st.sampled_from(PAYLOAD), min_size=0, max_size=3, unique=True),
-        st.integers(min_value=0, max_value=99),
-    )
-    return st.lists(op_entry, min_size=1, max_size=40)
+    from patch_model import ops_strategy
 
-
-def _to_events(ops):
-    events = []
-    for seq, (op, doc, mask, vs) in enumerate(ops, start=1):
-        events.append(
-            {
-                "op": op,
-                "op_sequence": seq,
-                "doc_id": f"doc-{doc}",
-                "a": float(vs) if (op in ("I", "U") or "a" in mask) else None,
-                "b": f"s{vs}" if (op in ("I", "U") or "b" in mask) else None,
-                "c": vs * 10 if (op in ("I", "U") or "c" in mask) else None,
-                "patch_cols": mask if op == "P" else None,
-            }
-        )
-    return events
-
-
-def _model(events):
-    """Per-cell fold-left in plain Python; returns ALL rows with a
-    deleted flag (mirrors read_state)."""
-    cells: dict[str, dict] = {}
-    top: dict[str, int] = {}
-    for e in sorted(events, key=lambda e: e["op_sequence"]):
-        k, stt = e["doc_id"], cells.setdefault(e["doc_id"], {})
-        top[k] = max(top.get(k, 0), e["op_sequence"])
-        if e["op"] == "P":
-            for c in e["patch_cols"] or []:
-                stt[c] = e[c]
-        else:
-            for c in PAYLOAD:
-                stt[c] = None if e["op"] == "D" else e[c]
-            stt["deleted"] = e["op"] == "D"
-    return {
-        k: {
-            "op_sequence": top[k],
-            "deleted": bool(stt.get("deleted", False)),
-            **{c: stt.get(c) for c in PAYLOAD},
-        }
-        for k, stt in cells.items()
-    }
+    return ops_strategy(max_ops=40)
 
 
 def _df(spark, events):
@@ -280,14 +231,68 @@ def test_patch_internal_columns_hidden_from_user_reads(spark, tmp_path):
     assert sink.lookup(["doc-0"]).count() == 1
 
 
-def test_patch_source_replicates_to_row_lww_replica(spark, tmp_path):
-    """The changelog's full images make a patch-mode table replicable
-    into a PLAIN row-LWW replica: the replica stores whole rows and
-    never needs masks or cell seqs."""
+def test_late_patch_surfaces_in_changelog(spark, tmp_path):
+    """A late OUT-OF-ORDER patch (seq below the row's current max)
+    changes state without advancing the row op_sequence. The seq-only
+    change predicate silently dropped such rows (review-found, repro'd);
+    the cell-fingerprint comparison must emit them from BOTH readers."""
+    sink = SnapshotSink(spark, str(tmp_path / "t"), n_buckets=4, patch=True)
+    # batch with the HIGHER seq commits first: patch seq=11 sets b
+    sink.apply_batch(
+        _df(
+            spark,
+            [
+                {"op": "I", "op_sequence": 1, "doc_id": "d", "a": 1.0,
+                 "b": "x", "c": 5, "patch_cols": None},
+                {"op": "P", "op_sequence": 11, "doc_id": "d", "a": None,
+                 "b": "late?", "c": None, "patch_cols": ["b"]},
+            ],
+        ),
+        "b1",
+    )
+    v1 = sink.current_snapshot()["version"]
+    # then the EARLIER patch seq=5 arrives (pipelined out-of-order
+    # commit): sets a — row seq stays 11, state changes
+    sink.apply_batch(
+        _df(
+            spark,
+            [{"op": "P", "op_sequence": 5, "doc_id": "d", "a": 42.0,
+              "b": None, "c": None, "patch_cols": ["a"]}],
+        ),
+        "b2",
+    )
+    v2 = sink.current_snapshot()["version"]
+    for changes in (
+        sink.read_changes(v1, v2),
+        sink.read_changes_pruned(v1, v2),
+    ):
+        rows = {r["doc_id"]: r.asDict() for r in changes.collect()}
+        assert set(rows) == {"d"}, rows
+        assert rows["d"]["change_type"] == "U"
+        assert rows["d"]["a"] == 42.0
+        assert rows["d"]["op_sequence"] == 11  # clock NOT advanced
+
+
+def test_patch_source_refuses_row_lww_replica(spark, tmp_path):
+    """A per-cell source can change state without advancing the row
+    clock, so a row-LWW replica has nothing to order such an image by —
+    the Replicator refuses the pairing at construction."""
     from beehive_data_etl_spark.sinks.replicate import Replicator
 
     src = SnapshotSink(spark, str(tmp_path / "a"), n_buckets=4, patch=True)
     dst = SnapshotSink(spark, str(tmp_path / "b"), n_buckets=2)
+    with pytest.raises(TypeError, match="patch-mode"):
+        Replicator(src, dst, name="m")
+
+
+def test_patch_source_replicates_to_patch_replica(spark, tmp_path):
+    """patch → patch replication is cell-exact: the change stream
+    carries _cell_seq, the replica folds it verbatim — including a late
+    out-of-order patch window whose row seq never advances."""
+    from beehive_data_etl_spark.sinks.replicate import Replicator
+
+    src = SnapshotSink(spark, str(tmp_path / "a"), n_buckets=4, patch=True)
+    dst = SnapshotSink(spark, str(tmp_path / "b"), n_buckets=2, patch=True)
     rep = Replicator(src, dst, name="m")
     src.apply_batch(
         _df(spark, _to_events([("I", 0, [], 1), ("I", 1, [], 2), ("D", 2, [], 3)])),
@@ -302,8 +307,7 @@ def test_patch_source_replicates_to_row_lww_replica(spark, tmp_path):
         }
 
     assert live(dst) == live(src)
-    # incremental window: a patch — the replica must receive the FULL
-    # image (unmasked cells included), not a sparse row
+    # window 2: a patch at a HIGH seq — full image flows with cell seqs
     src.apply_batch(
         _df(
             spark,
@@ -316,3 +320,86 @@ def test_patch_source_replicates_to_row_lww_replica(spark, tmp_path):
     assert live(dst) == live(src)
     assert live(dst)["doc-0"][0] == 42.0
     assert live(dst)["doc-0"][1] is not None  # unmasked cell carried over
+    # window 3: a LATE patch below the row's max seq — state changes,
+    # row clock does not; the replica must still converge
+    src.apply_batch(
+        _df(
+            spark,
+            [{"op": "P", "op_sequence": 4, "doc_id": "doc-0", "a": None,
+              "b": "late-b", "c": None, "patch_cols": ["b"]}],
+        ),
+        "b3",
+    )
+    rep.sync()
+    assert live(dst) == live(src)
+    assert live(dst)["doc-0"][1] == "late-b"
+
+
+def test_delete_clears_columns_absent_from_the_deleting_batch(spark, tmp_path):
+    """Cell maps are built against the TABLE schema, not the batch's: a
+    delete arriving in a batch narrower than the evolved table must
+    still kill the missing columns' cells, or a later revive resurrects
+    deleted (possibly PII) data (review-found, repro'd)."""
+    sink = SnapshotSink(spark, str(tmp_path / "t"), n_buckets=4, patch=True)
+    wide = "op string, op_sequence long, doc_id string, a double, d string, patch_cols array<string>"
+    narrow = "op string, op_sequence long, doc_id string, a double, patch_cols array<string>"
+    sink.apply_batch(
+        spark.createDataFrame(
+            pd.DataFrame(
+                [{"op": "I", "op_sequence": 1, "doc_id": "d0", "a": 1.0,
+                  "d": "secret", "patch_cols": None}]
+            ),
+            schema=wide,
+        ),
+        "b1",
+    )
+    sink.apply_batch(
+        spark.createDataFrame(
+            pd.DataFrame(
+                [
+                    {"op": "D", "op_sequence": 2, "doc_id": "d0", "a": None,
+                     "patch_cols": None},
+                    {"op": "I", "op_sequence": 3, "doc_id": "d0", "a": 9.0,
+                     "patch_cols": None},
+                ]
+            ),
+            schema=narrow,
+        ),
+        "b2",
+    )
+    row = sink.read_final().collect()[0]
+    assert row["a"] == 9.0
+    assert row["d"] is None  # NOT "secret" — the delete cleared it
+
+
+def test_rollback_keeps_patch_mode(spark, tmp_path):
+    """rollback_to writes a fresh snapshot dict — it must carry the
+    patch flag or the table refuses its own sink's next apply
+    (review-found, repro'd)."""
+    sink = SnapshotSink(spark, str(tmp_path / "t"), n_buckets=4, patch=True)
+    sink.apply_batch(_df(spark, _to_events([("I", 0, [], 1)])), "b1")
+    v1 = sink.current_snapshot()["version"]
+    sink.apply_batch(_df(spark, _to_events([("U", 0, [], 2)])), "b2")
+    sink.rollback_to(v1)
+    out = sink.apply_batch(_df(spark, _to_events([("U", 0, [], 3)])), "b3")
+    assert not out.get("skipped")
+    assert sink.current_snapshot()["patch"] is True
+
+
+def test_row_lww_table_keeps_patch_cols_payload_column(spark, tmp_path):
+    """patch_cols is envelope metadata ONLY in patch mode — a row-LWW
+    table with a genuine payload column of that name must keep its data
+    (review-found silent drop)."""
+    sink = SnapshotSink(spark, str(tmp_path / "t"), n_buckets=2)
+    sink.apply_batch(
+        spark.createDataFrame(
+            pd.DataFrame(
+                [{"op": "I", "op_sequence": 1, "doc_id": "d0",
+                  "patch_cols": ["keep", "me"]}]
+            ),
+            schema="op string, op_sequence long, doc_id string, patch_cols array<string>",
+        ),
+        "b1",
+    )
+    row = sink.read_final().collect()[0]
+    assert row["patch_cols"] == ["keep", "me"]
