@@ -95,6 +95,7 @@ def standard_token_audit(
     min_rows: int = 0,
     max_rows: int | None = None,
     max_n_tok: int = 1_000_000,
+    patch: bool = False,
 ) -> Callable[[DataFrame, dict], None]:
     """The north-rule payload contract (doc_id, tokens, n_tok, source):
 
@@ -106,10 +107,16 @@ def standard_token_audit(
     - ``doc_id`` must be non-null/non-empty.
 
     Tombstones (deleted=true) are exempt from payload rules — their
-    payload is legitimately NULL."""
+    payload is legitimately NULL. With ``patch=True`` (per-cell tables,
+    ``SnapshotSink(patch=True)``) the token rules additionally require
+    the tokens CELL to be set: a staged batch whose events for a key
+    are all metadata patches legitimately carries no tokens — only a
+    SET-but-empty token payload is a violation."""
 
     def rule_factory() -> dict:
         live = ~F.col("deleted")
+        if patch:
+            live = live & F.col("_cell_seq")["tokens"].isNotNull()
         return {
             "null_doc_id": F.col("doc_id").isNull() | (F.col("doc_id") == ""),
             "nonpositive_op_sequence": F.col("op_sequence") <= 0,

@@ -315,3 +315,156 @@ _FORK_WRITE = None
 
 def _fork_entry(f: int) -> None:
     _FORK_WRITE(f)
+
+
+PATCH_ENVELOPE_DDL = (
+    "op string, op_sequence long, doc_id string, tokens array<int>, "
+    "n_tok int, source string, patch_cols array<string>, "
+    "event_ts timestamp, batch_hint int"
+)
+
+
+def generate_patch_log(
+    out_dir: str,
+    n_docs: int = 500,
+    n_events: int = 5000,
+    n_files: int = 10,
+    seed: int = 43,
+    p_ops: tuple[float, float, float, float] = (0.1, 0.2, 0.05, 0.65),
+    p_duplicate: float = 0.02,
+    p_out_of_order: float = 0.05,
+    zipf_s: float = 1.2,
+) -> str:
+    """Patch-envelope variant of ``generate_event_log``: ops are
+    I/U/D/P (``p_ops`` in that order; first event per doc forced 'I'),
+    and 'P' events carry ``patch_cols`` — alternating deterministically
+    between ``["tokens","n_tok"]`` (a re-tokenization patch) and
+    ``["source"]`` (a metadata patch) — with the UNMASKED payload
+    columns NULL on the wire. Same determinism contract as the main
+    generator: every value is a pure function of (doc, seq, seed), so
+    ``verify.oracle_patch_final_spark`` can re-derive the final state
+    independently. Duplicates re-emit verbatim in later files and
+    ``p_out_of_order`` displaces events across files, exercising the
+    per-cell fold's order-insensitivity end-to-end."""
+    meta = {
+        "kind": "patch",
+        "n_docs": n_docs,
+        "n_events": n_events,
+        "n_files": n_files,
+        "seed": seed,
+        "p_ops": list(p_ops),
+        "p_duplicate": p_duplicate,
+        "p_out_of_order": p_out_of_order,
+        "zipf_s": zipf_s,
+        "version": 1,
+    }
+    meta_path = os.path.join(out_dir, "_meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as fh:
+            if json.load(fh) == meta:
+                return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.default_rng(seed)
+
+    doc_idx = rng.choice(n_docs, size=n_events, p=_zipf_probs(n_docs, zipf_s))
+    op_seq = np.arange(1, n_events + 1, dtype=np.int64)
+    roll = rng.random(n_events)
+    c = np.cumsum(p_ops)
+    op = np.where(
+        roll < c[0], "I",
+        np.where(roll < c[1], "U", np.where(roll < c[2], "D", "P")),
+    )
+    order_of_first = np.full(n_docs, -1, dtype=np.int64)
+    rev = np.arange(n_events - 1, -1, -1)
+    order_of_first[doc_idx[rev]] = rev
+    first_mask = np.zeros(n_events, dtype=bool)
+    first_mask[order_of_first[order_of_first >= 0]] = True
+    op = np.where(first_mask, "I", op)
+    is_del = op == "D"
+    is_patch = op == "P"
+
+    keys = _event_keys(doc_idx, op_seq, seed)
+    # mask kind for P rows: even key → tokens+n_tok, odd key → source
+    mask_tok = is_patch & ((keys % np.uint64(2)) == 0)
+    mask_src = is_patch & ~mask_tok
+    # a cell's value is NULL when the event does not set it
+    tok_null = is_del | mask_src
+    src_null = is_del | mask_tok
+
+    lengths = _lengths(keys)
+    lengths_eff = np.where(tok_null, 0, lengths)
+    n_tok_vals = lengths.astype(np.int64)
+    doc_ids = np.char.add("doc-", np.char.zfill(doc_idx.astype("U8"), 8))
+    source = _SOURCES[_splitmix64(doc_idx.astype(np.uint64)) % np.uint64(len(_SOURCES))]
+    event_ts = (
+        np.int64(BASE_TS.timestamp() * 1_000_000) + op_seq * np.int64(1_000_000)
+    )
+
+    events_per_file = max(1, (n_events + n_files - 1) // n_files)
+    file_idx = (np.arange(n_events) // events_per_file).astype(np.int32)
+    ooo = rng.random(n_events) < p_out_of_order
+    file_idx = np.where(
+        ooo,
+        np.minimum(file_idx + rng.integers(1, 4, size=n_events), n_files - 1),
+        file_idx,
+    ).astype(np.int32)
+    dup_sel = np.flatnonzero(rng.random(n_events) < p_duplicate)
+    dup_file_idx = np.minimum(
+        file_idx[dup_sel] + rng.integers(1, 4, size=len(dup_sel)), n_files - 1
+    ).astype(np.int32)
+
+    def _build_table(sel: np.ndarray, f: int) -> pa.Table:
+        new_off, new_vals = _ragged_tokens(keys[sel], lengths_eff[sel])
+        toks = pa.ListArray.from_arrays(
+            pa.array(new_off.astype(np.int32), type=pa.int32()),
+            pa.array(new_vals, type=pa.int32()),
+        )
+        tnull = tok_null[sel]
+        if tnull.any():
+            toks = toks.take(
+                pa.array(np.arange(len(sel), dtype=np.int64), mask=tnull)
+            )
+        # patch_cols: ragged list<string>, NULL for full events
+        pc_lens = np.where(mask_tok[sel], 2, np.where(mask_src[sel], 1, 0))
+        pc_off = np.zeros(len(sel) + 1, dtype=np.int32)
+        np.cumsum(pc_lens, out=pc_off[1:])
+        pc_flat: list[str] = []
+        for i in np.flatnonzero(pc_lens):  # patch rows only — test-scale
+            pc_flat.extend(
+                ["tokens", "n_tok"] if mask_tok[sel][i] else ["source"]
+            )
+        pc = pa.ListArray.from_arrays(
+            pa.array(pc_off, type=pa.int32()), pa.array(pc_flat, type=pa.string())
+        )
+        full_mask = ~is_patch[sel]
+        if full_mask.any():
+            pc = pc.take(
+                pa.array(np.arange(len(sel), dtype=np.int64), mask=full_mask)
+            )
+        return pa.table(
+            {
+                "op": pa.array(op[sel]),
+                "op_sequence": pa.array(op_seq[sel], type=pa.int64()),
+                "doc_id": pa.array(doc_ids[sel]),
+                "tokens": toks,
+                "n_tok": pa.array(n_tok_vals[sel], type=pa.int32(), mask=tnull),
+                "source": pa.array(source[sel], mask=src_null[sel]),
+                "patch_cols": pc,
+                "event_ts": pa.array(event_ts[sel], type=pa.timestamp("us", tz="UTC")),
+                "batch_hint": pa.array(np.full(len(sel), f, dtype=np.int32)),
+            }
+        )
+
+    all_idx = np.concatenate([np.arange(n_events), dup_sel]).astype(np.int64)
+    all_file = np.concatenate([file_idx, dup_file_idx])
+    for f in range(n_files):
+        sel = all_idx[all_file == f]
+        sel = sel[np.argsort(op_seq[sel], kind="stable")]
+        pq.write_table(
+            _build_table(sel, f),
+            os.path.join(out_dir, f"part-{f:05d}.parquet"),
+            row_group_size=20000,
+        )
+    with open(meta_path, "w") as fh:
+        json.dump(meta, fh)
+    return out_dir

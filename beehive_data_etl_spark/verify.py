@@ -87,3 +87,55 @@ def compare_final(engine_df: DataFrame, oracle_df: DataFrame) -> dict:
         and report["seq_mismatches"] == 0
     )
     return report
+
+
+def oracle_patch_final_spark(spark: SparkSession, log_dir: str) -> DataFrame:
+    """Independent per-cell oracle for PATCH logs
+    (``eventlog.generate_patch_log``): winner-seq per cell via
+    conditional max + join-back — a deliberately different formulation
+    from the engine's ``max_by`` fold (same shape as q_patch_fold's
+    DuckDB oracle). Live rows only; verbatim duplicate deliveries
+    collapse via the final per-key dedup."""
+    from beehive_data_etl_spark.sources.readers import read_wal
+
+    log = read_wal(spark, log_dir).drop("event_ts", "batch_hint")
+    full = F.col("op") != "P"
+    e = log.select(
+        "doc_id",
+        "op_sequence",
+        "op",
+        "tokens",
+        "n_tok",
+        "source",
+        (full | F.array_contains("patch_cols", "tokens")).alias("st"),
+        (full | F.array_contains("patch_cols", "source")).alias("ss"),
+    )
+    w = e.groupBy("doc_id").agg(
+        F.max("op_sequence").alias("op_sequence"),
+        F.max(F.when(F.col("st"), F.col("op_sequence"))).alias("_tseq"),
+        F.max(F.when(F.col("ss"), F.col("op_sequence"))).alias("_sseq"),
+        F.max(F.when(F.col("op") != "P", F.col("op_sequence"))).alias("_eseq"),
+    )
+    ev_t = e.select(
+        "doc_id",
+        F.col("op_sequence").alias("_tseq"),
+        F.when(F.col("op") != "D", F.col("tokens")).alias("tokens"),
+        F.when(F.col("op") != "D", F.col("n_tok")).alias("n_tok"),
+    ).dropDuplicates(["doc_id", "_tseq"])
+    ev_s = e.select(
+        "doc_id",
+        F.col("op_sequence").alias("_sseq"),
+        F.when(F.col("op") != "D", F.col("source")).alias("source"),
+    ).dropDuplicates(["doc_id", "_sseq"])
+    ev_e = e.select(
+        "doc_id",
+        F.col("op_sequence").alias("_eseq"),
+        (F.col("op") == "D").alias("_deleted"),
+    ).dropDuplicates(["doc_id", "_eseq"])
+    return (
+        w.join(ev_t, ["doc_id", "_tseq"], "left")
+        .join(ev_s, ["doc_id", "_sseq"], "left")
+        .join(ev_e, ["doc_id", "_eseq"], "left")
+        .filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
+        .select("doc_id", "op_sequence", "tokens", "n_tok", "source")
+    )

@@ -64,6 +64,9 @@ HEADLINE = [
     # round-3 session-3 term-statistics operators
     "q_tfidf",
     "q_cooccur",
+    # round-3 session-5 patch-CDC operators
+    "q_patch_fold",
+    "q_scd2",
 ]
 
 

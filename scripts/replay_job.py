@@ -23,7 +23,10 @@ from pyspark.sql import SparkSession
 
 from beehive_data_etl_spark.sinks.iceberg import IcebergSink, iceberg_available
 from beehive_data_etl_spark.sinks.snapshot import SnapshotSink
-from beehive_data_etl_spark.sources.eventlog import BASE_ENVELOPE_DDL
+from beehive_data_etl_spark.sources.eventlog import (
+    BASE_ENVELOPE_DDL,
+    PATCH_ENVELOPE_DDL,
+)
 from beehive_data_etl_spark.streaming.replay import replay_incremental, replay_stream
 
 
@@ -100,7 +103,17 @@ def _replicator(spark, sink):
 def main() -> None:
     wal_dir, target = sys.argv[1], sys.argv[2]
     spark = SparkSession.builder.appName("beehive-cdc-replay").getOrCreate()
+    # REPLAY_PATCH=1: the WAL carries partial updates (op 'P' +
+    # patch_cols masks, eventlog.PATCH_ENVELOPE_DDL) — fold per cell
+    patch = os.environ.get("REPLAY_PATCH") == "1"
     if iceberg_available(spark) and "/" not in target:
+        if patch:
+            raise NotImplementedError(
+                "REPLAY_PATCH needs the snapshot sink (per-cell state "
+                "column); point the target at a filesystem path — the "
+                "Iceberg twin would need a MERGE with per-cell CASE "
+                "arms, not yet implemented"
+            )
         sink = IcebergSink(spark, target)
     else:
         audit = None
@@ -113,7 +126,8 @@ def main() -> None:
             )
 
             audit = standard_token_audit(
-                max_violations=int(os.environ.get("REPLAY_AUDIT_TOLERANCE", "0"))
+                max_violations=int(os.environ.get("REPLAY_AUDIT_TOLERANCE", "0")),
+                patch=patch,
             )
         sink = SnapshotSink(
             spark,
@@ -123,6 +137,7 @@ def main() -> None:
             n_buckets=int(os.environ.get("REPLAY_N_BUCKETS", "4096")),
             salt_partials=int(os.environ.get("REPLAY_SALT", "8")),
             audit=audit,
+            patch=patch,
         )
     views = _derived_views(spark, sink)
     replicator = _replicator(spark, sink)
@@ -167,7 +182,7 @@ def main() -> None:
         checkpoint_dir=f"{target.rstrip('/')}/_checkpoint"
         if "/" in target
         else f"/tmp/ckpt-{target.replace('.', '-')}",
-        schema_ddl=BASE_ENVELOPE_DDL,
+        schema_ddl=PATCH_ENVELOPE_DDL if patch else BASE_ENVELOPE_DDL,
         max_files_per_trigger=8,
         watermark=("event_ts", "10 minutes"),
         on_batch_commit=(

@@ -49,3 +49,14 @@ def skew_log():
         n_files=6,
         zipf_s=1.6,
     )
+
+
+@pytest.fixture(scope="session")
+def patch_log():
+    """Patch-envelope WAL (I/U/D + masked 'P' partial updates) for the
+    per-cell replay path; cached like the other fixture logs."""
+    from beehive_data_etl_spark.sources.eventlog import generate_patch_log
+
+    return generate_patch_log(
+        os.path.join(FIXTURE_ROOT, "f8_patch"), n_docs=300, n_events=3000, n_files=8
+    )

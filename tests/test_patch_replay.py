@@ -1,0 +1,85 @@
+"""End-to-end patch replay: a generated patch-envelope WAL
+(generate_patch_log — out-of-order files, verbatim duplicates, masked
+partial updates) replayed through the real paths (incremental,
+pipelined via the spark-submit entry point, streaming) must reproduce
+the independent winner-seq/join-back oracle byte-exactly — token
+arrays, n_tok, source, and the row clock."""
+
+import os
+import sys
+
+from pyspark.sql import functions as F
+
+from beehive_data_etl_spark.operators.audit import standard_token_audit
+from beehive_data_etl_spark.sinks.snapshot import SnapshotSink
+from beehive_data_etl_spark.streaming.replay import replay_incremental
+from beehive_data_etl_spark.verify import compare_final, oracle_patch_final_spark
+
+
+def _assert_state_equals_oracle(spark, sink, patch_log):
+    state = sink.read_state().filter("NOT deleted")
+    oracle = oracle_patch_final_spark(spark, patch_log)
+    report = compare_final(state, oracle)  # tokens + op_sequence
+    assert report["ok"], report
+    # the token-centric comparator ignores the other cells — check
+    # source and n_tok the same full-outer way
+    e = state.select("doc_id", "source", "n_tok")
+    o = oracle.select(
+        "doc_id", F.col("source").alias("o_source"), F.col("n_tok").alias("o_n_tok")
+    )
+    j = e.join(o, "doc_id", "full_outer")
+    bad = j.filter(
+        ~F.col("source").eqNullSafe(F.col("o_source"))
+        | ~F.col("n_tok").cast("long").eqNullSafe(F.col("o_n_tok").cast("long"))
+    ).count()
+    assert bad == 0
+
+
+def test_patch_replay_incremental_matches_oracle(spark, patch_log, tmp_path):
+    sink = SnapshotSink(
+        spark,
+        str(tmp_path / "t"),
+        n_buckets=8,
+        compact_threshold=2,
+        patch=True,
+        audit=standard_token_audit(patch=True),
+    )
+    replay_incremental(spark, patch_log, sink, files_per_batch=2)
+    _assert_state_equals_oracle(spark, sink, patch_log)
+
+
+def test_patch_replay_job_pipelined(spark, patch_log, tmp_path, monkeypatch):
+    """The deployment entry point end-to-end with REPLAY_PATCH=1:
+    pipelined (out-of-order commit) replay + the patch-aware audit."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    import replay_job
+
+    target = str(tmp_path / "t")
+    monkeypatch.setattr(sys, "argv", ["replay_job.py", patch_log, target])
+    monkeypatch.setenv("REPLAY_MODE", "pipelined")
+    monkeypatch.setenv("REPLAY_PATCH", "1")
+    monkeypatch.setenv("REPLAY_AUDIT", "standard")
+    monkeypatch.setenv("REPLAY_N_BUCKETS", "8")
+    monkeypatch.setenv("REPLAY_FILES_PER_BATCH", "2")
+    monkeypatch.setenv("REPLAY_INFLIGHT", "2")
+    replay_job.main()
+    sink = SnapshotSink(spark, target, n_buckets=8, patch=True)
+    _assert_state_equals_oracle(spark, sink, patch_log)
+
+
+def test_patch_replay_stream(spark, patch_log, tmp_path):
+    """Structured-Streaming tail over the patch envelope (AvailableNow,
+    checkpointed) — the serial foreachBatch path."""
+    from beehive_data_etl_spark.sources.eventlog import PATCH_ENVELOPE_DDL
+    from beehive_data_etl_spark.streaming.replay import replay_stream
+
+    sink = SnapshotSink(spark, str(tmp_path / "t"), n_buckets=8, patch=True)
+    replay_stream(
+        spark,
+        patch_log,
+        sink,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        schema_ddl=PATCH_ENVELOPE_DDL,
+        max_files_per_trigger=3,
+    )
+    _assert_state_equals_oracle(spark, sink, patch_log)
