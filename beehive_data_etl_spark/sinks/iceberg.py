@@ -62,11 +62,18 @@ class IcebergSink:
         table: str,
         n_buckets: int = 4096,
         salt_partials: int = 0,
+        patch: bool = False,
     ) -> None:
         self.spark = spark
         self.table = table
         self.n_buckets = n_buckets
         self.salt_partials = salt_partials
+        # per-cell LWW mode (operators.patch), mirroring
+        # SnapshotSink(patch=True): the table carries a _cell_seq map
+        # and the MERGE updates each column behind its own cell-seq
+        # CASE arm (semantics proven equivalent to the engine fold by
+        # test_iceberg_adapter's simulation test)
+        self.patch = patch
         # pipelined replay (replay_incremental inflight>1) calls
         # apply_batch from several driver threads; the session-global
         # spark.wap.snapshot-property conf and the MERGE's source view
@@ -88,9 +95,10 @@ class IcebergSink:
 
     # ---------------------------------------------------------------- DDL
     def create_table_ddl(self, payload_ddl: str) -> str:
+        cell = ", _cell_seq MAP<STRING, BIGINT>" if self.patch else ""
         return (
             f"CREATE TABLE IF NOT EXISTS {self.table} ("
-            f"{payload_ddl}, op_sequence BIGINT, deleted BOOLEAN) "
+            f"{payload_ddl}, op_sequence BIGINT, deleted BOOLEAN{cell}) "
             f"USING iceberg PARTITIONED BY (bucket({self.n_buckets}, doc_id)) "
             "TBLPROPERTIES ('write.merge.mode'='merge-on-read', "
             "'write.distribution-mode'='hash', 'format-version'='2')"
@@ -130,12 +138,63 @@ class IcebergSink:
             f"('{self.table}', {snapshot_id})"
         )
 
-    def merge_sql(self, view: str = "__beehive_batch") -> str:
+    @staticmethod
+    def patch_update_exprs(payload_cols: list[str]) -> dict[str, str]:
+        """Per-cell MERGE SET expressions (patch mode): each column
+        updates only when the SOURCE cell's setter seq beats the
+        target's, and the cell-seq maps merge by per-key max
+        (``map_zip_with``; -1 stands in for an absent side and never
+        surfaces — at least one side is set for every merged key).
+        These exact strings are both embedded in ``merge_sql`` and
+        evaluated against plain DataFrames in the adapter test, which
+        proves them row-for-row equivalent to ``cell_lww_dedup``."""
+
+        def arm(c: str) -> str:
+            return (
+                f"CASE WHEN s._cell_seq['{c}'] IS NOT NULL AND "
+                f"(t._cell_seq['{c}'] IS NULL OR "
+                f"s._cell_seq['{c}'] > t._cell_seq['{c}']) "
+                f"THEN s.{c} ELSE t.{c} END"
+            )
+
+        exprs = {c: arm(c) for c in payload_cols}
+        exprs["deleted"] = arm("deleted")
+        exprs["op_sequence"] = "GREATEST(t.op_sequence, s.op_sequence)"
+        exprs["_cell_seq"] = (
+            "map_zip_with(t._cell_seq, s._cell_seq, (k, tv, sv) -> "
+            "GREATEST(COALESCE(tv, CAST(-1 AS BIGINT)), "
+            "COALESCE(sv, CAST(-1 AS BIGINT))))"
+        )
+        return exprs
+
+    def merge_sql(
+        self, view: str = "__beehive_batch", payload_cols: list[str] | None = None
+    ) -> str:
         """The LWW MERGE — identical semantics to the snapshot sink's
         single LWW aggregation: newer op_sequence wins, deletes
         tombstone (kept as rows so late stale updates cannot resurrect;
         readers filter ``NOT deleted``). ``view`` is the per-batch
-        source view name (unique under pipelined replay)."""
+        source view name (unique under pipelined replay).
+
+        Patch mode needs ``payload_cols`` (the table's payload columns)
+        and emits one cell-seq CASE arm per column instead of the
+        row-level seq guard — a MATCHED row always updates, each cell
+        deciding independently."""
+        if self.patch:
+            if payload_cols is None:
+                raise ValueError("patch merge_sql needs payload_cols")
+            sets = ",\n            ".join(
+                f"t.{c} = {e}"
+                for c, e in self.patch_update_exprs(payload_cols).items()
+            )
+            return f"""
+        MERGE INTO {self.table} t
+        USING {view} s
+        ON t.doc_id = s.doc_id
+        WHEN MATCHED THEN UPDATE SET
+            {sets}
+        WHEN NOT MATCHED THEN INSERT *
+        """
         return f"""
         MERGE INTO {self.table} t
         USING {view} s
@@ -167,13 +226,55 @@ class IcebergSink:
         # the authoritative check still re-runs under the lock
         if self.committed(batch_id):
             return {"batch_id": batch_id, "skipped": True}
-        deduped = lww_dedup(
-            batch_df.drop("event_ts", "batch_hint"),
-            "doc_id",
-            "op_sequence",
-            salt_partials=self.salt_partials,
-        )
-        src = deduped.withColumn("deleted", F.col("op") == F.lit("D")).drop("op")
+        events = batch_df.drop("event_ts", "batch_hint")
+        if self.patch:
+            from beehive_data_etl_spark.operators.patch import (
+                cell_lww_dedup,
+                patch_events,
+            )
+
+            # mirror SnapshotSink: cells build against the TABLE's
+            # payload ∪ the batch's (a narrow delete must clear evolved
+            # columns), widened with typed nulls before the fold
+            tbl_fields = [
+                f
+                for f in self.spark.table(self.table).schema.fields
+                if f.name not in ("doc_id", "op_sequence", "deleted", "_cell_seq")
+            ]
+            tbl_names = {f.name for f in tbl_fields}
+            have = set(events.columns)
+            names = [f.name for f in tbl_fields] + [
+                c
+                for c in events.columns
+                if c not in tbl_names
+                and c not in ("op", "patch_cols", "doc_id", "op_sequence")
+            ]
+            types = {f.name: f.dataType for f in tbl_fields}
+            widened = events.select(
+                *[c for c in ("op", "patch_cols") if c in have],
+                F.col("doc_id"),
+                F.col("op_sequence"),
+                *[
+                    (
+                        F.col(c) if c in have else F.lit(None).cast(types[c])
+                    ).alias(c)
+                    for c in names
+                ],
+            )
+            src = cell_lww_dedup(
+                patch_events(widened, key="doc_id", seq="op_sequence",
+                             payload_cols=names),
+                "doc_id",
+                "op_sequence",
+                salt_partials=self.salt_partials,
+            )
+        else:
+            deduped = lww_dedup(
+                events, "doc_id", "op_sequence", salt_partials=self.salt_partials
+            )
+            src = deduped.withColumn(
+                "deleted", F.col("op") == F.lit("D")
+            ).drop("op")
         # materialize the per-key LWW fold OUTSIDE the lock: lww_dedup
         # is lazy, so without this the expensive scan+fold job of every
         # batch would execute inside the MERGE under the lock and
@@ -182,7 +283,18 @@ class IcebergSink:
         # leaving only view-create + conf-stamp + MERGE in the critical
         # section
         src = src.localCheckpoint(eager=True)
-        payload = [c for c in batch_df.columns if c not in ("op", "event_ts", "batch_hint")]
+        # evolution compares PAYLOAD columns only — op_sequence/deleted
+        # live on both sides already, and the table side excludes them,
+        # so leaving op_sequence in the batch schema would emit a bogus
+        # `ADD COLUMN op_sequence` every batch (cluster-only failure)
+        payload = [
+            c
+            for c in batch_df.columns
+            if c not in (
+                "op", "event_ts", "batch_hint", "op_sequence", "patch_cols",
+                "_cell_seq",
+            )
+        ]
         batch_schema = batch_df.select(*payload).schema
         view = f"__beehive_batch_{re.sub(r'[^0-9A-Za-z_]', '_', batch_id)}"
         from pyspark.sql import types as T
@@ -213,8 +325,21 @@ class IcebergSink:
             # creates; set + MERGE + unset all inside the critical
             # section so no other batch can observe or clobber it
             self.spark.conf.set(prop, batch_id)
+            merge = (
+                self.merge_sql(
+                    view,
+                    payload_cols=[
+                        f.name
+                        for f in evolved_table_schema.fields
+                        if f.name
+                        not in ("doc_id", "op_sequence", "deleted", "_cell_seq")
+                    ],
+                )
+                if self.patch
+                else self.merge_sql(view)
+            )
             try:
-                self.spark.sql(self.merge_sql(view))
+                self.spark.sql(merge)
             finally:
                 self.spark.conf.unset(prop)
                 self.spark.catalog.dropTempView(view)

@@ -107,14 +107,10 @@ def main() -> None:
     # patch_cols masks, eventlog.PATCH_ENVELOPE_DDL) — fold per cell
     patch = os.environ.get("REPLAY_PATCH") == "1"
     if iceberg_available(spark) and "/" not in target:
-        if patch:
-            raise NotImplementedError(
-                "REPLAY_PATCH needs the snapshot sink (per-cell state "
-                "column); point the target at a filesystem path — the "
-                "Iceberg twin would need a MERGE with per-cell CASE "
-                "arms, not yet implemented"
-            )
-        sink = IcebergSink(spark, target)
+        # per-cell twin: MERGE with one cell-seq CASE arm per column
+        # (IcebergSink.patch_update_exprs — semantics proven equivalent
+        # to the engine fold by the adapter's simulation test)
+        sink = IcebergSink(spark, target, patch=patch)
     else:
         audit = None
         if os.environ.get("REPLAY_AUDIT") == "standard":

@@ -17,6 +17,7 @@ def test_sql_mapping_encodes_protocol(spark):
     sink = IcebergSink.__new__(IcebergSink)  # bypass the classpath guard
     sink.table = "cat.db.tokens"
     sink.n_buckets = 4096
+    sink.patch = False
 
     ddl = sink.create_table_ddl(
         "doc_id STRING, tokens ARRAY<INT>, n_tok INT, source STRING"
@@ -155,6 +156,7 @@ def test_apply_batch_serializes_commits(monkeypatch):
     sink.spark = stub
     sink.table = "cat.db.tokens"
     sink.salt_partials = 0
+    sink.patch = False
     sink._commit_lock = threading.Lock()
 
     threads = [
@@ -206,3 +208,89 @@ def test_rollback_sql_requires_catalog_qualified_name(spark):
     sink.n_buckets = 64
     with pytest.raises(ValueError, match="catalog-qualified"):
         sink.rollback_sql(7)
+
+
+def test_patch_sql_mapping(spark):
+    sink = IcebergSink.__new__(IcebergSink)
+    sink.table = "cat.db.tokens"
+    sink.n_buckets = 512
+    sink.patch = True
+
+    ddl = sink.create_table_ddl("doc_id STRING, tokens ARRAY<INT>, n_tok INT")
+    assert "_cell_seq MAP<STRING, BIGINT>" in ddl
+
+    with pytest.raises(ValueError, match="payload_cols"):
+        sink.merge_sql("v")
+    merge = sink.merge_sql("v", payload_cols=["tokens", "n_tok"])
+    # a MATCHED row always updates; each cell decides behind its own arm
+    assert "WHEN MATCHED THEN UPDATE SET" in merge
+    assert "s._cell_seq['tokens'] > t._cell_seq['tokens']" in merge
+    assert "s._cell_seq['deleted'] > t._cell_seq['deleted']" in merge
+    assert "map_zip_with(t._cell_seq, s._cell_seq" in merge
+    assert "GREATEST(t.op_sequence, s.op_sequence)" in merge
+    assert "WHEN NOT MATCHED THEN INSERT *" in merge
+
+
+def test_patch_merge_exprs_equal_engine_fold(spark):
+    """The cluster MERGE's SET expressions, evaluated against plain
+    DataFrames, must produce EXACTLY the state the engine fold
+    produces — i.e. merge(fold(A), fold(B)) == fold(A ∪ B) under the
+    generated SQL. Interleaved seqs make B carry late cells below A's
+    row clocks (the case the row-seq guard cannot handle)."""
+    from patch_model import PAYLOAD, SCHEMA, to_events
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from beehive_data_etl_spark.operators.patch import (
+        CELL,
+        cell_lww_dedup,
+        patch_events,
+    )
+
+    ops = [
+        ("I", 0, [], 1), ("P", 0, ["a"], 2), ("D", 1, [], 3),
+        ("I", 1, [], 4), ("P", 1, ["b"], 5), ("U", 2, [], 6),
+        ("P", 2, ["a", "c"], 7), ("I", 3, [], 8), ("P", 4, ["b"], 9),
+        ("D", 0, [], 10), ("P", 3, ["c"], 11), ("I", 5, [], 12),
+    ]
+    events = to_events(ops)
+    a_ev = [e for e in events if e["op_sequence"] % 2 == 1]
+    b_ev = [e for e in events if e["op_sequence"] % 2 == 0]
+
+    def fold(ev):
+        df = spark.createDataFrame(pd.DataFrame(ev), schema=SCHEMA)
+        return cell_lww_dedup(
+            patch_events(df, key="doc_id", seq="op_sequence"),
+            key="doc_id",
+            seq="op_sequence",
+        )
+
+    t, s = fold(a_ev), fold(b_ev)
+    exprs = IcebergSink.patch_update_exprs(PAYLOAD)
+    j = t.alias("t").join(
+        s.alias("s"), F.col("t.doc_id") == F.col("s.doc_id"), "full_outer"
+    )
+    out_cols = ["doc_id"] + list(exprs)
+    sim = j.selectExpr(
+        "coalesce(t.doc_id, s.doc_id) AS doc_id",
+        *[
+            # NOT MATCHED → INSERT * (take s); t-only → keep t;
+            # matched → the MERGE's SET expression verbatim
+            f"CASE WHEN t.doc_id IS NULL THEN s.{c} "
+            f"WHEN s.doc_id IS NULL THEN t.{c} "
+            f"ELSE {e} END AS {c}"
+            for c, e in exprs.items()
+        ],
+    )
+    want = fold(events).select(*out_cols)
+
+    def rows(df):
+        out = {}
+        for r in df.collect():
+            d = r.asDict()
+            d[CELL] = dict(d[CELL] or {})
+            out[d.pop("doc_id")] = d
+        return out
+
+    assert rows(sim) == rows(want)
