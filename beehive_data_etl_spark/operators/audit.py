@@ -115,21 +115,33 @@ def standard_token_audit(
 
     def rule_factory() -> dict:
         live = ~F.col("deleted")
+        rules: dict = {}
         if patch:
             live = live & F.col("_cell_seq")["tokens"].isNotNull()
-        return {
-            "null_doc_id": F.col("doc_id").isNull() | (F.col("doc_id") == ""),
-            "nonpositive_op_sequence": F.col("op_sequence") <= 0,
-            "live_empty_tokens": live
-            & (F.col("tokens").isNull() | (F.size("tokens") == 0)),
-            "live_bad_n_tok": live
-            & (
-                F.col("n_tok").isNull()
-                | (F.col("n_tok") <= 0)
-                | (F.col("n_tok") > max_n_tok)
-                | (F.col("n_tok").cast("long") != F.size("tokens").cast("long"))
-            ),
-        }
+            # tokens and n_tok travel together (n_tok derives from
+            # tokens): a staged row where exactly one of the two cells
+            # is set came from a solo-mask patch the cell-gated rules
+            # below cannot judge — flag the pairing itself
+            rules["unpaired_token_cells"] = (
+                F.col("_cell_seq")["tokens"].isNotNull()
+                != F.col("_cell_seq")["n_tok"].isNotNull()
+            )
+        rules.update(
+            {
+                "null_doc_id": F.col("doc_id").isNull() | (F.col("doc_id") == ""),
+                "nonpositive_op_sequence": F.col("op_sequence") <= 0,
+                "live_empty_tokens": live
+                & (F.col("tokens").isNull() | (F.size("tokens") == 0)),
+                "live_bad_n_tok": live
+                & (
+                    F.col("n_tok").isNull()
+                    | (F.col("n_tok") <= 0)
+                    | (F.col("n_tok") > max_n_tok)
+                    | (F.col("n_tok").cast("long") != F.size("tokens").cast("long"))
+                ),
+            }
+        )
+        return rules
 
     return predicate_audit(
         rule_factory=rule_factory,

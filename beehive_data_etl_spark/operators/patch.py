@@ -99,6 +99,44 @@ def patch_events(
     return out.drop(*[c for c in (op_col, mask_col) if c in df.columns])
 
 
+def widen_for_cells(
+    df: DataFrame,
+    table_payload_fields,
+    key: str = "doc_id",
+    seq: str = "op_sequence",
+    op_col: str = "op",
+    mask_col: str = "patch_cols",
+):
+    """Project raw envelope rows onto the TABLE's payload ∪ the batch's
+    extras (typed nulls for columns the batch lacks) BEFORE
+    ``patch_events``, so a full/delete event stamps EVERY table column
+    — the narrow-delete-must-clear-evolved-columns invariant. Shared by
+    SnapshotSink and IcebergSink precisely so the two sinks cannot
+    drift (review-found duplication). Returns ``(widened_df,
+    payload_names)``; pass the names as ``patch_events(...,
+    payload_cols=names)``."""
+    names = [f.name for f in table_payload_fields]
+    known = set(names)
+    have = set(df.columns)
+    extras = [
+        c
+        for c in df.columns
+        if c not in known and c not in (key, seq, op_col, mask_col, _EXIST, CELL)
+    ]
+    types = {f.name: f.dataType for f in table_payload_fields}
+    widened = df.select(
+        *[c for c in (op_col, mask_col) if c in have],
+        F.col(key),
+        F.col(seq),
+        *[
+            (F.col(c) if c in have else F.lit(None).cast(types[c])).alias(c)
+            for c in names
+        ],
+        *[F.col(c) for c in extras],
+    )
+    return widened, names + extras
+
+
 def _cell_fold(df: DataFrame, key: str, seq: str, salt_col: str | None) -> DataFrame:
     payload = [
         c for c in df.columns if c not in (key, seq, _EXIST, CELL, salt_col)

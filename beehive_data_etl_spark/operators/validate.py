@@ -24,46 +24,94 @@ from pyspark.sql import functions as F
 REASON_COL = "_reject_reason"
 
 
-def _reason_expr():
-    return (
-        F.when(
-            # isNull first: for a null op the isin() predicate is NULL
-            # (not true), and a bare negation would let the row through
-            # every later branch too — a null-op event would merge with
-            # deleted=NULL and act as a silent delete (ADVICE round 1)
-            F.col("op").isNull() | ~F.col("op").isin("I", "U", "D"),
-            F.lit("bad_op"),
+def _reason_expr(patch: bool = False):
+    ops = ("I", "U", "D", "P") if patch else ("I", "U", "D")
+    out = F.when(
+        # isNull first: for a null op the isin() predicate is NULL
+        # (not true), and a bare negation would let the row through
+        # every later branch too — a null-op event would merge with
+        # deleted=NULL and act as a silent delete (ADVICE round 1)
+        F.col("op").isNull() | ~F.col("op").isin(*ops),
+        F.lit("bad_op"),
+    ).when(F.col("doc_id").isNull(), F.lit("null_doc_id")).when(
+        F.col("op_sequence").isNull(), F.lit("null_op_sequence")
+    )
+    if not patch:
+        return (
+            out.when(
+                (F.col("op") != "D") & F.col("tokens").isNull(),
+                F.lit("missing_payload"),
+            )
+            .when(
+                (F.col("op") != "D")
+                & F.col("n_tok").isNotNull()
+                & (F.size("tokens") != F.col("n_tok")),
+                F.lit("n_tok_mismatch"),
+            )
+            .when(
+                (F.col("op") == "D") & F.col("tokens").isNotNull(),
+                F.lit("delete_with_payload"),
+            )
         )
-        .when(F.col("doc_id").isNull(), F.lit("null_doc_id"))
-        .when(F.col("op_sequence").isNull(), F.lit("null_op_sequence"))
+    # patch envelope (op 'P' + patch_cols mask): token rules apply only
+    # to events that SET the token cells; a patch carries nothing
+    # outside its mask; tokens and n_tok always travel together
+    is_p = F.col("op") == "P"
+    sets_tok = ~is_p | F.array_contains("patch_cols", "tokens")
+    return (
+        out.when(
+            is_p & (F.col("patch_cols").isNull() | (F.size("patch_cols") == 0)),
+            F.lit("empty_patch_mask"),
+        )
         .when(
-            (F.col("op") != "D") & F.col("tokens").isNull(), F.lit("missing_payload")
+            is_p
+            & (
+                F.array_contains("patch_cols", "tokens")
+                != F.array_contains("patch_cols", "n_tok")
+            ),
+            F.lit("unpaired_token_mask"),
+        )
+        .when(
+            (F.col("op") != "D") & sets_tok & F.col("tokens").isNull(),
+            F.lit("missing_payload"),
         )
         .when(
             (F.col("op") != "D")
+            & sets_tok
             & F.col("n_tok").isNotNull()
             & (F.size("tokens") != F.col("n_tok")),
             F.lit("n_tok_mismatch"),
         )
-        .when((F.col("op") == "D") & F.col("tokens").isNotNull(), F.lit("delete_with_payload"))
+        .when(
+            is_p & ~sets_tok & F.col("tokens").isNotNull(),
+            F.lit("unmasked_payload"),
+        )
+        .when(
+            (F.col("op") == "D") & F.col("tokens").isNotNull(),
+            F.lit("delete_with_payload"),
+        )
     )
 
 
-def validate_envelope(batch: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """Returns ``(valid, rejected)``; ``rejected`` carries REASON_COL."""
-    tagged = batch.withColumn(REASON_COL, _reason_expr())
+def validate_envelope(
+    batch: DataFrame, patch: bool = False
+) -> tuple[DataFrame, DataFrame]:
+    """Returns ``(valid, rejected)``; ``rejected`` carries REASON_COL.
+    ``patch=True`` validates the patch envelope (op 'P' allowed; token
+    rules scoped to events whose mask sets the token cells)."""
+    tagged = batch.withColumn(REASON_COL, _reason_expr(patch))
     valid = tagged.filter(F.col(REASON_COL).isNull()).drop(REASON_COL)
     rejected = tagged.filter(F.col(REASON_COL).isNotNull())
     return valid, rejected
 
 
-def validating_transform(quarantine_dir: str | None = None):
+def validating_transform(quarantine_dir: str | None = None, patch: bool = False):
     """A replay ``transform`` that enforces A2: valid rows continue to
     the merge; rejected rows are appended to the quarantine directory
     (parquet) with their reasons."""
 
     def _apply(batch: DataFrame) -> DataFrame:
-        valid, rejected = validate_envelope(batch)
+        valid, rejected = validate_envelope(batch, patch=patch)
         if quarantine_dir is not None:
             # no isEmpty() probe: that was a third scan of the source
             # per batch (probe + quarantine write + valid path). An

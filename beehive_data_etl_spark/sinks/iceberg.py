@@ -231,35 +231,19 @@ class IcebergSink:
             from beehive_data_etl_spark.operators.patch import (
                 cell_lww_dedup,
                 patch_events,
+                widen_for_cells,
             )
 
-            # mirror SnapshotSink: cells build against the TABLE's
-            # payload ∪ the batch's (a narrow delete must clear evolved
-            # columns), widened with typed nulls before the fold
+            # same invariant as SnapshotSink, same shared helper: cells
+            # build against the TABLE's payload ∪ the batch's extras (a
+            # narrow delete must clear evolved columns)
             tbl_fields = [
                 f
                 for f in self.spark.table(self.table).schema.fields
                 if f.name not in ("doc_id", "op_sequence", "deleted", "_cell_seq")
             ]
-            tbl_names = {f.name for f in tbl_fields}
-            have = set(events.columns)
-            names = [f.name for f in tbl_fields] + [
-                c
-                for c in events.columns
-                if c not in tbl_names
-                and c not in ("op", "patch_cols", "doc_id", "op_sequence")
-            ]
-            types = {f.name: f.dataType for f in tbl_fields}
-            widened = events.select(
-                *[c for c in ("op", "patch_cols") if c in have],
-                F.col("doc_id"),
-                F.col("op_sequence"),
-                *[
-                    (
-                        F.col(c) if c in have else F.lit(None).cast(types[c])
-                    ).alias(c)
-                    for c in names
-                ],
+            widened, names = widen_for_cells(
+                events, tbl_fields, key="doc_id", seq="op_sequence"
             )
             src = cell_lww_dedup(
                 patch_events(widened, key="doc_id", seq="op_sequence",

@@ -59,6 +59,7 @@ from beehive_data_etl_spark.operators.patch import (
     CELL,
     cell_lww_dedup,
     patch_events,
+    widen_for_cells,
 )
 from beehive_data_etl_spark.operators.schema_evolution import (
     align_to_schema,
@@ -950,30 +951,20 @@ class SnapshotSink:
             # per-cell mode: build the _cell_seq map from op + mask
             # (full events set every cell, 'P' events their masked
             # cells) before alignment; patch_events drops op/mask.
-            # The cell maps are built against the TABLE's payload
-            # columns, not the batch's: a full/delete event must stamp
-            # EVERY table column — review-found, a delete arriving in a
-            # batch narrower than the evolved table left the missing
-            # columns' cells alive, and a later revive resurrected the
-            # deleted values
+            # widen_for_cells projects onto the TABLE's payload columns
+            # (typed nulls for columns this batch lacks): a full/delete
+            # event must stamp EVERY table column — review-found, a
+            # delete arriving in a batch narrower than the evolved
+            # table left the missing columns' cells alive, and a later
+            # revive resurrected the deleted values
             table_payload = [
                 f
                 for f in table_schema.fields
                 if f.name not in _INTERNAL and f.name != KEY
             ]
-            env_keep = [c for c in ("op", _PATCH_MASK) if c in events.columns]
-            widened = events.select(
-                *env_keep,
-                F.col(KEY),
-                F.col(SEQ),
-                *[
-                    (
-                        F.col(f.name)
-                        if f.name in events.columns
-                        else F.lit(None).cast(f.dataType)
-                    ).alias(f.name)
-                    for f in table_payload
-                ],
+            widened, cell_payload = widen_for_cells(
+                events, table_payload, key=KEY, seq=SEQ,
+                op_col="op", mask_col=_PATCH_MASK,
             )
             cell_rows = patch_events(
                 widened,
@@ -981,7 +972,7 @@ class SnapshotSink:
                 seq=SEQ,
                 op_col="op",
                 mask_col=_PATCH_MASK,
-                payload_cols=[f.name for f in table_payload],
+                payload_cols=cell_payload,
             )
         else:
             cell_rows = events.withColumn(

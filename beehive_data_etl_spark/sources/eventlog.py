@@ -356,7 +356,7 @@ def generate_patch_log(
         "p_duplicate": p_duplicate,
         "p_out_of_order": p_out_of_order,
         "zipf_s": zipf_s,
-        "version": 1,
+        "version": 2,  # v2: source varies by (doc, seq)
     }
     meta_path = os.path.join(out_dir, "_meta.json")
     if os.path.exists(meta_path):
@@ -395,7 +395,11 @@ def generate_patch_log(
     lengths_eff = np.where(tok_null, 0, lengths)
     n_tok_vals = lengths.astype(np.int64)
     doc_ids = np.char.add("doc-", np.char.zfill(doc_idx.astype("U8"), 8))
-    source = _SOURCES[_splitmix64(doc_idx.astype(np.uint64)) % np.uint64(len(_SOURCES))]
+    # source varies by (doc, seq) — NOT per doc like the main
+    # generator: 'source' is the only solo-mask cell, so a constant
+    # per-doc value would make every setter identical and a wrong
+    # cell-LWW winner undetectable (review-found test blind spot)
+    source = _SOURCES[keys % np.uint64(len(_SOURCES))]
     event_ts = (
         np.int64(BASE_TS.timestamp() * 1_000_000) + op_seq * np.int64(1_000_000)
     )

@@ -91,3 +91,87 @@ def test_redrive_idempotent_batch_id(spark, smoke_log, tmp_path):
     out2 = redrive(spark, qdir, sink, fixes=_parse_fixes("n_tok=size(tokens)"))
     assert out2["batch_id"] == bid
     assert out2["commit"].get("skipped")  # sink-level exactly-once
+
+
+def test_parse_fixes_allows_commas_in_exprs():
+    fixes = _parse_fixes(
+        "n_tok=coalesce(n_tok, size(tokens)); source=concat(source, '-fixed')"
+    )
+    assert fixes == {
+        "n_tok": "coalesce(n_tok, size(tokens))",
+        "source": "concat(source, '-fixed')",
+    }
+
+
+def test_wrong_fix_commits_nothing_and_is_retryable(spark, smoke_log, tmp_path):
+    """A fix that repairs nothing must NOT consume the quarantine or
+    commit a batch — and a corrected fix afterwards must be a NEW batch
+    that applies (review-found: the name-only hash made the retry a
+    silent no-op)."""
+    qdir = str(tmp_path / "q")
+    sink = SnapshotSink(spark, str(tmp_path / "t"), n_buckets=4)
+    vt = validating_transform(quarantine_dir=qdir)
+    # corrupt ONLY with wrong n_tok (all rows fixable by the right fix)
+    batch = read_wal(spark, smoke_log).withColumn(
+        "n_tok",
+        F.when(F.col("op") != "D", F.col("n_tok") + 7).otherwise(F.col("n_tok")),
+    )
+    sink.apply_batch(vt(batch), "b1")
+    n_files = len([f for f in os.listdir(qdir) if f.endswith(".parquet")])
+    assert n_files > 0
+
+    wrong = redrive(spark, qdir, sink, fixes=_parse_fixes("n_tok=n_tok"))
+    assert wrong.get("skipped") and "untouched" in wrong["reason"]
+    # quarantine intact, nothing committed, no stray dirs
+    assert len([f for f in os.listdir(qdir) if f.endswith(".parquet")]) == n_files
+    assert not sink.committed(wrong["batch_id"])
+
+    right = redrive(spark, qdir, sink, fixes=_parse_fixes("n_tok=size(tokens)"))
+    assert right["batch_id"] != wrong["batch_id"]  # fix is part of the id
+    assert right["redriven_rows"] > 0 and right["remaining"] == 0
+    assert sink.committed(right["batch_id"])
+
+
+def test_patch_envelope_redrive(spark, tmp_path):
+    """REPLAY_PATCH re-drive: patch events ('P' + mask) must survive
+    re-validation (review-found: the row-envelope rules rejected every
+    patch as bad_op, making patch quarantines un-redrivable)."""
+    import pandas as pd
+
+    from beehive_data_etl_spark.operators.validate import validate_envelope
+
+    qdir = str(tmp_path / "q")
+    os.makedirs(qdir)
+    sink = SnapshotSink(spark, str(tmp_path / "t"), n_buckets=4, patch=True)
+    schema = (
+        "op string, op_sequence long, doc_id string, tokens array<int>, "
+        "n_tok int, source string, patch_cols array<string>"
+    )
+    rows = [
+        # good insert + good patch; one patch with a broken n_tok
+        # (fixable) and one with an empty mask (unfixable)
+        {"op": "I", "op_sequence": 1, "doc_id": "d0", "tokens": [1, 2],
+         "n_tok": 2, "source": "s", "patch_cols": None},
+        {"op": "P", "op_sequence": 2, "doc_id": "d0", "tokens": [3, 4, 5],
+         "n_tok": 9, "source": None, "patch_cols": ["tokens", "n_tok"]},
+        {"op": "P", "op_sequence": 3, "doc_id": "d0", "tokens": None,
+         "n_tok": None, "source": "x", "patch_cols": []},
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows), schema=schema)
+    valid, rejected = validate_envelope(df, patch=True)
+    assert valid.count() == 1  # the insert
+    reasons = {r["_reject_reason"] for r in rejected.collect()}
+    assert reasons == {"n_tok_mismatch", "empty_patch_mask"}
+    rejected.write.mode("overwrite").parquet(qdir)
+    sink.apply_batch(valid, "b1")
+
+    out = redrive(
+        spark, qdir, sink,
+        fixes=_parse_fixes("n_tok=coalesce(size(tokens), n_tok)"),
+        patch=True,
+    )
+    assert out["redriven_rows"] == 1  # the repaired patch
+    assert out["remaining"] == 1  # empty-mask patch stays dead
+    row = sink.read_final().collect()[0]
+    assert row["tokens"] == [3, 4, 5] and row["n_tok"] == 3
+    assert row["source"] == "s"  # patch left unmasked cells alone
