@@ -83,3 +83,44 @@ def test_patch_replay_stream(spark, patch_log, tmp_path):
         max_files_per_trigger=3,
     )
     _assert_state_equals_oracle(spark, sink, patch_log)
+
+
+def test_derived_views_over_patch_table(spark, patch_log, tmp_path):
+    """Incremental view maintenance composes with per-cell folds: the
+    changelog's full images + cell-fingerprint change detection must
+    keep an AggregateView exactly equal to a from-scratch GROUP BY —
+    including groups whose membership changed ONLY via a source-mask
+    patch (the row moves between groups with no token change)."""
+    from pyspark.sql import functions as F
+
+    from beehive_data_etl_spark.sinks.aggregates import AggregateView
+
+    sink = SnapshotSink(
+        spark, str(tmp_path / "t"), n_buckets=8, compact_threshold=2, patch=True
+    )
+    view = AggregateView(
+        spark, sink, str(tmp_path / "agg"), ["source"], ["n_tok"]
+    )
+    import glob
+
+    files = sorted(glob.glob(os.path.join(patch_log, "part-*.parquet")))
+    for i in range(0, len(files), 2):
+        sink.apply_batch(
+            spark.read.parquet(*files[i : i + 2]).drop("event_ts", "batch_hint"),
+            f"b{i}",
+        )
+        view.refresh()
+    got = {
+        r["source"]: (r["n_rows"], r["n_tok"]) for r in view.read().collect()
+    }
+    want = {
+        r["source"]: (r["n_rows"], r["n_tok"])
+        for r in sink.read_final()
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("n_tok").alias("n_tok"),
+        )
+        .collect()
+    }
+    assert got == want
