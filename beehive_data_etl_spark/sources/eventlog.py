@@ -472,3 +472,193 @@ def generate_patch_log(
     with open(meta_path, "w") as fh:
         json.dump(meta, fh)
     return out_dir
+
+
+TXN_ENVELOPE_DDL = (
+    "op string, op_sequence long, doc_id string, tokens array<int>, "
+    "n_tok int, source string, event_ts timestamp, batch_hint int, "
+    "table_name string, txn_id long, txn_events long"
+)
+
+
+def generate_txn_log(
+    out_dir: str,
+    tables: tuple[str, ...] = ("docs", "meta"),
+    n_docs: int = 200,
+    n_txns: int = 400,
+    n_files: int = 10,
+    seed: int = 42,
+    max_txn_events: int = 6,
+    p_abort: float = 0.06,
+    p_unterminated: float = 0.03,
+    p_late_marker: float = 0.25,
+    p_out_of_order: float = 0.05,
+    p_duplicate: float = 0.02,
+) -> str:
+    """Multi-table TRANSACTIONAL CDC log (the Debezium shape: data
+    events tagged ``(table_name, txn_id)`` interleaved with per-txn
+    commit/rollback markers).
+
+    Stream layout: data events of concurrent transactions fully
+    interleave (a random permutation assigns each stream slot to a
+    txn); each committed txn emits exactly one marker row ``op='C'``
+    with ``txn_events`` = its data-event count (the transaction-metadata
+    record), placed in the file of the txn's LAST event — or 1-2 files
+    later with ``p_late_marker`` (txns spanning micro-batches).
+    ``p_abort`` txns emit ``op='R'`` instead (their events must never
+    apply); ``p_unterminated`` txns emit NO marker (stay pending
+    forever — the stuck-txn report's food). ``p_out_of_order``
+    displaces data events 1-3 files late, so a marker can precede some
+    of its own events in replay order; ``p_duplicate`` re-emits events
+    verbatim in a later file. Marker rows carry null doc_id/payload and
+    a distinct op_sequence range (markers never participate in LWW).
+
+    Every payload is a pure function of (table, doc, op_sequence, seed)
+    — see ``oracle_txn_final_duckdb`` for the independent replay.
+    """
+    meta = {
+        "tables": list(tables),
+        "n_docs": n_docs,
+        "n_txns": n_txns,
+        "n_files": n_files,
+        "seed": seed,
+        "max_txn_events": max_txn_events,
+        "p_abort": p_abort,
+        "p_unterminated": p_unterminated,
+        "p_late_marker": p_late_marker,
+        "p_out_of_order": p_out_of_order,
+        "p_duplicate": p_duplicate,
+        "version": 1,
+    }
+    meta_path = os.path.join(out_dir, "_meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as fh:
+            if json.load(fh) == meta:
+                return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.default_rng(seed)
+
+    txn_sizes = rng.integers(1, max_txn_events + 1, size=n_txns)
+    n_events = int(txn_sizes.sum())
+    # full interleave: slot i belongs to txn txn_of[i]
+    txn_of = rng.permutation(np.repeat(np.arange(n_txns, dtype=np.int64), txn_sizes))
+    op_seq = np.arange(1, n_events + 1, dtype=np.int64)
+
+    table_idx = rng.integers(0, len(tables), size=n_events)
+    doc_idx = rng.integers(0, n_docs, size=n_events)
+    roll = rng.random(n_events)
+    op = np.where(roll < 0.75, "U", np.where(roll < 0.9, "I", "D"))
+    # first occurrence per (table, doc) forced to 'I'
+    flat = table_idx * n_docs + doc_idx
+    order_of_first = np.full(len(tables) * n_docs, -1, dtype=np.int64)
+    rev = np.arange(n_events - 1, -1, -1)
+    order_of_first[flat[rev]] = rev
+    first_mask = np.zeros(n_events, dtype=bool)
+    first_mask[order_of_first[order_of_first >= 0]] = True
+    op = np.where(first_mask, "I", op)
+    is_del = op == "D"
+
+    # payloads keyed off a per-table doc namespace so identical doc ids
+    # in different tables carry independent token streams
+    keys = _event_keys(doc_idx + table_idx * np.int64(1_000_003), op_seq, seed)
+    lengths = _lengths(keys)
+    lengths_eff = np.where(is_del, 0, lengths)
+    n_tok_vals = lengths.astype(np.int64)
+    doc_ids = np.char.add("doc-", np.char.zfill(doc_idx.astype("U8"), 8))
+    source = _SOURCES[_splitmix64(doc_idx.astype(np.uint64)) % np.uint64(len(_SOURCES))]
+    event_ts = (
+        np.int64(BASE_TS.timestamp() * 1_000_000) + op_seq * np.int64(1_000_000)
+    )
+    table_names = np.asarray(tables)[table_idx]
+
+    events_per_file = max(1, (n_events + n_files - 1) // n_files)
+    file_idx = (np.arange(n_events) // events_per_file).astype(np.int32)
+    ooo = rng.random(n_events) < p_out_of_order
+    file_idx = np.where(
+        ooo,
+        np.minimum(file_idx + rng.integers(1, 4, size=n_events), n_files - 1),
+        file_idx,
+    ).astype(np.int32)
+    dup_sel = np.flatnonzero(rng.random(n_events) < p_duplicate)
+    dup_file_idx = np.minimum(
+        file_idx[dup_sel] + rng.integers(1, 4, size=len(dup_sel)), n_files - 1
+    ).astype(np.int32)
+
+    # markers: fate per txn, file = last data-event file (+0..2 if late)
+    fate_roll = rng.random(n_txns)
+    aborted = fate_roll < p_abort
+    unterminated = (fate_roll >= p_abort) & (fate_roll < p_abort + p_unterminated)
+    last_file = np.zeros(n_txns, dtype=np.int32)
+    np.maximum.at(last_file, txn_of, file_idx)
+    late = rng.random(n_txns) < p_late_marker
+    marker_file = np.minimum(
+        last_file + np.where(late, rng.integers(1, 3, size=n_txns), 0), n_files - 1
+    ).astype(np.int32)
+    marker_seq = np.int64(n_events) + 1 + np.arange(n_txns, dtype=np.int64)
+
+    def _data_table(sel: np.ndarray, f: int) -> pa.Table:
+        new_off, new_vals = _ragged_tokens(keys[sel], lengths_eff[sel])
+        del_mask = is_del[sel]
+        toks = pa.ListArray.from_arrays(
+            pa.array(new_off.astype(np.int32), type=pa.int32()),
+            pa.array(new_vals, type=pa.int32()),
+        )
+        if del_mask.any():
+            indices = pa.array(np.arange(len(sel), dtype=np.int64), mask=del_mask)
+            toks = toks.take(indices)
+        return pa.table(
+            {
+                "op": pa.array(op[sel]),
+                "op_sequence": pa.array(op_seq[sel], type=pa.int64()),
+                "doc_id": pa.array(doc_ids[sel]),
+                "tokens": toks,
+                "n_tok": pa.array(n_tok_vals[sel], type=pa.int32(), mask=del_mask),
+                "source": pa.array(source[sel]),
+                "event_ts": pa.array(event_ts[sel], type=pa.timestamp("us", tz="UTC")),
+                "batch_hint": pa.array(np.full(len(sel), f, dtype=np.int32)),
+                "table_name": pa.array(table_names[sel]),
+                "txn_id": pa.array(txn_of[sel], type=pa.int64()),
+                "txn_events": pa.array(
+                    np.zeros(len(sel), dtype=np.int64), type=pa.int64(),
+                    mask=np.ones(len(sel), dtype=bool),
+                ),
+            }
+        )
+
+    def _marker_table(msel: np.ndarray, f: int) -> pa.Table:
+        n = len(msel)
+        all_null = np.ones(n, dtype=bool)
+        return pa.table(
+            {
+                "op": pa.array(np.where(aborted[msel], "R", "C")),
+                "op_sequence": pa.array(marker_seq[msel], type=pa.int64()),
+                "doc_id": pa.array([None] * n, type=pa.string()),
+                "tokens": pa.array([None] * n, type=pa.list_(pa.int32())),
+                "n_tok": pa.array(np.zeros(n, dtype=np.int32), mask=all_null),
+                "source": pa.array([None] * n, type=pa.string()),
+                "event_ts": pa.array(
+                    np.full(n, np.int64(BASE_TS.timestamp() * 1_000_000)),
+                    type=pa.timestamp("us", tz="UTC"),
+                ),
+                "batch_hint": pa.array(np.full(n, f, dtype=np.int32)),
+                "table_name": pa.array([None] * n, type=pa.string()),
+                "txn_id": pa.array(msel.astype(np.int64), type=pa.int64()),
+                "txn_events": pa.array(txn_sizes[msel].astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    all_idx = np.concatenate([np.arange(n_events), dup_sel]).astype(np.int64)
+    all_file = np.concatenate([file_idx, dup_file_idx])
+    for f in range(n_files):
+        sel = all_idx[all_file == f]
+        sel = sel[np.argsort(op_seq[sel], kind="stable")]
+        tbl = _data_table(sel, f)
+        msel = np.flatnonzero((marker_file == f) & ~unterminated)
+        if len(msel):
+            tbl = pa.concat_tables([tbl, _marker_table(msel, f)])
+        pq.write_table(
+            tbl, os.path.join(out_dir, f"part-{f:05d}.parquet"), row_group_size=20000
+        )
+    with open(meta_path, "w") as fh:
+        json.dump(meta, fh)
+    return out_dir

@@ -139,3 +139,45 @@ def oracle_patch_final_spark(spark: SparkSession, log_dir: str) -> DataFrame:
         .filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
         .select("doc_id", "op_sequence", "tokens", "n_tok", "source")
     )
+
+
+def oracle_txn_final_duckdb(log_dir: str, table_name: str) -> pd.DataFrame:
+    """Independent replay of a TRANSACTIONAL multi-table log (see
+    ``generate_txn_log``): apply only data events whose transaction is
+    COMMITTED — a 'C' marker exists, no 'R' rollback, and the distinct
+    data-event count equals the marker's ``txn_events`` (re-delivered
+    duplicates collapse on op_sequence). Non-transactional rows (null
+    txn_id) always apply. Then per-doc LWW, tombstones dropped."""
+    files = sorted(glob.glob(os.path.join(log_dir, "part-*.parquet")))
+    con = duckdb.connect()
+    q = f"""
+        WITH raw AS (
+            SELECT * FROM read_parquet({files!r}, union_by_name=true)
+        ),
+        markers AS (
+            SELECT txn_id,
+                   max(txn_events) FILTER (op = 'C') AS expected,
+                   bool_or(op = 'R') AS aborted
+            FROM raw WHERE op IN ('C', 'R') GROUP BY txn_id
+        ),
+        data AS (SELECT * FROM raw WHERE op IN ('I', 'U', 'D')),
+        counts AS (
+            SELECT txn_id, count(DISTINCT op_sequence) AS c
+            FROM data GROUP BY txn_id
+        ),
+        committed AS (
+            SELECT m.txn_id FROM markers m JOIN counts c USING (txn_id)
+            WHERE NOT m.aborted AND c.c = m.expected
+        ),
+        released AS (
+            SELECT * FROM data
+            WHERE txn_id IS NULL OR txn_id IN (SELECT txn_id FROM committed)
+        )
+        SELECT * EXCLUDE (op, event_ts, batch_hint, table_name, txn_id, txn_events)
+        FROM released
+        WHERE table_name = ?
+        QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY op_sequence DESC) = 1
+          AND op != 'D'
+        ORDER BY doc_id
+    """
+    return con.execute(q, [table_name]).df()

@@ -1,0 +1,354 @@
+"""Multi-table transactional CDC (streaming/txn.py): release-on-commit
+semantics, atomic cross-table consistent points, crash re-drive, and
+the retention/quarantine edges — each scenario vs hand-built batches or
+the deterministic txn log + independent DuckDB oracle."""
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from beehive_data_etl_spark.sinks.snapshot import SnapshotSink
+from beehive_data_etl_spark.sources.eventlog import TXN_ENVELOPE_DDL, generate_txn_log
+from beehive_data_etl_spark.streaming.replay import replay_incremental
+from beehive_data_etl_spark.streaming.txn import TxnCoordinator
+from beehive_data_etl_spark.verify import oracle_txn_final_duckdb
+
+FIXTURE_ROOT = "/tmp/beehive_fixtures"
+
+
+@pytest.fixture(scope="module")
+def txn_log():
+    return generate_txn_log(os.path.join(FIXTURE_ROOT, "f_txn"))
+
+
+def mk_coord(spark, tmp_path, tables=("docs", "meta"), **kw):
+    sinks = {
+        t: SnapshotSink(spark, os.path.join(str(tmp_path), "tables", t), n_buckets=2)
+        for t in tables
+    }
+    return TxnCoordinator(spark, os.path.join(str(tmp_path), "coord"), sinks, **kw), sinks
+
+
+def ev(spark, rows):
+    """rows: (op, seq, doc, table, txn, txn_events) — payload derived."""
+    data = [
+        (
+            op,
+            seq,
+            doc,
+            None if op in ("D", "C", "R") else [seq, seq + 1],
+            None if op in ("D", "C", "R") else 2,
+            "src",
+            None,
+            0,
+            table,
+            txn,
+            expect,
+        )
+        for (op, seq, doc, table, txn, expect) in rows
+    ]
+    return spark.createDataFrame(data, TXN_ENVELOPE_DDL)
+
+
+def live_docs(sink):
+    if sink.current_snapshot() is None:
+        return {}
+    return {r["doc_id"]: r["tokens"] for r in sink.read_final().collect()}
+
+
+# ---------------------------------------------------------------- oracle
+
+
+def test_txn_replay_matches_oracle(spark, txn_log, tmp_path):
+    coord, sinks = mk_coord(spark, tmp_path)
+    replay_incremental(spark, txn_log, coord, files_per_batch=2)
+    for table in ("docs", "meta"):
+        eng = (
+            sinks[table]
+            .read_state()
+            .filter(~F.col("deleted"))
+            .orderBy("doc_id")
+            .select("doc_id", "op_sequence", "tokens", "n_tok", "source")
+            .toPandas()
+        )
+        ora = oracle_txn_final_duckdb(txn_log, table)[
+            ["doc_id", "op_sequence", "tokens", "n_tok", "source"]
+        ]
+        assert list(eng["doc_id"]) == list(ora["doc_id"])
+        assert list(eng["op_sequence"]) == list(ora["op_sequence"])
+        # byte-equality of token arrays (the north-rule invariant)
+        assert all(
+            list(a) == list(b) for a, b in zip(eng["tokens"], ora["tokens"])
+        )
+    # consistent point reflects the final state of BOTH tables
+    point = coord.latest_point()
+    for table in ("docs", "meta"):
+        at_point = coord.consistent_read(table).count()
+        assert at_point == sinks[table].read_final().count()
+    assert point["versions"]["docs"] is not None
+
+
+def test_txn_replay_is_batch_split_invariant(spark, txn_log, tmp_path):
+    """files_per_batch=1 vs =5 produce identical final tables — txn
+    release must not depend on where micro-batch boundaries fall."""
+    finals = []
+    for i, fpb in enumerate((1, 5)):
+        coord, sinks = mk_coord(spark, tmp_path / f"s{i}")
+        replay_incremental(spark, txn_log, coord, files_per_batch=fpb)
+        finals.append(
+            sorted(
+                (r["doc_id"], r["op_sequence"], tuple(r["tokens"]))
+                for r in sinks["docs"]
+                .read_state()
+                .filter(~F.col("deleted"))
+                .collect()
+            )
+        )
+    assert finals[0] == finals[1]
+
+
+# ------------------------------------------------------- release edges
+
+
+def test_txn_spanning_batches_held_then_released(spark, tmp_path):
+    coord, sinks = mk_coord(spark, tmp_path)
+    # txn 1: two events; only the first + marker arrive in batch 1
+    b1 = ev(spark, [("I", 1, "a", "docs", 1, None), ("C", 100, None, None, 1, 2)])
+    r1 = coord.apply_batch(b1, "b1")
+    assert r1["released_events"] == 0 and r1.get("pending_events") == 1
+    assert live_docs(sinks["docs"]) == {}
+    stuck = coord.stuck_txns()
+    assert stuck["awaiting_events"] == {1: {"have": 1, "expected": 2}}
+    b2 = ev(spark, [("I", 2, "b", "meta", 1, None)])
+    r2 = coord.apply_batch(b2, "b2")
+    assert r2["txns_completed"] == 1 and r2["released_events"] == 2
+    assert set(live_docs(sinks["docs"])) == {"a"}
+    assert set(live_docs(sinks["meta"])) == {"b"}
+
+
+def test_marker_before_events(spark, tmp_path):
+    coord, sinks = mk_coord(spark, tmp_path)
+    coord.apply_batch(ev(spark, [("C", 100, None, None, 7, 1)]), "b1")
+    assert coord.stuck_txns()["awaiting_events"] == {7: {"have": 0, "expected": 1}}
+    r = coord.apply_batch(ev(spark, [("I", 1, "x", "docs", 7, None)]), "b2")
+    assert r["txns_completed"] == 1
+    assert set(live_docs(sinks["docs"])) == {"x"}
+
+
+def test_rollback_discards_even_late_events(spark, tmp_path):
+    coord, sinks = mk_coord(spark, tmp_path)
+    r1 = coord.apply_batch(
+        ev(spark, [("I", 1, "a", "docs", 3, None), ("R", 100, None, None, 3, None)]),
+        "b1",
+    )
+    assert r1["aborted_events"] == 1
+    # a late commit marker and a straggler event of the aborted txn
+    r = coord.apply_batch(
+        ev(spark, [("I", 2, "b", "docs", 3, None), ("C", 101, None, None, 3, 2)]),
+        "b2",
+    )
+    assert live_docs(sinks["docs"]) == {}
+    assert r["aborted_events"] == 1
+    assert 3 in coord.stuck_txns()["aborted"]
+
+
+def test_overfull_txn_quarantined(spark, tmp_path):
+    coord, sinks = mk_coord(spark, tmp_path)
+    r = coord.apply_batch(
+        ev(
+            spark,
+            [
+                ("I", 1, "a", "docs", 5, None),
+                ("I", 2, "b", "docs", 5, None),
+                ("C", 100, None, None, 5, 1),
+            ],
+        ),
+        "b1",
+    )
+    assert r["txns_overfull"] == 1 and r["released_events"] == 0
+    assert live_docs(sinks["docs"]) == {}
+    assert coord.stuck_txns()["quarantined"] == [5]
+    # a re-delivered event of a quarantined txn never applies either
+    coord.apply_batch(ev(spark, [("I", 1, "a", "docs", 5, None)]), "b2")
+    assert live_docs(sinks["docs"]) == {}
+
+
+def test_conflicting_commit_markers_quarantine(spark, tmp_path):
+    coord, sinks = mk_coord(spark, tmp_path)
+    coord.apply_batch(ev(spark, [("C", 100, None, None, 9, 2)]), "b1")
+    r = coord.apply_batch(
+        ev(spark, [("C", 101, None, None, 9, 3), ("I", 1, "a", "docs", 9, None)]),
+        "b2",
+    )
+    assert r["released_events"] == 0
+    assert 9 in coord.stuck_txns()["quarantined"]
+
+
+def test_duplicate_events_collapse_in_count(spark, tmp_path):
+    """Re-delivered duplicates (same op_sequence) must not fake
+    completeness or overfullness."""
+    coord, sinks = mk_coord(spark, tmp_path)
+    r1 = coord.apply_batch(
+        ev(
+            spark,
+            [
+                ("I", 1, "a", "docs", 2, None),
+                ("I", 1, "a", "docs", 2, None),  # verbatim duplicate
+                ("C", 100, None, None, 2, 2),
+            ],
+        ),
+        "b1",
+    )
+    assert r1["txns_completed"] == 0  # still waiting for the 2nd event
+    r2 = coord.apply_batch(ev(spark, [("U", 2, "a", "docs", 2, None)]), "b2")
+    assert r2["txns_completed"] == 1
+    assert live_docs(sinks["docs"])["a"] == [2, 3]
+
+
+def test_null_txn_rows_release_immediately(spark, tmp_path):
+    coord, sinks = mk_coord(spark, tmp_path)
+    r = coord.apply_batch(ev(spark, [("I", 1, "a", "docs", None, None)]), "b1")
+    assert r["released_events"] == 1
+    assert set(live_docs(sinks["docs"])) == {"a"}
+
+
+def test_empty_txn_completes_trivially(spark, tmp_path):
+    coord, _ = mk_coord(spark, tmp_path)
+    r = coord.apply_batch(ev(spark, [("C", 100, None, None, 4, 0)]), "b1")
+    assert r["txns_completed"] == 1
+    assert coord.stuck_txns()["awaiting_events"] == {}
+
+
+def test_unterminated_txn_stays_pending(spark, tmp_path):
+    coord, sinks = mk_coord(spark, tmp_path)
+    coord.apply_batch(ev(spark, [("I", 1, "a", "docs", 8, None)]), "b1")
+    coord.apply_batch(ev(spark, [("I", 2, "b", "docs", 99, None), ("C", 100, None, None, 99, 1)]), "b2")
+    assert set(live_docs(sinks["docs"])) == {"b"}
+    assert coord.stuck_txns()["awaiting_marker"] == {8: 1}
+
+
+# ------------------------------------------------- crash / exactly-once
+
+
+def test_redelivered_batch_skips(spark, tmp_path):
+    coord, sinks = mk_coord(spark, tmp_path)
+    b = ev(spark, [("I", 1, "a", "docs", None, None)])
+    coord.apply_batch(b, "b1")
+    r = coord.apply_batch(b, "b1")
+    assert r["skipped"] and r["reason"] == "already committed"
+    assert coord.committed("b1")
+
+
+class _FailingSink:
+    """Wraps a SnapshotSink; raises on apply_batch until disarmed."""
+
+    def __init__(self, inner):
+        self.inner = inner
+        self.armed = True
+
+    def apply_batch(self, df, batch_id):
+        if self.armed:
+            raise RuntimeError("injected crash before this table's commit")
+        return self.inner.apply_batch(df, batch_id)
+
+    def __getattr__(self, name):
+        return getattr(self.inner, name)
+
+
+def test_consistent_read_never_torn_across_tables(spark, tmp_path):
+    coord, sinks = mk_coord(spark, tmp_path)
+    # seed both tables at point 0
+    coord.apply_batch(
+        ev(
+            spark,
+            [
+                ("I", 1, "a", "docs", None, None),
+                ("I", 2, "m", "meta", None, None),
+            ],
+        ),
+        "b1",
+    )
+    v_docs = coord.latest_point()["versions"]["docs"]
+    # batch 2 touches BOTH tables within one txn; crash 'meta' mid-apply
+    failing = _FailingSink(coord.sinks["meta"])
+    coord.sinks["meta"] = failing
+    b2 = ev(
+        spark,
+        [
+            ("U", 10, "a", "docs", 1, None),
+            ("U", 11, "m", "meta", 1, None),
+            ("C", 100, None, None, 1, 2),
+        ],
+    )
+    with pytest.raises(RuntimeError, match="injected crash"):
+        coord.apply_batch(b2, "b2")
+    # docs' SINK already has the new row (tables apply in order)…
+    assert live_docs(sinks["docs"])["a"] == [10, 11]
+    # …but the consistent view is still the pre-batch cut: no torn txn
+    point = coord.latest_point()
+    assert point["batch_id"] == "b1"
+    assert point["versions"]["docs"] == v_docs
+    assert {
+        r["doc_id"]: r["tokens"] for r in coord.consistent_read("docs").collect()
+    }["a"] == [1, 2]
+    # recover and RE-DRIVE the same batch: docs' sink skips (manifest),
+    # meta applies, the point advances atomically to the full txn
+    failing.armed = False
+    r = coord.apply_batch(b2, "b2")
+    assert r["applied"]["docs"].get("skipped"), r["applied"]["docs"]
+    point = coord.latest_point()
+    assert point["batch_id"] == "b2"
+    assert {
+        r["doc_id"]: r["tokens"] for r in coord.consistent_read("meta").collect()
+    }["m"] == [11, 12]
+
+
+def test_resume_after_head_flip_before_point(spark, tmp_path):
+    """Crash between the HEAD flip and the point publish: re-drive only
+    re-publishes the point (every table already committed)."""
+    coord, sinks = mk_coord(spark, tmp_path)
+    coord.apply_batch(ev(spark, [("I", 1, "a", "docs", None, None)]), "b1")
+    point_file = [
+        f for f in os.listdir(os.path.join(coord.root, "points")) if f.endswith(".json")
+    ][0]
+    os.remove(os.path.join(coord.root, "points", point_file))
+    assert not coord.committed("b1")
+    r = coord.apply_batch(ev(spark, [("I", 1, "a", "docs", None, None)]), "b1")
+    assert r.get("resumed") is True
+    assert coord.latest_point()["batch_id"] == "b1"
+    assert set(live_docs(sinks["docs"])) == {"a"}
+
+
+def test_floor_compaction_treats_old_duplicates_as_released(spark, tmp_path):
+    coord, sinks = mk_coord(spark, tmp_path, released_retain=1)
+    coord.apply_batch(
+        ev(
+            spark,
+            [
+                ("I", 1, "a", "docs", 1, None),
+                ("C", 100, None, None, 1, 1),
+                ("I", 2, "b", "docs", 2, None),
+                ("C", 101, None, None, 2, 1),
+            ],
+        ),
+        "b1",
+    )
+    # retention kept only txn 2; txn 1 fell below the floor
+    # a straggler duplicate of txn 1 re-arrives → released, not pending
+    r = coord.apply_batch(ev(spark, [("I", 1, "a", "docs", 1, None)]), "b2")
+    assert r["released_events"] == 1 and r.get("pending_events", 0) == 0
+    # idempotent at the sink: same op_sequence, LWW absorbs it
+    assert live_docs(sinks["docs"])["a"] == [1, 2]
+
+
+def test_vacuum_stages_keeps_live_pending(spark, tmp_path):
+    coord, sinks = mk_coord(spark, tmp_path)
+    coord.apply_batch(ev(spark, [("I", 1, "a", "docs", 1, None)]), "b1")  # pending
+    coord.apply_batch(ev(spark, [("C", 100, None, None, 1, 1)]), "b2")  # releases
+    out = coord.vacuum_stages()
+    assert out["removed"] == ["v-b1"] and out["kept"] == "v-b2"
+    # the coordinator still works from the surviving stage
+    coord.apply_batch(ev(spark, [("I", 5, "z", "docs", None, None)]), "b3")
+    assert set(live_docs(sinks["docs"])) == {"a", "z"}
