@@ -62,5 +62,7 @@ def test_driver_snapshot_order():
                "q_mixture_weights", "q_global_shuffle",
                "q_dup_span", "q_sql_not_exists",
                # round-3 session-3 additions (never driver-checked)
-               "q_tfidf", "q_cooccur"}
+               "q_tfidf", "q_cooccur",
+               # round-3 session-6 additions (never driver-checked)
+               "q_txn_consistent", "q_txn_stuck"}
     assert set(never_checked) | touched <= set(keys[:50])

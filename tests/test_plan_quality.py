@@ -243,3 +243,15 @@ def test_cooccur_checkpointed_df_table(spark):
     plan = plan_of(token_cooccurrence(docs))
     assert plan.count("Scan parquet") == 2 * 2, plan  # formatted: ×2
     assert plan.count("Scan ExistingRDD") >= 3, plan
+
+
+def test_txn_release_decision_is_broadcast(spark):
+    """The transaction-release join must broadcast the (metadata-sized)
+    committed-txn set — the event side never shuffles for the release
+    decision, at any scale."""
+    consistent = plan_of(QUERIES["q_txn_consistent"](spark, SF))
+    stuck = plan_of(QUERIES["q_txn_stuck"](spark, SF))
+    assert "BroadcastHashJoin" in consistent and "LeftSemi" in consistent
+    assert "BroadcastHashJoin" in stuck and "LeftAnti" in stuck
+    # no sort-merge fallback: a SMJ here would shuffle the event stream
+    assert "SortMergeJoin" not in consistent and "SortMergeJoin" not in stuck
