@@ -103,6 +103,59 @@ def _replicator(spark, sink):
 def main() -> None:
     wal_dir, target = sys.argv[1], sys.argv[2]
     spark = SparkSession.builder.appName("beehive-cdc-replay").getOrCreate()
+    # REPLAY_TXN=1: the WAL is a MULTI-TABLE transactional log
+    # (eventlog.TXN_ENVELOPE_DDL — C/R markers + table_name/txn_id).
+    # <target> becomes the deployment root: per-table sinks under
+    # tables/<name>, the coordinator's pending spill + consistent
+    # points under coord/. REPLAY_TXN_TABLES names the tables
+    # (default docs,meta). Transaction release is inherently ordered,
+    # so both modes run serially (pipelined forces inflight=1).
+    if os.environ.get("REPLAY_TXN") == "1":
+        if "/" not in target:
+            raise ValueError(
+                "REPLAY_TXN targets a filesystem root (consistent-point "
+                "time travel rides SnapshotSink.read_state); point the "
+                "Iceberg twin at per-table MERGEs instead"
+            )
+        from beehive_data_etl_spark.sources.eventlog import TXN_ENVELOPE_DDL
+        from beehive_data_etl_spark.streaming.txn import TxnCoordinator
+
+        tables = os.environ.get("REPLAY_TXN_TABLES", "docs,meta").split(",")
+        sinks = {
+            t: SnapshotSink(
+                spark,
+                os.path.join(target, "tables", t),
+                n_buckets=int(os.environ.get("REPLAY_N_BUCKETS", "4096")),
+                salt_partials=int(os.environ.get("REPLAY_SALT", "8")),
+            )
+            for t in tables
+        }
+        coord = TxnCoordinator(spark, os.path.join(target, "coord"), sinks)
+        if os.environ.get("REPLAY_MODE", "stream") == "pipelined":
+            t0 = time.time()
+            batches = replay_incremental(
+                spark, wal_dir, coord,
+                files_per_batch=int(os.environ.get("REPLAY_FILES_PER_BATCH", "8")),
+                inflight=1,
+            )
+            print(
+                "REPLAY_METRICS "
+                + json.dumps(
+                    {
+                        "replay_wall_s": round(time.time() - t0, 2),
+                        "n_batches": len(batches),
+                        "point": (coord.latest_point() or {}).get("n"),
+                    }
+                )
+            )
+        else:
+            replay_stream(
+                spark, wal_dir, coord,
+                checkpoint_dir=os.path.join(target, "_checkpoint"),
+                schema_ddl=TXN_ENVELOPE_DDL,
+                max_files_per_trigger=8,
+            )
+        return
     # REPLAY_PATCH=1: the WAL carries partial updates (op 'P' +
     # patch_cols masks, eventlog.PATCH_ENVELOPE_DDL) — fold per cell
     patch = os.environ.get("REPLAY_PATCH") == "1"

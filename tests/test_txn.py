@@ -352,3 +352,45 @@ def test_vacuum_stages_keeps_live_pending(spark, tmp_path):
     # the coordinator still works from the surviving stage
     coord.apply_batch(ev(spark, [("I", 5, "z", "docs", None, None)]), "b3")
     assert set(live_docs(sinks["docs"])) == {"a", "z"}
+
+
+# --------------------------------------------------------- deployment
+
+
+@pytest.mark.parametrize("mode", ["stream", "pipelined"])
+def test_replay_job_txn_wiring(spark, txn_log, tmp_path, monkeypatch, mode):
+    """REPLAY_TXN=1: the spark-submit entry point stands up per-table
+    sinks + coordinator from env and the deployed final state is
+    byte-equal to the independent oracle in BOTH modes."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    import replay_job
+
+    target = str(tmp_path / f"txn_{mode}")
+    monkeypatch.setattr(sys, "argv", ["replay_job.py", txn_log, target])
+    monkeypatch.setenv("REPLAY_TXN", "1")
+    monkeypatch.setenv("REPLAY_MODE", mode)
+    monkeypatch.setenv("REPLAY_N_BUCKETS", "4")
+    if mode == "pipelined":
+        monkeypatch.setenv("REPLAY_FILES_PER_BATCH", "3")
+    replay_job.main()
+
+    sinks = {
+        t: SnapshotSink(spark, os.path.join(target, "tables", t), n_buckets=4)
+        for t in ("docs", "meta")
+    }
+    coord = TxnCoordinator(spark, os.path.join(target, "coord"), sinks)
+    assert coord.latest_point() is not None
+    for t in ("docs", "meta"):
+        eng = (
+            sinks[t]
+            .read_state()
+            .filter(~F.col("deleted"))
+            .orderBy("doc_id")
+            .select("doc_id", "op_sequence", "tokens")
+            .toPandas()
+        )
+        ora = oracle_txn_final_duckdb(txn_log, t)
+        assert list(eng["doc_id"]) == list(ora["doc_id"])
+        assert all(list(a) == list(b) for a, b in zip(eng["tokens"], ora["tokens"]))
