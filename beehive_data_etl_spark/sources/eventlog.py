@@ -528,7 +528,7 @@ def generate_txn_log(
         "p_late_marker": p_late_marker,
         "p_out_of_order": p_out_of_order,
         "p_duplicate": p_duplicate,
-        "version": 1,
+        "version": 2,
     }
     meta_path = os.path.join(out_dir, "_meta.json")
     if os.path.exists(meta_path):
@@ -584,12 +584,19 @@ def generate_txn_log(
         file_idx[dup_sel] + rng.integers(1, 4, size=len(dup_sel)), n_files - 1
     ).astype(np.int32)
 
-    # markers: fate per txn, file = last data-event file (+0..2 if late)
+    # markers: fate per txn, file = last data-event file (+0..2 if
+    # late). last_file is computed from the UNDISPLACED slot positions
+    # on purpose: an out-of-order event displaced past its txn's marker
+    # file produces the marker-BEFORE-events arrival the release
+    # protocol must hold for (computing it from the displaced files
+    # would guarantee markers always arrive last and never exercise
+    # that path — review-found fixture gap)
     fate_roll = rng.random(n_txns)
     aborted = fate_roll < p_abort
     unterminated = (fate_roll >= p_abort) & (fate_roll < p_abort + p_unterminated)
+    base_file = (np.arange(n_events) // events_per_file).astype(np.int32)
     last_file = np.zeros(n_txns, dtype=np.int32)
-    np.maximum.at(last_file, txn_of, file_idx)
+    np.maximum.at(last_file, txn_of, base_file)
     late = rng.random(n_txns) < p_late_marker
     marker_file = np.minimum(
         last_file + np.where(late, rng.integers(1, 3, size=n_txns), 0), n_files - 1

@@ -57,6 +57,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -142,12 +143,34 @@ class TxnCoordinator:
             self.root, "points", f"point-{n:012d}-{_safe(batch_id)}.json"
         )
 
+    @staticmethod
+    def _point_batch(fname: str) -> str | None:
+        """EXACT batch id embedded in a point filename — suffix matching
+        would confuse id '1' with 'x-1' (review-found: a false
+        'already committed' silently drops a batch)."""
+        if not (fname.startswith("point-") and fname.endswith(".json")):
+            return None
+        body = fname[len("point-") : -len(".json")]
+        # point-{n:012d}-{safe}: split off the fixed-width point number
+        if len(body) < 14 or body[12] != "-":
+            return None
+        return body[13:]
+
+    def _committed_ids(self) -> set[str]:
+        # one directory listing per coordinator lifetime (review-found:
+        # listdir per committed() probe is O(points²) over a long
+        # backfill); point writes maintain the cache, and a fresh
+        # instance (cross-process resume) re-lists at first use
+        if not hasattr(self, "_committed_cache"):
+            self._committed_cache = {
+                b
+                for f in os.listdir(os.path.join(self.root, "points"))
+                if (b := self._point_batch(f)) is not None
+            }
+        return self._committed_cache
+
     def committed(self, batch_id: str) -> bool:
-        suffix = f"-{_safe(batch_id)}.json"
-        return any(
-            f.startswith("point-") and f.endswith(suffix)
-            for f in os.listdir(os.path.join(self.root, "points"))
-        )
+        return _safe(str(batch_id)) in self._committed_ids()
 
     def latest_point(self) -> dict | None:
         """The newest published consistent point (atomic cross-table
@@ -161,6 +184,13 @@ class TxnCoordinator:
             return None
         with open(os.path.join(self.root, "points", points[-1])) as fh:
             return json.load(fh)
+
+    def _publish_point(self, n: int, batch_id: str, versions: dict) -> None:
+        _write_json_atomic(
+            self._point_path(n, batch_id),
+            {"batch_id": batch_id, "n": n, "versions": versions},
+        )
+        self._committed_ids().add(_safe(batch_id))
 
     def consistent_read(self, table: str, live_only: bool = True) -> DataFrame:
         """``table`` at the latest consistent point — never a torn
@@ -213,10 +243,7 @@ class TxnCoordinator:
             # crash fell between the HEAD flip and the point publish:
             # every table is already committed (HEAD flips last among
             # the applies) — only the point is missing
-            _write_json_atomic(
-                self._point_path(head["n"], batch_id),
-                {"batch_id": batch_id, "n": head["n"], "versions": head["versions"]},
-            )
+            self._publish_point(head["n"], batch_id, head["versions"])
             return {"batch_id": batch_id, "resumed": True, "point": head["n"]}
         return self._apply_full(batch_df, batch_id, head)
 
@@ -231,13 +258,33 @@ class TxnCoordinator:
         # 1. split markers from data — markers are txn metadata (one row
         # per txn by contract), collected like source offsets
         is_marker = F.col("op").isin(MARKER_COMMIT, MARKER_ROLLBACK)
+        corrupt_markers = 0
         for row in (
             batch_df.filter(is_marker)
             .select("op", TXN_COL, EXPECT_COL)
             .collect()
         ):
+            if row[TXN_COL] is None or (
+                row["op"] == MARKER_COMMIT and row[EXPECT_COL] is None
+            ):
+                # corrupt metadata row: count it, never crash the batch
+                # (a re-drive would deterministically hit it again and
+                # wedge the pipeline on one bad row — review-found)
+                corrupt_markers += 1
+                continue
             txn = int(row[TXN_COL])
+            if txn <= floor:
+                # duplicate marker of a floor-resolved txn: re-entering
+                # `expected` could never complete (its events are gone
+                # from the spill) and would grow markers.json forever
+                continue
             if row["op"] == MARKER_ROLLBACK:
+                if txn in released_hist:
+                    # the txn was already applied; a retroactive abort is
+                    # impossible downstream — surface it, don't corrupt
+                    # the status map with a second verdict
+                    corrupt_markers += 1
+                    continue
                 # abort is terminal: R wins over any C, before or after
                 aborted.add(txn)
                 expected.pop(txn, None)
@@ -281,18 +328,25 @@ class TxnCoordinator:
                     completed.add(txn)
                 else:
                     overfull.add(txn)  # more distinct events than the txn had
+        # a txn can land in both sets (a corrupt expected=0 marker with
+        # data present) — quarantine wins, else the status join below
+        # would emit BOTH a released and a quarantined copy of every
+        # event and apply the quarantined data (review-found)
+        completed -= overfull
         for txn in completed | overfull:
             expected.pop(txn, None)
         quarantined |= overfull
         released_now = completed | released_hist
 
         # 3. stage: ONE partitioned write fans the batch+backlog into
-        # pending spill, per-table release dirs, and audit partitions
-        status_rows = (
-            [(t, "aborted") for t in aborted]
-            + [(t, "quarantined") for t in quarantined]
-            + [(t, "released") for t in released_now]
-        )
+        # pending spill, per-table release dirs, and audit partitions.
+        # ONE status per txn, strongest verdict wins — a duplicate row
+        # per txn in the join side would duplicate its events across
+        # partitions
+        status_map = {t: "released" for t in released_now}
+        status_map.update({t: "aborted" for t in aborted})
+        status_map.update({t: "quarantined" for t in quarantined})
+        status_rows = sorted(status_map.items())
         status_df = self.spark.createDataFrame(
             status_rows or [(None, None)], f"{TXN_COL} long, {_STATUS}_j string"
         )
@@ -310,18 +364,41 @@ class TxnCoordinator:
         )
         stage = f"v-{_safe(batch_id)}"
         events_dir = os.path.join(self.root, stage, "events")
+        # the pending-min observation rides the stage write (zero extra
+        # jobs) — it bounds how far the floor may advance below
+        from pyspark.sql import Observation
+
+        obs = Observation(f"txn-stage-{_safe(batch_id)}-{uuid.uuid4().hex[:8]}")
+        staged = staged.observe(
+            obs,
+            F.min(
+                F.when(F.col(_STATUS) == "pending", F.col(TXN_COL))
+            ).alias("pending_min"),
+        )
         (
             staged.write.mode("overwrite")
             .partitionBy(_STATUS, TABLE_COL)
             .parquet(events_dir)
         )
 
-        # floor-compact the released history (retention contract above)
+        # floor-compact the released history (retention contract above).
+        # The floor may NEVER rise past an OPEN transaction: a pending
+        # txn below the floor would have its partial events released as
+        # "old duplicates" on the next batch — a torn apply
+        # (review-found). Open = awaiting events (in `expected`) or
+        # awaiting its marker (present in the pending spill, measured by
+        # the observation above).
         released_list = sorted(released_now)
         if len(released_list) > self.released_retain:
-            cut = len(released_list) - self.released_retain
-            floor = max(floor, released_list[cut - 1])
-            released_list = released_list[cut:]
+            candidate = released_list[len(released_list) - self.released_retain - 1]
+            pending_min = obs.get["pending_min"]
+            open_bounds = [candidate]
+            if pending_min is not None:
+                open_bounds.append(int(pending_min) - 1)
+            if expected:
+                open_bounds.append(min(expected) - 1)
+            floor = max(floor, min(open_bounds))
+            released_list = [t for t in released_list if t > floor]
         _write_json_atomic(
             os.path.join(self.root, stage, "markers.json"),
             {
@@ -365,10 +442,7 @@ class TxnCoordinator:
             self._head_path(),
             {"batch_id": batch_id, "n": n, "stage": stage, "versions": versions},
         )
-        _write_json_atomic(
-            self._point_path(n, batch_id),
-            {"batch_id": batch_id, "n": n, "versions": versions},
-        )
+        self._publish_point(n, batch_id, versions)
         counts_by_status = self._stage_counts(events_dir)
         return {
             "batch_id": batch_id,
@@ -377,6 +451,7 @@ class TxnCoordinator:
             "txns_completed": len(completed),
             "txns_aborted": len(aborted),
             "txns_overfull": len(overfull),
+            "corrupt_markers": corrupt_markers,
             "applied": applied,
             **counts_by_status,
         }
@@ -454,10 +529,8 @@ class TxnCoordinator:
             batch_id = d[2:]
             # only reap stages whose batch has a published point —
             # anything else may be a concurrent in-flight attempt
-            if any(
-                f.startswith("point-") and f.endswith(f"-{batch_id}.json")
-                for f in os.listdir(os.path.join(self.root, "points"))
-            ):
+            # (exact id match; a suffix match would confuse '1'/'x-1')
+            if batch_id in self._committed_ids():
                 shutil.rmtree(os.path.join(self.root, d))
                 removed.append(d)
         return {"removed": removed, "kept": keep}

@@ -120,7 +120,11 @@ def main() -> None:
         from beehive_data_etl_spark.sources.eventlog import TXN_ENVELOPE_DDL
         from beehive_data_etl_spark.streaming.txn import TxnCoordinator
 
-        tables = os.environ.get("REPLAY_TXN_TABLES", "docs,meta").split(",")
+        tables = [
+            t.strip()
+            for t in os.environ.get("REPLAY_TXN_TABLES", "docs,meta").split(",")
+            if t.strip()
+        ]
         sinks = {
             t: SnapshotSink(
                 spark,

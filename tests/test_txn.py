@@ -314,6 +314,9 @@ def test_resume_after_head_flip_before_point(spark, tmp_path):
         f for f in os.listdir(os.path.join(coord.root, "points")) if f.endswith(".json")
     ][0]
     os.remove(os.path.join(coord.root, "points", point_file))
+    # the crash killed the process — the re-driving coordinator is a
+    # FRESH instance (the committed cache is per-lifetime by design)
+    coord = TxnCoordinator(spark, coord.root, sinks)
     assert not coord.committed("b1")
     r = coord.apply_batch(ev(spark, [("I", 1, "a", "docs", None, None)]), "b1")
     assert r.get("resumed") is True
@@ -394,3 +397,143 @@ def test_replay_job_txn_wiring(spark, txn_log, tmp_path, monkeypatch, mode):
         ora = oracle_txn_final_duckdb(txn_log, t)
         assert list(eng["doc_id"]) == list(ora["doc_id"])
         assert all(list(a) == list(b) for a, b in zip(eng["tokens"], ora["tokens"]))
+
+
+# ------------------------------------------------- review-pass regressions
+
+
+def test_zero_expected_marker_with_data_quarantines(spark, tmp_path):
+    """A corrupt expected=0 marker whose txn HAS data must quarantine —
+    and never emit a second 'released' copy of the same events."""
+    coord, sinks = mk_coord(spark, tmp_path)
+    r = coord.apply_batch(
+        ev(
+            spark,
+            [
+                ("I", 1, "a", "docs", 6, None),
+                ("C", 100, None, None, 6, 0),
+            ],
+        ),
+        "b1",
+    )
+    assert r["txns_completed"] == 0 and r["txns_overfull"] == 1
+    assert r["released_events"] == 0 and r["quarantined_events"] == 1
+    assert live_docs(sinks["docs"]) == {}
+    assert 6 in coord.stuck_txns()["quarantined"]
+
+
+def test_floor_never_passes_open_txn(spark, tmp_path):
+    """Floor compaction must not release a torn partial transaction:
+    the floor stays below every open txn (pending or awaiting events),
+    however many later txns release."""
+    coord, sinks = mk_coord(spark, tmp_path, released_retain=1)
+    coord.apply_batch(
+        ev(
+            spark,
+            [
+                ("I", 1, "a", "docs", 1, None),  # txn 1 OPEN (no marker)
+                ("I", 2, "b", "docs", 2, None),
+                ("C", 100, None, None, 2, 1),
+                ("I", 3, "c", "docs", 3, None),
+                ("C", 101, None, None, 3, 1),
+            ],
+        ),
+        "b1",
+    )
+    assert set(live_docs(sinks["docs"])) == {"b", "c"}
+    # txn 1 must still be pending, NOT floor-released as a partial txn
+    assert coord.stuck_txns()["awaiting_marker"] == {1: 1}
+    r = coord.apply_batch(ev(spark, [("C", 102, None, None, 1, 1)]), "b2")
+    assert r["txns_completed"] == 1
+    assert set(live_docs(sinks["docs"])) == {"a", "b", "c"}
+
+
+def test_floor_trimmed_marker_redelivery_ignored(spark, tmp_path):
+    """A re-delivered commit marker of a floor-trimmed txn must not
+    re-enter `expected` (it could never complete — its events are gone
+    from the spill)."""
+    coord, _ = mk_coord(spark, tmp_path, released_retain=1)
+    coord.apply_batch(
+        ev(
+            spark,
+            [
+                ("I", 1, "a", "docs", 1, None),
+                ("C", 100, None, None, 1, 1),
+                ("I", 2, "b", "docs", 2, None),
+                ("C", 101, None, None, 2, 1),
+            ],
+        ),
+        "b1",
+    )
+    coord.apply_batch(ev(spark, [("C", 100, None, None, 1, 1)]), "b2")
+    assert coord.stuck_txns()["awaiting_events"] == {}
+
+
+def test_batch_id_suffix_no_false_skip(spark, tmp_path):
+    """Batch id '1' must not be mistaken for committed because 'x-1'
+    published a point (exact-id match, not suffix)."""
+    coord, sinks = mk_coord(spark, tmp_path)
+    coord.apply_batch(ev(spark, [("I", 1, "a", "docs", None, None)]), "x-1")
+    assert not coord.committed("1")
+    r = coord.apply_batch(ev(spark, [("I", 2, "b", "docs", None, None)]), "1")
+    assert not r.get("skipped")
+    assert set(live_docs(sinks["docs"])) == {"a", "b"}
+
+
+def test_corrupt_markers_counted_not_crash(spark, tmp_path):
+    """Null-txn markers and count-less commit markers are source
+    corruption: counted, never a batch-crash (a re-drive would wedge on
+    the same row forever). A rollback for an ALREADY-RELEASED txn is
+    equally impossible to honor and lands in the same counter."""
+    coord, sinks = mk_coord(spark, tmp_path)
+    r = coord.apply_batch(
+        ev(
+            spark,
+            [
+                ("C", 100, None, None, None, 2),   # null txn_id
+                ("C", 101, None, None, 11, None),  # commit without count
+                ("I", 1, "a", "docs", 12, None),
+                ("C", 102, None, None, 12, 1),
+            ],
+        ),
+        "b1",
+    )
+    assert r["corrupt_markers"] == 2
+    assert set(live_docs(sinks["docs"])) == {"a"}
+    # retroactive rollback of the released txn 12: counted, not honored
+    r2 = coord.apply_batch(ev(spark, [("R", 103, None, None, 12, None)]), "b2")
+    assert r2["corrupt_markers"] == 1
+    assert 12 not in coord.stuck_txns()["aborted"]
+    assert set(live_docs(sinks["docs"])) == {"a"}
+
+
+def test_committed_cache_survives_new_instance(spark, tmp_path):
+    coord, sinks = mk_coord(spark, tmp_path)
+    coord.apply_batch(ev(spark, [("I", 1, "a", "docs", None, None)]), "b1")
+    fresh = TxnCoordinator(spark, coord.root, sinks)
+    assert fresh.committed("b1")
+    assert fresh.apply_batch(
+        ev(spark, [("I", 1, "a", "docs", None, None)]), "b1"
+    )["skipped"]
+
+
+def test_generator_emits_marker_before_events(txn_log):
+    """The fixture must actually exercise marker-before-events arrival:
+    at least one committed txn has a data event in a LATER file than its
+    marker (displaced out-of-order past the marker)."""
+    import duckdb
+
+    n = duckdb.sql(
+        f"""
+        WITH raw AS (
+          SELECT *, CAST(regexp_extract(filename, 'part-(\\d+)', 1) AS INT) AS f
+          FROM read_parquet('{txn_log}/part-*.parquet',
+                            union_by_name=true, filename=true)
+        ),
+        markers AS (SELECT txn_id, f AS mf FROM raw WHERE op = 'C'),
+        ev AS (SELECT txn_id, max(f) AS ef FROM raw
+               WHERE op IN ('I','U','D') GROUP BY txn_id)
+        SELECT count(*) FROM markers JOIN ev USING (txn_id) WHERE ef > mf
+        """
+    ).fetchone()[0]
+    assert n > 0, "fixture never places an event after its txn's marker"
