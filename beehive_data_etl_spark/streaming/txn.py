@@ -70,8 +70,11 @@ TXN_COL = "txn_id"
 TABLE_COL = "table_name"
 EXPECT_COL = "txn_events"
 _STATUS = "_status"
+# point number at which an event first entered the pending spill —
+# the age basis for expire_pending (transaction-timeout maintenance)
+_FIRST_POINT = "_first_point"
 # what the coordinator strips before handing rows to a table's sink
-_TXN_META = [TXN_COL, EXPECT_COL]
+_TXN_META = [TXN_COL, EXPECT_COL, _FIRST_POINT]
 
 
 def _safe(batch_id: str) -> str:
@@ -301,7 +304,20 @@ class TxnCoordinator:
 
         data = batch_df.filter(~is_marker)
         pending = self._pending_events(head, like=data)
+        # rows entering the spill this batch are stamped with this
+        # batch's point number; carried-over rows keep their original —
+        # the age basis expire_pending (transaction timeout) reads
+        this_point = 0 if head is None else head["n"] + 1
         all_data = pending.unionByName(data, allowMissingColumns=True)
+        all_data = all_data.withColumn(
+            _FIRST_POINT,
+            F.coalesce(
+                F.col(_FIRST_POINT)
+                if _FIRST_POINT in all_data.columns
+                else F.lit(None).cast("long"),
+                F.lit(this_point).cast("long"),
+            ),
+        )
 
         # 2. release decision: distinct-event counts per txn vs the
         # marker metadata (broadcast — the event side never shuffles to
@@ -437,7 +453,7 @@ class TxnCoordinator:
         for table, sink in self.sinks.items():
             snap = sink.current_snapshot()
             versions[table] = None if snap is None else snap["version"]
-        n = 0 if head is None else head["n"] + 1
+        n = this_point
         _write_json_atomic(
             self._head_path(),
             {"batch_id": batch_id, "n": n, "stage": stage, "versions": versions},
@@ -513,6 +529,45 @@ class TxnCoordinator:
             "aborted": list(markers["aborted"]),
             "quarantined": list(markers["quarantined_txns"]),
         }
+
+    def expire_pending(self, ttl_points: int) -> dict:
+        """Transaction timeout (maintenance, run BETWEEN batches like
+        every coordinator operation): quarantine transactions whose
+        oldest pending event has sat in the spill for more than
+        ``ttl_points`` consistent points — an upstream producer that
+        died mid-txn would otherwise grow the pending backlog forever,
+        breaking the O(open-window) bound the spill is sized for.
+
+        Expired txns land in the quarantined set (terminal, kept — same
+        asymmetry as aborts: releasing a partial txn later would be a
+        torn apply; re-deliveries of its events route to the audit
+        partition). One Spark job over the pending spill."""
+        head = self._head()
+        if head is None:
+            return {"expired": []}
+        markers = self._load_markers(head)
+        cutoff = head["n"] - ttl_points
+        expired: list[int] = []
+        events_dir = os.path.join(self.root, head["stage"], "events")
+        if _has_parquet(events_dir):
+            rows = (
+                self.spark.read.parquet(events_dir)
+                .filter(F.col(_STATUS) == "pending")
+                .groupBy(TXN_COL)
+                .agg(F.min(_FIRST_POINT).alias("_first"))
+                .filter(F.col("_first") <= F.lit(cutoff))
+                .collect()
+            )
+            expired = sorted(int(r[TXN_COL]) for r in rows if r[TXN_COL] is not None)
+        if expired:
+            q = set(markers["quarantined_txns"]) | set(expired)
+            for t in expired:
+                markers["expected"].pop(str(t), None)
+            markers["quarantined_txns"] = sorted(q)
+            _write_json_atomic(
+                os.path.join(self.root, head["stage"], "markers.json"), markers
+            )
+        return {"expired": expired, "cutoff_point": cutoff}
 
     def vacuum_stages(self) -> dict:
         """Drop stage dirs of already-published batches, keeping HEAD's

@@ -142,6 +142,12 @@ def main() -> None:
                 files_per_batch=int(os.environ.get("REPLAY_FILES_PER_BATCH", "8")),
                 inflight=1,
             )
+            # REPLAY_TXN_TTL=<points>: transaction-timeout maintenance
+            # at the quiesced end (coordinator ops run between batches)
+            ttl = os.environ.get("REPLAY_TXN_TTL")
+            expired = (
+                coord.expire_pending(int(ttl))["expired"] if ttl else None
+            )
             print(
                 "REPLAY_METRICS "
                 + json.dumps(
@@ -149,6 +155,7 @@ def main() -> None:
                         "replay_wall_s": round(time.time() - t0, 2),
                         "n_batches": len(batches),
                         "point": (coord.latest_point() or {}).get("n"),
+                        "expired_txns": expired,
                     }
                 )
             )

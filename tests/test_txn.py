@@ -537,3 +537,22 @@ def test_generator_emits_marker_before_events(txn_log):
         """
     ).fetchone()[0]
     assert n > 0, "fixture never places an event after its txn's marker"
+
+
+def test_expire_pending_quarantines_stale_txn(spark, tmp_path):
+    """Transaction timeout: a txn whose producer died mid-txn is
+    quarantined once it has been pending longer than ttl_points, and a
+    marker arriving after expiry cannot resurrect its partial events."""
+    coord, sinks = mk_coord(spark, tmp_path)
+    coord.apply_batch(ev(spark, [("I", 1, "a", "docs", 1, None)]), "b1")  # point 0
+    coord.apply_batch(ev(spark, [("I", 2, "x", "docs", None, None)]), "b2")  # 1
+    coord.apply_batch(ev(spark, [("I", 3, "y", "docs", None, None)]), "b3")  # 2
+    out = coord.expire_pending(ttl_points=1)
+    assert out["expired"] == [1]
+    # a fresh-enough pending txn is NOT expired
+    coord.apply_batch(ev(spark, [("I", 4, "b", "docs", 2, None)]), "b4")  # 3
+    assert coord.expire_pending(ttl_points=5)["expired"] == []
+    # the late marker for the expired txn cannot release it
+    coord.apply_batch(ev(spark, [("C", 100, None, None, 1, 1)]), "b5")
+    assert set(live_docs(sinks["docs"])) == {"x", "y"}
+    assert 1 in coord.stuck_txns()["quarantined"]
