@@ -55,6 +55,9 @@ HEADLINE = [
     "q_token_count",
     "q_pandas_udf",
     "q_ann_bruteforce",
+    # round-3 session-6 transactional-release rows
+    "q_txn_consistent",
+    "q_txn_stuck",
     # round-3 session-2 curation operators (per-query values are what
     # cross-round comparisons use; the suite SUM grows with coverage)
     "q_decontaminate",
