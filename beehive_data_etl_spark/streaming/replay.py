@@ -145,6 +145,7 @@ def replay_incremental(
     max_batches: int | None = None,
     inflight: int = 1,
     start_after_seq: int | None = None,
+    batch_prefix: str = "wal",
 ) -> list[dict]:
     """Replay an ordered WAL directory through the sink, one schema-aware
     micro-batch per ``files_per_batch`` files. Resumable: batch ids are
@@ -191,7 +192,10 @@ def replay_incremental(
         return True
 
     def _one(i: int, chunk: list[str]) -> dict:
-        batch_id = f"wal-{i:06d}-{os.path.basename(chunk[0])}"
+        # batch_prefix namespaces ids when SEVERAL logs feed one sink
+        # (multi-source fan-in) — same-named files in different dirs
+        # must not collide in the committed-id space
+        batch_id = f"{batch_prefix}-{i:06d}-{os.path.basename(chunk[0])}"
         # committed check first: on resume, already-committed chunks
         # skip without footer I/O — keeps the pruning pass itself
         # O(uncommitted), not O(history), over a long-lived log dir

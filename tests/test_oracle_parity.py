@@ -64,5 +64,5 @@ def test_driver_snapshot_order():
                # round-3 session-3 additions (never driver-checked)
                "q_tfidf", "q_cooccur",
                # round-3 session-6 additions (never driver-checked)
-               "q_txn_consistent", "q_txn_stuck"}
+               "q_txn_consistent", "q_txn_stuck", "q_multimaster"}
     assert set(never_checked) | touched <= set(keys[:50])
