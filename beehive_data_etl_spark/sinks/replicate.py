@@ -240,6 +240,17 @@ class Replicator:
                     "same backfill on the downstream table, then "
                     "mark_synced(to) past it."
                 )
+            if "purge" in m:
+                raise RuntimeError(
+                    f"upstream purge at v{v} inside replication window "
+                    f"({frm}, {to}]: a purge removes rows WITHOUT a "
+                    "tombstone, so no forward delete event exists at a "
+                    "truthful op_sequence (forging one would shadow a "
+                    "legitimate later re-insert). Run the same purge_keys "
+                    "on the downstream table, then mark_synced(to) past it "
+                    "— takedown completeness requires purging every "
+                    "replica anyway."
+                )
 
     def _advance_retention_tag(self, to: int) -> None:
         # atomic move — no crash window where the pin is absent

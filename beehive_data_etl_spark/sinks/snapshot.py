@@ -540,7 +540,11 @@ class SnapshotSink:
         return self._fold(df, KEY, SEQ)
 
     def read_changes(
-        self, from_version: int, to_version: int, include_cells: bool = False
+        self,
+        from_version: int,
+        to_version: int,
+        include_cells: bool = False,
+        include_old: bool = False,
     ) -> DataFrame:
         """Row-level changelog between two committed snapshots — the
         incremental read a downstream consumer tails instead of
@@ -551,6 +555,14 @@ class SnapshotSink:
         both sides prune to their own bucket lists, so cost is
         O(state), never O(history).
 
+        Because this reader diffs whole STATES (not delta files), a
+        ``purge_keys`` commit in the window is handled correctly: the
+        purged keys simply vanish from the new state and surface as
+        ``D`` rows (with NULL new-side payload and op_sequence — a
+        purge removes the row at its existing clock, there is no
+        forward event). ``read_changes_pruned`` delegates purge
+        windows here for exactly that reason.
+
         Change detection: row-LWW compares op_sequence (state changed ⇔
         row seq advanced). Per-cell mode ALSO compares the _cell_seq
         fingerprints — a late out-of-order patch (seq below the row's
@@ -558,9 +570,29 @@ class SnapshotSink:
         (review-found: the seq-only predicate silently dropped those
         rows from every replica). ``include_cells=True`` (patch tables
         only) keeps the internal _cell_seq column on emitted rows for
-        cell-exact replication into another patch table."""
-        old = self.read_state(version=from_version)
-        new = self.read_state(version=to_version)
+        cell-exact replication into another patch table.
+        ``include_old=True`` adds the pre-image payload as
+        ``_old_<col>`` columns (NULL for inserts) — the same contract
+        as ``read_changes_pruned(include_old=True)``; both sides are
+        aligned to the TO-version schema so evolved columns compare."""
+        old_snap = self.snapshot(from_version)
+        new_snap = self.snapshot(to_version)
+        target = T.StructType.fromDDL(new_snap["schema"])
+        # mirror read_changes_pruned's column construction exactly so
+        # the two readers interchange (and pruned can delegate here)
+        payload = [
+            f.name for f in target.fields if f.name not in (KEY, SEQ, CELL)
+        ]
+        payload = [SEQ] + payload
+        o_raw = self._read_buckets(
+            old_snap, list(range(old_snap["n_buckets"])), target=target
+        )
+        n_raw = self._read_buckets(
+            new_snap, list(range(new_snap["n_buckets"])), target=target
+        )
+        empty = self.spark.createDataFrame([], target)
+        old = empty if o_raw is None else self._fold(o_raw, KEY, SEQ)
+        new = empty if n_raw is None else self._fold(n_raw, KEY, SEQ)
         o_cols = [
             F.col(KEY),
             F.col(SEQ).alias("_old_seq"),
@@ -568,8 +600,9 @@ class SnapshotSink:
         ]
         if self.patch:
             o_cols.append(_cell_fp(F.col(CELL)).alias("_old_fp"))
+        if include_old:
+            o_cols += [F.col(c).alias(f"_old_{c}") for c in payload]
         o = old.select(*o_cols)
-        payload = [c for c in new.columns if c not in (KEY, CELL)]
         n = new.select(KEY, *payload, *([CELL] if self.patch else []))
         j = n.join(o, KEY, "full_outer")
         old_live = F.col("_old_del").isNotNull() & ~F.col("_old_del")
@@ -582,15 +615,19 @@ class SnapshotSink:
             .when(new_live & old_live & u_changed, F.lit("U"))
             .when(~new_live & old_live, F.lit("D"))
         )
-        drop = ["_old_seq", "_old_del"]
-        if self.patch:
-            drop.append("_old_fp")
-            if not include_cells:
-                drop.append(CELL)
+        keep_cell = self.patch and include_cells and CELL in {
+            f.name for f in target.fields
+        }
+        keep = (
+            [KEY, *payload]
+            + ([CELL] if keep_cell else [])
+            + ["change_type"]
+            + ([f"_old_{c}" for c in payload] if include_old else [])
+        )
         return (
             j.withColumn("change_type", change)
             .filter(F.col("change_type").isNotNull())
-            .drop(*drop)
+            .select(*keep)
         )
 
     def read_changes_pruned(
@@ -619,7 +656,41 @@ class SnapshotSink:
         the diff cannot have changed (state mutates only via committed
         delta/rewrite files). Like time travel, reads of ``from_version``
         state may fail if ``vacuum()`` already reaped that version's
-        files — refresh consumers inside the vacuum horizon."""
+        files — refresh consumers inside the vacuum horizon.
+
+        Two commit kinds break the fresh-files argument and are handled
+        by a driver-side walk of the window's commit metadata (O(window)
+        JSON reads — the same walk the replicator does):
+
+        - ``purge_keys`` REMOVES live keys without writing any fresh
+          row for them, so the diff below is blind to the removal. The
+          window DEGRADES to the full state diff (``read_changes``),
+          where purged keys surface as ``D`` rows — purges are rare
+          administrative ops, so the one O(state) pass is the
+          documented cost.
+        - ``rollback_to`` regresses state to LOWER op_sequences, which
+          neither reader can express (the ``seq > old_seq`` predicate
+          is the correctness of everything downstream) — REFUSED
+          loudly; rebuild the consumer from the restored state."""
+        for v in range(from_version + 1, to_version + 1):
+            m = self.snapshot(v).get("metrics", {})
+            if "rollback_to" in m:
+                raise RuntimeError(
+                    f"rollback at v{v} inside changelog window "
+                    f"({from_version}, {to_version}]: state regressed to "
+                    "lower op_sequences, which no forward change event can "
+                    "express — a pruned or full diff would silently miss "
+                    "the reverted rows. Rebuild this consumer from the "
+                    "rolled-back state (or resume from a version at/after "
+                    "the rollback)."
+                )
+            if "purge" in m:
+                return self.read_changes(
+                    from_version,
+                    to_version,
+                    include_cells=include_cells,
+                    include_old=include_old,
+                )
         old_snap = self.snapshot(from_version)
         new_snap = self.snapshot(to_version)
         target = T.StructType.fromDDL(new_snap["schema"])
@@ -1665,6 +1736,141 @@ class SnapshotSink:
                 nxt = snap.get("parent")
             snap = None if nxt is None else self.snapshot(nxt)
         return done
+
+    def purge_keys(
+        self,
+        keys: list,
+        *,
+        ignore_tags: bool = False,
+        skip_vacuum: bool = False,
+        vacuum_older_than_s: float = 0.0,
+    ) -> dict:
+        """Takedown / right-to-be-forgotten: physically remove every
+        retained byte of the given keys — live rows AND their
+        tombstones, current state AND time travel. Composes the
+        existing machinery; nothing here has its own crash protocol:
+
+        1. the keys' buckets are computed with the sink's own bucket
+           expression (one O(|keys|) driver-side probe, as lookup());
+        2. ONE filtering rewrite commit (the same crash-safe staged
+           protocol as compact()) re-folds exactly those buckets and
+           drops the keys' rows ENTIRELY — not a tombstone: a tombstone
+           retains the key and would shadow a future legitimate
+           re-insert at a lower op_sequence, whereas after a purge the
+           key's LWW clock restarts from nothing (Iceberg's
+           DELETE-then-expire_snapshots has the same net semantics);
+        3. ``vacuum()`` removes the superseded delta files — that is
+           what actually destroys the bytes. ``skip_vacuum=True``
+           defers it when changelog consumers (TokenIndex,
+           AggregateView, replicas) still need the window's old files:
+           refresh/reconcile them, then run ``vacuum()`` yourself.
+
+        Operational contract (each point pinned by a test):
+
+        - **Tags pin bytes.** A tag references pre-purge files that
+          vacuum keeps, so by default the purge REFUSES while tags
+          exist; ``ignore_tags=True`` proceeds and the tagged bytes
+          survive until the tags drop and a later vacuum runs.
+        - **The changelog stays correct**: ``read_changes_pruned``
+          detects the purge commit and degrades that window to the
+          full state diff, where purged live keys surface as ``D``
+          rows — index/aggregate refreshes stay exact. REPLICATION
+          refuses the window instead (no forward delete event exists
+          at a truthful op_sequence): purge each replica directly,
+          then ``mark_synced`` past it.
+        - **Concurrent rewrites don't silently skip**: a bucket claimed
+          by an in-flight compaction makes the purge RAISE (listing the
+          buckets) rather than return with the key retained.
+        - **In-flight ingest can resurrect**: a crashed-but-manifested
+          batch replayed AFTER the purge re-inserts the key at its
+          original op_sequence. Purge with ingest quiesced or re-run it
+          after recovery; ``purge_audit`` is the checkable invariant.
+        - Artifacts upstream of this table (quarantine dirs, txn
+          spill, signature stores) have their own retention — run
+          their takedown paths separately.
+
+        Scale: cost is O(state of the keys' buckets) — the rewrite —
+        plus the vacuum listing; the ``IN (keys)`` filter is a
+        broadcast-friendly literal list, fine for takedown-request
+        volumes (thousands); chunk calls for larger lists."""
+        if not keys:
+            raise ValueError("purge_keys() needs at least one key")
+        snap = self.current_snapshot()
+        if snap is None:
+            raise ValueError("no snapshot yet")
+        tags = self.tags()
+        if tags and not ignore_tags:
+            raise RuntimeError(
+                f"tags pin pre-purge data files: {sorted(tags)} — vacuum "
+                "would retain the purged bytes under them. Drop or move "
+                "the tags first (replica retention tags: sync the replica, "
+                "purge it too, then mark_synced past the purge), or pass "
+                "ignore_tags=True to purge the untagged history only."
+            )
+        table_schema = T.StructType.fromDDL(snap["schema"])
+        key_field = next(f for f in table_schema.fields if f.name == KEY)
+        probe = self.spark.createDataFrame(
+            [(k,) for k in keys], T.StructType([key_field])
+        ).coalesce(1)
+        targets = sorted(
+            {
+                r.b
+                for r in probe.select(
+                    _bucket_expr(self.n_buckets).alias("b")
+                ).collect()
+            }
+        )
+        live_before = self.lookup(keys).count()
+        res = self._rewrite_buckets(
+            targets,
+            min_deltas=1,
+            row_filter=~F.col(KEY).isin(keys),
+            op_label="purge",
+        )
+        done = set(res.get("compacted", []))
+        wanted = {b for b in targets if snap["buckets"].get(str(b))}
+        missed = sorted(wanted - done)
+        if missed:
+            raise RuntimeError(
+                f"buckets {missed} were claimed by a concurrent rewrite and "
+                "were NOT purged — the keys may still be retained there; "
+                "re-run purge_keys once that rewrite completes"
+            )
+        out = {
+            "buckets": sorted(done),
+            "purged_live_rows": live_before,
+            "version": self.current_snapshot()["version"],
+        }
+        if not skip_vacuum:
+            out["vacuum_removed"] = self.vacuum(vacuum_older_than_s)["removed"]
+        return out
+
+    def purge_audit(self, keys: list) -> dict:
+        """Audit-grade invariant check for ``purge_keys``: count
+        surviving occurrences of the keys in EVERY parquet file under
+        the table's data root — committed, superseded, tagged, orphaned
+        — regardless of snapshot reachability. One Spark job projecting
+        the key column only (columnar scan reads one column), but a
+        full file listing: the expensive run-rarely counterpart of
+        lookup(). ``hits == 0`` ⇔ the bytes are gone."""
+        if not keys:
+            raise ValueError("purge_audit() needs at least one key")
+        snap = self.current_snapshot()
+        if snap is None:
+            return {"hits": 0, "files_scanned": 0}
+        table_schema = T.StructType.fromDDL(snap["schema"])
+        key_field = next(f for f in table_schema.fields if f.name == KEY)
+        files = glob.glob(
+            os.path.join(self.root, "data", "**", "*.parquet"), recursive=True
+        )
+        if not files:
+            return {"hits": 0, "files_scanned": 0}
+        # explicit single-column schema: no footer merging across the
+        # table's schema versions, no partition-column discovery (the
+        # paths are FILES, picked up across bucket=N layouts alike)
+        df = self.spark.read.schema(T.StructType([key_field])).parquet(*files)
+        hits = df.filter(F.col(KEY).isin(keys)).count()
+        return {"hits": hits, "files_scanned": len(files)}
 
     def _rewrite_buckets(
         self, buckets: list[int] | None, min_deltas: int, row_filter,
