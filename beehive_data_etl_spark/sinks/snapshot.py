@@ -39,6 +39,7 @@ this file are bounded by ``n_buckets``, never by data volume.
 
 from __future__ import annotations
 
+import bisect
 import fcntl
 import glob
 import json
@@ -483,17 +484,30 @@ class SnapshotSink:
 
     # ------------------------------------------------------------- reads
     def _read_buckets(
-        self, snap: dict, buckets: list[int], target: T.StructType | None = None
+        self,
+        snap: dict,
+        buckets: list[int],
+        target: T.StructType | None = None,
+        entry_filter=None,
     ) -> DataFrame | None:
         """Union of every delta file of the given buckets (raw — may
         hold multiple versions per key; callers LWW-reduce), aligned to
         ``target`` (default: snapshot schema). Deltas written under
         older schema versions are read with their stored schema and
-        widened declaratively (casts fold into the scan)."""
+        widened declaratively (casts fold into the scan).
+
+        ``entry_filter(entry) -> bool``: stats-based scan planning —
+        an entry skipped here contributes NO rows to the result, so the
+        predicate must only reject entries PROVABLY irrelevant to the
+        caller (lookup/scan_range reject on the recorded ``key_range``;
+        LWW folding the surviving rows stays exact because a skipped
+        file holds no version of any surviving key)."""
         target = target or T.StructType.fromDDL(snap["schema"])
         by_schema: dict[str, list[str]] = {}
         for b in buckets:
             for ent in snap["buckets"].get(str(b), []):
+                if entry_filter is not None and not entry_filter(ent):
+                    continue
                 by_schema.setdefault(ent["schema"], []).append(
                     os.path.join(self.root, ent["path"])
                 )
@@ -835,16 +849,21 @@ class SnapshotSink:
 
         Serving path for CDC consumers ("what are doc X's tokens right
         now?") — at 10^10 rows a full-state scan per probe is absurd, so
-        three prunes stack:
+        four prunes stack:
 
         1. **bucket pruning** — each key's bucket is computed with the
            sink's own bucket expression (one tiny 1-task Spark job over
            the probe ids; cost O(|ids|), documented driver-side work)
            and only those buckets' delta files are read;
-        2. **scan pushdown** — the ``IN (ids)`` filter is applied to
+        2. **entry-level stats pruning** — every commit entry records
+           its files' KEY [min, max] (harvested from the staged parquet
+           footers at publish, Iceberg-manifest style), so delta files
+           whose range can't contain a probe key are dropped at PLAN
+           time, driver-side, before any Spark job;
+        3. **scan pushdown** — the ``IN (ids)`` filter is applied to
            the RAW deltas before the LWW fold, so it reaches the
            parquet scan as a pushed filter (plan-tested);
-        3. **row-group skipping** — compact() writes bucket files
+        4. **row-group skipping** — compact() writes bucket files
            key-sorted, so the pushed filter prunes row groups via
            parquet min/max stats on a compacted table.
 
@@ -868,10 +887,68 @@ class SnapshotSink:
         ).collect()
         buckets = sorted({r.b for r in rows})
         keys = [r[0] for r in rows]
-        df = self._read_buckets(snap, buckets, target=table_schema)
+        keys_sorted = sorted(keys)
+        df = self._read_buckets(
+            snap,
+            buckets,
+            target=table_schema,
+            # 4th prune: entry-level key_range stats (the Iceberg
+            # manifest-column-stats analogue) drop whole delta files
+            # whose recorded [min, max] can't contain any probe key —
+            # on a compacted table this plus bucket pruning makes a
+            # point read touch ONE file regardless of table size
+            entry_filter=lambda ent: _range_may_contain(
+                ent.get("key_range"), keys_sorted
+            ),
+        )
         if df is None:
             return self.spark.createDataFrame([], table_schema).drop(*_INTERNAL)
         state = self._fold(df.filter(F.col(KEY).isin(keys)), KEY, SEQ)
+        payload = [c for c in state.columns if c not in _INTERNAL and c != KEY]
+        return state.filter(~F.col("deleted")).select(KEY, *payload)
+
+    def scan_range(
+        self,
+        lo: str | None = None,
+        hi: str | None = None,
+        version: int | str | None = None,
+    ) -> DataFrame:
+        """Live rows with ``lo <= doc_id <= hi`` (either bound may be
+        None = unbounded). Keys hash across ALL buckets, so bucket
+        pruning can't help a range — what prunes instead is the
+        entry-level ``key_range`` stats: only delta files whose
+        recorded [min, max] intersects the interval are read, then the
+        BETWEEN predicate is pushed into those files' scans (row-group
+        skipping on compacted, key-sorted files).
+
+        Correctness under LWW: every version of an in-range key —
+        including its delete tombstones — carries the key itself, so it
+        lives in files whose range intersects the interval; folding the
+        surviving files therefore sees the key's full history. At
+        10^10 rows this is the "export one corpus slice" path: cost is
+        O(files overlapping the range), not O(table)."""
+        if lo is not None and hi is not None and lo > hi:
+            raise ValueError(f"empty range: lo={lo!r} > hi={hi!r}")
+        snap = self.current_snapshot() if version is None else self.snapshot(version)
+        if snap is None:
+            raise ValueError("no snapshot yet")
+        table_schema = T.StructType.fromDDL(snap["schema"])
+        df = self._read_buckets(
+            snap,
+            list(range(snap["n_buckets"])),
+            target=table_schema,
+            entry_filter=lambda ent: _range_intersects(
+                ent.get("key_range"), lo, hi
+            ),
+        )
+        if df is None:
+            return self.spark.createDataFrame([], table_schema).drop(*_INTERNAL)
+        pred = F.lit(True)
+        if lo is not None:
+            pred = pred & (F.col(KEY) >= F.lit(lo))
+        if hi is not None:
+            pred = pred & (F.col(KEY) <= F.lit(hi))
+        state = self._fold(df.filter(pred), KEY, SEQ)
         payload = [c for c in state.columns if c not in _INTERNAL and c != KEY]
         return state.filter(~F.col("deleted")).select(KEY, *payload)
 
@@ -1245,7 +1322,7 @@ class SnapshotSink:
                 dests[b] = os.path.relpath(dest, self.root)
             written = [b for b in written if b not in skipped_live]
             for b in written:
-                rows, files = stats[b]
+                rows, files, key_range = stats[b]
                 bucket_rows[b] = rows
                 self._write_manifest(
                     batch_id,
@@ -1255,6 +1332,10 @@ class SnapshotSink:
                         "bucket": b,
                         "rows": rows,
                         "files": files,
+                        # KEY [min, max] from the staged footers — scan
+                        # planning (lookup/scan_range) skips the entry
+                        # when a probe can't be inside it
+                        "key_range": key_range,
                         "schema": schema_ddl_payload,
                         # the bucket space this file was numbered in — a
                         # rebucket invalidates it for crash-replay reuse
@@ -1281,6 +1362,7 @@ class SnapshotSink:
                     "path": dests[b],
                     "schema": schema_ddl_payload,
                     "compacted": b in compact_candidates,
+                    "key_range": key_range,
                 }
             shutil.rmtree(staging, ignore_errors=True)
             for b in sorted(manifested):
@@ -1294,6 +1376,7 @@ class SnapshotSink:
                     ),
                     "schema": m["schema"],
                     "compacted": m.get("compacted", False),
+                    "key_range": m.get("key_range"),
                 }
                 # consume exactly what the crashed attempt recorded it
                 # folded (may be absent in legacy manifests → fold
@@ -1560,10 +1643,11 @@ class SnapshotSink:
                 dest = os.path.join(dest_root, f"bucket={b}")
                 if os.path.isdir(dest):
                     shutil.rmtree(dest)
+                _, _, key_range = _parquet_stats(os.path.join(staging, d))
                 os.replace(os.path.join(staging, d), dest)
                 moved[str(b)] = [
                     {"path": os.path.relpath(dest, self.root), "schema": ddl,
-                     "compacted": True}
+                     "compacted": True, "key_range": key_range}
                 ]
             shutil.rmtree(staging, ignore_errors=True)
         with self._commit_lock, self._table_lock():
@@ -2017,10 +2101,11 @@ class SnapshotSink:
             dest = os.path.join(dest_root, f"bucket={b}")
             if os.path.isdir(dest):
                 shutil.rmtree(dest)
+            _, _, key_range = _parquet_stats(src_dir)
             os.replace(src_dir, dest)
             moved[str(b)] = [
                 {"path": os.path.relpath(dest, self.root), "schema": ddl,
-                 "compacted": True}
+                 "compacted": True, "key_range": key_range}
             ]
         shutil.rmtree(staging, ignore_errors=True)
         # publish under the commit lock (pipelined ingest may be
@@ -2233,11 +2318,72 @@ def _ddl(schema: T.StructType) -> str:
     return ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in schema.fields)
 
 
-def _parquet_stats(directory: str) -> tuple[int, list[str]]:
+def _parquet_stats(
+    directory: str,
+) -> tuple[int, list[str], list[str] | None]:
+    """Row count, file basenames, and the KEY column's [min, max] over
+    every parquet file in ``directory`` — all from footers, no data
+    read. The range is the Iceberg-manifest-column-stats analogue:
+    recorded in the commit entry, it lets scan planning skip whole
+    delta files whose key range cannot contain a probe (lookup) or an
+    interval (scan_range). Returns ``None`` for the range when any
+    footer lacks usable stats (a row group without min/max ⇒ the file's
+    true range is unknown ⇒ never skip it). Parquet writers may
+    TRUNCATE long binary stats, but truncation keeps min a lower bound
+    and max an upper bound, so the recorded range stays conservative."""
     import pyarrow.parquet as pq
 
     rows, files = 0, []
+    lo: str | None = None
+    hi: str | None = None
+    stats_ok = True
     for f in sorted(glob.glob(os.path.join(directory, "*.parquet"))):
-        rows += pq.read_metadata(f).num_rows
+        md = pq.read_metadata(f)
+        rows += md.num_rows
         files.append(os.path.basename(f))
-    return rows, files
+        if not stats_ok:
+            continue
+        key_idx = None
+        for i in range(len(md.schema)):
+            if md.schema.column(i).path == KEY:
+                key_idx = i
+                break
+        if key_idx is None:
+            stats_ok = False
+            continue
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(key_idx).statistics
+            if st is None or not st.has_min_max:
+                stats_ok = False
+                break
+            mn, mx = st.min, st.max
+            if isinstance(mn, bytes):
+                mn = mn.decode("utf-8", "replace")
+            if isinstance(mx, bytes):
+                mx = mx.decode("utf-8", "replace")
+            lo = mn if lo is None or mn < lo else lo
+            hi = mx if hi is None or mx > hi else hi
+    rng = [lo, hi] if stats_ok and lo is not None else None
+    return rows, files, rng
+
+
+def _range_may_contain(key_range, keys_sorted: list) -> bool:
+    """True unless the entry's recorded [min, max] proves NONE of the
+    (sorted) probe keys can be in the file. Missing/legacy range ⇒
+    True (never skip on absent evidence)."""
+    if not key_range or key_range[0] is None:
+        return True
+    i = bisect.bisect_left(keys_sorted, key_range[0])
+    return i < len(keys_sorted) and keys_sorted[i] <= key_range[1]
+
+
+def _range_intersects(key_range, lo, hi) -> bool:
+    """True unless the entry's recorded [min, max] proves the interval
+    [lo, hi] is disjoint from every key in the file."""
+    if not key_range or key_range[0] is None:
+        return True
+    if lo is not None and key_range[1] < lo:
+        return False
+    if hi is not None and key_range[0] > hi:
+        return False
+    return True
