@@ -195,6 +195,32 @@ def test_legacy_entries_without_range_never_pruned(sink):
     assert reopened.scan_range("c-0000", "c-0004").count() == 5
 
 
+def test_patch_table_lookup_and_range_pruned(spark, tmp_path):
+    """Per-cell (patch) tables ride the same entry stats: the key
+    column is identical, so pruning and the cell fold compose."""
+    root = str(tmp_path / "psink")
+    s = SnapshotSink(spark, root, n_buckets=2, patch=True)
+    full = [
+        ("I", 100 + i, f"a-{i:02d}", [i], 1, "s", None) for i in range(5)
+    ] + [("I", 200 + i, f"b-{i:02d}", [i], 1, "s", None) for i in range(5)]
+    schema = SCHEMA + ", patch_cols array<string>"
+    s.apply_batch(spark.createDataFrame(full, schema), "p0")
+    s.apply_batch(
+        spark.createDataFrame(
+            [("P", 900, "a-03", [77], 1, None, ["tokens", "n_tok"])], schema
+        ),
+        "p1",
+    )
+    out = {r[0]: list(r[1]) for r in s.lookup(["a-03", "b-02"]).select(KEY, "tokens").collect()}
+    assert out == {"a-03": [77], "b-02": [2]}
+    rng = s.scan_range("a-00", "a-99")
+    assert sorted(r[0] for r in rng.select(KEY).collect()) == [
+        f"a-{i:02d}" for i in range(5)
+    ]
+    for e in _all_entries(s.current_snapshot()):
+        assert e.get("key_range"), e
+
+
 def test_range_predicates_unit():
     assert _range_may_contain(None, ["a"])
     assert _range_may_contain([None, None], ["a"])
