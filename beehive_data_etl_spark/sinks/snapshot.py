@@ -104,6 +104,7 @@ class SnapshotSink:
         crash_hook=None,
         audit=None,
         patch: bool = False,
+        target_file_rows: int | None = None,
     ) -> None:
         self.spark = spark
         self.root = root
@@ -130,6 +131,14 @@ class SnapshotSink:
         # token arrays are near-incompressible random ints — zstd-1
         # costs little; pass "none" for max ingest throughput
         self.compression = compression
+        # Iceberg's write.target-file-size analogue, in rows: every
+        # data write caps files at this many records, so a compacted
+        # bucket of a 100 TB table splits into operator-sized files
+        # instead of one 25 GB monolith — and because rewrites are
+        # key-sorted, the split files cover DISJOINT key ranges, which
+        # the per-file stats then prune to ONE file per point probe.
+        # None = Spark's default (no cap).
+        self.target_file_rows = target_file_rows
         # test-only fault injection: called at named protocol points
         self.crash_hook = crash_hook or (lambda point: None)
         # pipelined replay (replay_incremental inflight>1): concurrent
@@ -488,7 +497,7 @@ class SnapshotSink:
         snap: dict,
         buckets: list[int],
         target: T.StructType | None = None,
-        entry_filter=None,
+        range_pred=None,
     ) -> DataFrame | None:
         """Union of every delta file of the given buckets (raw — may
         hold multiple versions per key; callers LWW-reduce), aligned to
@@ -496,21 +505,36 @@ class SnapshotSink:
         older schema versions are read with their stored schema and
         widened declaratively (casts fold into the scan).
 
-        ``entry_filter(entry) -> bool``: stats-based scan planning —
-        an entry skipped here contributes NO rows to the result, so the
-        predicate must only reject entries PROVABLY irrelevant to the
-        caller (lookup/scan_range reject on the recorded ``key_range``;
+        ``range_pred(key_range) -> bool``: stats-based scan planning —
+        applied to each entry's recorded KEY [min, max] and, when the
+        entry carries per-file ranges (a sorted rewrite split into
+        target-sized files), to each file's range, selecting individual
+        files out of the entry dir. Anything skipped contributes NO
+        rows to the result, so the predicate must only reject ranges
+        PROVABLY irrelevant to the caller and must return True for a
+        missing range (``None`` — legacy entries / stats-less footers);
         LWW folding the surviving rows stays exact because a skipped
-        file holds no version of any surviving key)."""
+        file holds no version of any surviving key."""
         target = target or T.StructType.fromDDL(snap["schema"])
         by_schema: dict[str, list[str]] = {}
         for b in buckets:
             for ent in snap["buckets"].get(str(b), []):
-                if entry_filter is not None and not entry_filter(ent):
+                if range_pred is not None and not range_pred(
+                    ent.get("key_range")
+                ):
                     continue
-                by_schema.setdefault(ent["schema"], []).append(
-                    os.path.join(self.root, ent["path"])
-                )
+                file_ranges = ent.get("file_ranges")
+                if range_pred is not None and file_ranges:
+                    paths = [
+                        os.path.join(self.root, ent["path"], name)
+                        for name, rng in sorted(file_ranges.items())
+                        if range_pred(rng)
+                    ]
+                    if not paths:
+                        continue
+                else:
+                    paths = [os.path.join(self.root, ent["path"])]
+                by_schema.setdefault(ent["schema"], []).extend(paths)
         parts = []
         for ddl, paths in by_schema.items():
             df = self.spark.read.schema(T.StructType.fromDDL(ddl)).parquet(*paths)
@@ -892,14 +916,13 @@ class SnapshotSink:
             snap,
             buckets,
             target=table_schema,
-            # 4th prune: entry-level key_range stats (the Iceberg
-            # manifest-column-stats analogue) drop whole delta files
-            # whose recorded [min, max] can't contain any probe key —
-            # on a compacted table this plus bucket pruning makes a
-            # point read touch ONE file regardless of table size
-            entry_filter=lambda ent: _range_may_contain(
-                ent.get("key_range"), keys_sorted
-            ),
+            # 4th prune: key_range stats (the Iceberg manifest-
+            # column-stats analogue) drop whole delta entries — and,
+            # on a target-file-sized sorted rewrite, single files
+            # within an entry — whose recorded [min, max] can't
+            # contain any probe key: a point read on a compacted
+            # table touches ONE file regardless of table size
+            range_pred=lambda rng: _range_may_contain(rng, keys_sorted),
         )
         if df is None:
             return self.spark.createDataFrame([], table_schema).drop(*_INTERNAL)
@@ -937,9 +960,7 @@ class SnapshotSink:
             snap,
             list(range(snap["n_buckets"])),
             target=table_schema,
-            entry_filter=lambda ent: _range_intersects(
-                ent.get("key_range"), lo, hi
-            ),
+            range_pred=lambda rng: _range_intersects(rng, lo, hi),
         )
         if df is None:
             return self.spark.createDataFrame([], table_schema).drop(*_INTERNAL)
@@ -1174,6 +1195,8 @@ class SnapshotSink:
             .write.mode("overwrite")
             .partitionBy("_bucket")
             .option("compression", self.compression)
+            # 0 = Spark default (no cap); see target_file_rows
+            .option("maxRecordsPerFile", self.target_file_rows or 0)
             .parquet(staging)
         )
         t_job = time.time()
@@ -1322,7 +1345,7 @@ class SnapshotSink:
                 dests[b] = os.path.relpath(dest, self.root)
             written = [b for b in written if b not in skipped_live]
             for b in written:
-                rows, files, key_range = stats[b]
+                rows, files, key_range, file_ranges = stats[b]
                 bucket_rows[b] = rows
                 self._write_manifest(
                     batch_id,
@@ -1334,8 +1357,10 @@ class SnapshotSink:
                         "files": files,
                         # KEY [min, max] from the staged footers — scan
                         # planning (lookup/scan_range) skips the entry
-                        # when a probe can't be inside it
+                        # when a probe can't be inside it, and single
+                        # files within it via the per-file ranges
                         "key_range": key_range,
+                        "file_ranges": file_ranges,
                         "schema": schema_ddl_payload,
                         # the bucket space this file was numbered in — a
                         # rebucket invalidates it for crash-replay reuse
@@ -1363,6 +1388,7 @@ class SnapshotSink:
                     "schema": schema_ddl_payload,
                     "compacted": b in compact_candidates,
                     "key_range": key_range,
+                    "file_ranges": file_ranges,
                 }
             shutil.rmtree(staging, ignore_errors=True)
             for b in sorted(manifested):
@@ -1377,6 +1403,7 @@ class SnapshotSink:
                     "schema": m["schema"],
                     "compacted": m.get("compacted", False),
                     "key_range": m.get("key_range"),
+                    "file_ranges": m.get("file_ranges"),
                 }
                 # consume exactly what the crashed attempt recorded it
                 # folded (may be absent in legacy manifests → fold
@@ -1632,6 +1659,8 @@ class SnapshotSink:
                 .write.mode("overwrite")
                 .partitionBy("_bucket")
                 .option("compression", self.compression)
+                # 0 = Spark default (no cap); see target_file_rows
+                .option("maxRecordsPerFile", self.target_file_rows or 0)
                 .parquet(staging)
             )
             os.makedirs(dest_root, exist_ok=True)
@@ -1643,11 +1672,14 @@ class SnapshotSink:
                 dest = os.path.join(dest_root, f"bucket={b}")
                 if os.path.isdir(dest):
                     shutil.rmtree(dest)
-                _, _, key_range = _parquet_stats(os.path.join(staging, d))
+                _, _, key_range, file_ranges = _parquet_stats(
+                    os.path.join(staging, d)
+                )
                 os.replace(os.path.join(staging, d), dest)
                 moved[str(b)] = [
                     {"path": os.path.relpath(dest, self.root), "schema": ddl,
-                     "compacted": True, "key_range": key_range}
+                     "compacted": True, "key_range": key_range,
+                     "file_ranges": file_ranges}
                 ]
             shutil.rmtree(staging, ignore_errors=True)
         with self._commit_lock, self._table_lock():
@@ -2068,6 +2100,8 @@ class SnapshotSink:
             .write.mode("overwrite")
             .partitionBy("_bucket")
             .option("compression", self.compression)
+            # 0 = Spark default (no cap); see target_file_rows
+            .option("maxRecordsPerFile", self.target_file_rows or 0)
             .parquet(staging)
         )
         dest_root = os.path.join(self.root, "data", f"ingest={tag}")
@@ -2101,11 +2135,12 @@ class SnapshotSink:
             dest = os.path.join(dest_root, f"bucket={b}")
             if os.path.isdir(dest):
                 shutil.rmtree(dest)
-            _, _, key_range = _parquet_stats(src_dir)
+            _, _, key_range, file_ranges = _parquet_stats(src_dir)
             os.replace(src_dir, dest)
             moved[str(b)] = [
                 {"path": os.path.relpath(dest, self.root), "schema": ddl,
-                 "compacted": True, "key_range": key_range}
+                 "compacted": True, "key_range": key_range,
+                 "file_ranges": file_ranges}
             ]
         shutil.rmtree(staging, ignore_errors=True)
         # publish under the commit lock (pipelined ingest may be
@@ -2320,27 +2355,32 @@ def _ddl(schema: T.StructType) -> str:
 
 def _parquet_stats(
     directory: str,
-) -> tuple[int, list[str], list[str] | None]:
-    """Row count, file basenames, and the KEY column's [min, max] over
-    every parquet file in ``directory`` — all from footers, no data
-    read. The range is the Iceberg-manifest-column-stats analogue:
-    recorded in the commit entry, it lets scan planning skip whole
-    delta files whose key range cannot contain a probe (lookup) or an
-    interval (scan_range). Returns ``None`` for the range when any
-    footer lacks usable stats (a row group without min/max ⇒ the file's
-    true range is unknown ⇒ never skip it). Parquet writers may
-    TRUNCATE long binary stats, but truncation keeps min a lower bound
-    and max an upper bound, so the recorded range stays conservative."""
+) -> tuple[int, list[str], list[str] | None, dict | None]:
+    """Row count, file basenames, the KEY column's [min, max] over
+    every parquet file in ``directory``, and the per-FILE ranges
+    (basename → [min, max]) — all from footers, no data read. The
+    ranges are the Iceberg-manifest-column-stats analogue: recorded in
+    the commit entry, they let scan planning skip whole delta files
+    (entry level) and, when a sorted rewrite split a bucket into
+    several target-sized files, individual files within the entry
+    (file level) whose key range cannot contain a probe (lookup) or an
+    interval (scan_range). Returns ``None`` ranges when any footer
+    lacks usable stats (a row group without min/max ⇒ the true range
+    is unknown ⇒ never skip). Parquet writers may TRUNCATE long binary
+    stats, but truncation keeps min a lower bound and max an upper
+    bound, so recorded ranges stay conservative."""
     import pyarrow.parquet as pq
 
     rows, files = 0, []
     lo: str | None = None
     hi: str | None = None
+    per_file: dict[str, list] = {}
     stats_ok = True
     for f in sorted(glob.glob(os.path.join(directory, "*.parquet"))):
         md = pq.read_metadata(f)
         rows += md.num_rows
-        files.append(os.path.basename(f))
+        name = os.path.basename(f)
+        files.append(name)
         if not stats_ok:
             continue
         key_idx = None
@@ -2351,6 +2391,8 @@ def _parquet_stats(
         if key_idx is None:
             stats_ok = False
             continue
+        f_lo: str | None = None
+        f_hi: str | None = None
         for rg in range(md.num_row_groups):
             st = md.row_group(rg).column(key_idx).statistics
             if st is None or not st.has_min_max:
@@ -2361,10 +2403,14 @@ def _parquet_stats(
                 mn = mn.decode("utf-8", "replace")
             if isinstance(mx, bytes):
                 mx = mx.decode("utf-8", "replace")
-            lo = mn if lo is None or mn < lo else lo
-            hi = mx if hi is None or mx > hi else hi
+            f_lo = mn if f_lo is None or mn < f_lo else f_lo
+            f_hi = mx if f_hi is None or mx > f_hi else f_hi
+        if stats_ok and f_lo is not None:
+            per_file[name] = [f_lo, f_hi]
+            lo = f_lo if lo is None or f_lo < lo else lo
+            hi = f_hi if hi is None or f_hi > hi else hi
     rng = [lo, hi] if stats_ok and lo is not None else None
-    return rows, files, rng
+    return rows, files, rng, (per_file if stats_ok and per_file else None)
 
 
 def _range_may_contain(key_range, keys_sorted: list) -> bool:

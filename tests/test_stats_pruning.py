@@ -195,6 +195,57 @@ def test_legacy_entries_without_range_never_pruned(sink):
     assert reopened.scan_range("c-0000", "c-0004").count() == 5
 
 
+def test_target_file_rows_splits_and_prunes_within_bucket(spark, tmp_path):
+    """target_file_rows (Iceberg write.target-file-size analogue) caps
+    rows per data file; a compaction rewrite is key-sorted, so the
+    split files cover DISJOINT key ranges and the per-file stats prune
+    a point probe to ONE file even inside a single bucket's entry."""
+    root = str(tmp_path / "tsink")
+    s = SnapshotSink(
+        spark, root, n_buckets=1, compact_threshold=100, target_file_rows=25
+    )
+    s.apply_batch(_batch(spark, _rows("k", 100, 1000)), "b0")
+    s.compact()
+    snap = s.current_snapshot()
+    [ents] = snap["buckets"].values()
+    [e] = ents
+    fr = e["file_ranges"]
+    assert len(fr) == 4, fr
+    # key-sorted split ⇒ per-file ranges are pairwise disjoint
+    spans = sorted(fr.values())
+    for (a_lo, a_hi), (b_lo, b_hi) in zip(spans, spans[1:]):
+        assert a_hi < b_lo, spans
+    probe = s.lookup(["k-0042"])
+    assert len(probe.inputFiles()) == 1
+    assert probe.count() == 1
+    # a range crossing one file boundary reads exactly two files
+    rng = s.scan_range("k-0024", "k-0026")
+    assert len(rng.inputFiles()) == 2, rng.inputFiles()
+    assert sorted(r[0] for r in rng.select(KEY).collect()) == [
+        "k-0024", "k-0025", "k-0026",
+    ]
+    # full equivalence: pruned fold == unpruned state
+    assert s.scan_range(None, None).count() == 100
+
+
+def test_unsorted_ingest_split_files_stay_correct(spark, tmp_path):
+    """Ingest deltas are NOT key-sorted (the hot merge path carries no
+    sort), so split files overlap in range — pruning must then keep
+    every overlapping file and results stay exact."""
+    root = str(tmp_path / "usink")
+    s = SnapshotSink(
+        spark, root, n_buckets=1, compact_threshold=100, target_file_rows=10
+    )
+    s.apply_batch(_batch(spark, _rows("k", 40, 1000)), "b0")
+    # LWW update in a second delta: the fold must still see both files
+    s.apply_batch(
+        _batch(spark, [("U", 9000, "k-0005", [42], 1, "s")]), "b1"
+    )
+    out = s.lookup(["k-0005"]).collect()
+    assert len(out) == 1 and list(out[0]["tokens"]) == [42]
+    assert s.scan_range(None, None).count() == 40
+
+
 def test_patch_table_lookup_and_range_pruned(spark, tmp_path):
     """Per-cell (patch) tables ride the same entry stats: the key
     column is identical, so pruning and the cell fold compose."""
