@@ -138,6 +138,38 @@ class IcebergSink:
             f"('{self.table}', {snapshot_id})"
         )
 
+    def purge_sql(self, keys: list[str]) -> list[str]:
+        """SnapshotSink.purge_keys()'s cluster twin (takedown / right
+        to be forgotten): a row-level DELETE removes the keys' rows
+        AND tombstones from current state, then expire_snapshots +
+        remove_orphan_files destroy every retained byte — history,
+        time travel, orphans. The DELETE is not an engine tombstone:
+        after it, a legitimate re-insert at ANY op_sequence wins,
+        matching the filesystem sink's clock-restart semantics. As
+        there, tags pin bytes past expiry — drop them first — and
+        every replica must run the same purge (no forward delete event
+        exists at a truthful op_sequence for replication to carry)."""
+        if not keys:
+            raise ValueError("purge_sql() needs at least one key")
+        parts = self.table.split(".")
+        if len(parts) < 3:
+            raise ValueError(
+                "purge_sql needs a catalog-qualified table name "
+                f"(catalog.db.table), got {self.table!r}"
+            )
+        in_list = ", ".join("'" + k.replace("'", "''") + "'" for k in keys)
+        return [
+            f"DELETE FROM {self.table} WHERE doc_id IN ({in_list})",
+            # retain_last 1 + older_than now: only the post-delete
+            # snapshot survives, so the deleted rows' data/delete files
+            # become unreferenced and are physically removed
+            f"CALL {parts[0]}.system.expire_snapshots"
+            f"(table => '{self.table}', older_than => now(), "
+            "retain_last => 1)",
+            f"CALL {parts[0]}.system.remove_orphan_files"
+            f"(table => '{self.table}')",
+        ]
+
     @staticmethod
     def patch_update_exprs(payload_cols: list[str]) -> dict[str, str]:
         """Per-cell MERGE SET expressions (patch mode): each column

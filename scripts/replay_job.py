@@ -198,6 +198,13 @@ def main() -> None:
             salt_partials=int(os.environ.get("REPLAY_SALT", "8")),
             audit=audit,
             patch=patch,
+            # REPLAY_TARGET_FILE_ROWS caps rows per data file (0 = no
+            # cap): operator-sized files + per-file stats pruning
+            target_file_rows=(
+                int(os.environ["REPLAY_TARGET_FILE_ROWS"])
+                if os.environ.get("REPLAY_TARGET_FILE_ROWS")
+                else None
+            ),
         )
     views = _derived_views(spark, sink)
     replicator = _replicator(spark, sink)

@@ -198,6 +198,28 @@ def test_tag_and_rollback_sql_strings(spark):
     )
 
 
+def test_purge_sql_strings(spark):
+    import pytest
+
+    from beehive_data_etl_spark.sinks.iceberg import IcebergSink
+
+    sink = IcebergSink.__new__(IcebergSink)
+    sink.table = "lake.db.tokens"
+    sink.n_buckets = 64
+    stmts = sink.purge_sql(["doc-1", "o'brien"])
+    assert stmts[0] == (
+        "DELETE FROM lake.db.tokens WHERE doc_id IN ('doc-1', 'o''brien')"
+    )
+    assert "lake.system.expire_snapshots" in stmts[1]
+    assert "retain_last => 1" in stmts[1]
+    assert "lake.system.remove_orphan_files" in stmts[2]
+    with pytest.raises(ValueError, match="at least one key"):
+        sink.purge_sql([])
+    sink.table = "db.tokens"
+    with pytest.raises(ValueError, match="catalog-qualified"):
+        sink.purge_sql(["k"])
+
+
 def test_rollback_sql_requires_catalog_qualified_name(spark):
     import pytest
 
