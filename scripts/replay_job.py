@@ -35,7 +35,8 @@ def _derived_views(spark, sink) -> list:
     REPLAY_AGG_GROUP[,col..] (+ optional REPLAY_AGG_SUM[,col..]) adds an
     AggregateView; REPLAY_INDEX_COL=<array col> adds a TokenIndex;
     REPLAY_NEARDUP=1 adds changelog-driven near-dup detection
-    (NearDupView). All live under <target>/_views/ and refresh per
+    (NearDupView); REPLAY_SHARDS=<k> maintains a k-shard training
+    export (ShardExport). All live under <target>/_views/ and refresh per
     committed batch (stream mode) or once post-replay (pipelined mode —
     batches commit out of order there, so the only safe refresh point
     is the quiesced end).
@@ -72,6 +73,16 @@ def _derived_views(spark, sink) -> list:
 
         views.append(
             NearDupView(spark, sink, os.path.join(root, "_views", "neardup"))
+        )
+    shards_k = os.environ.get("REPLAY_SHARDS")
+    if shards_k:
+        from beehive_data_etl_spark.sinks.shards import ShardExport
+
+        views.append(
+            ShardExport(
+                spark, sink, os.path.join(root, "_views", "shards"),
+                k=int(shards_k),
+            )
         )
     return views
 
