@@ -338,3 +338,129 @@ def token_cooccurrence(
             ).alias("pmi"),
         )
     )
+
+
+def bm25_rank(
+    docs,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    n_top: int = 20,
+) -> "DataFrame":
+    """Okapi BM25 retrieval: rank documents against a fixed query-term
+    set (the relevance scorer behind corpus search / targeted-subset
+    selection for training mixes).
+
+    Shape at 100 TB: the corpus token explosion runs ONCE — a single
+    (doc) aggregation computes document length AND each query term's
+    per-doc frequency as conditional sums in the same pass (query terms
+    are literals, so no join against a term table). The corpus
+    statistics (avgdl, per-term document frequency) derive from that
+    per-doc table with one tiny aggregation, broadcast; N is one
+    column-pruned count scan. The final top-k is orderBy+limit —
+    TakeOrderedAndProject, per-partition heaps, never a global sort —
+    and the rank is a window over the n_top survivors only. Scores are
+    rounded BEFORE ranking (ties by doc id) so the cross-engine
+    ordering contract is on the rounded value; the three term
+    contributions sum in fixed left-to-right order on both engines.
+
+    IDF is Lucene's non-negative variant ln(1 + (N - df + .5)/(df + .5)).
+    """
+    from pyspark.sql import Window
+
+    from beehive_data_etl_spark.functions.dedup import (
+        spread_if_narrow,
+        word_shingles_positional,
+    )
+
+    base = spread_if_narrow(docs.select(id_col, text_col))
+    words = base.select(
+        F.col(id_col),
+        F.explode(word_shingles_positional(text_col, 1)).alias("term"),
+    ).filter(F.col("term") != "")
+    per_doc = words.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("dl"),
+        *[
+            F.sum(F.when(F.col("term") == q, 1).otherwise(0)).alias(f"tf_{i}")
+            for i, q in enumerate(query_terms)
+        ],
+    )
+    # per_doc feeds BOTH the stats aggregation and the scoring join;
+    # Spark re-executes the subtree per consumer (no exchange reuse
+    # across join subtrees — the engine's measured LSH lesson), which
+    # would run the corpus explosion twice. Pin it: per_doc is one row
+    # per DOC with 2+|Q| numeric columns — tiny next to the text it
+    # summarizes. Lazy, so composing/explaining the query runs no job.
+    per_doc = per_doc.localCheckpoint(eager=False)
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    stats = (
+        per_doc.agg(
+            F.avg("dl").alias("avgdl"),
+            *[
+                F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+                for i in range(len(query_terms))
+            ],
+        )
+        .crossJoin(n_docs)
+    )
+    scored = per_doc.crossJoin(F.broadcast(stats))
+    score = None
+    for i in range(len(query_terms)):
+        tf = F.col(f"tf_{i}")
+        df = F.col(f"df_{i}")
+        idf = F.log(
+            ((F.col("n_docs") - df + F.lit(0.5)) / (df + F.lit(0.5))) + F.lit(1.0)
+        )
+        s = idf * (
+            (tf * F.lit(k1 + 1.0))
+            / (tf + F.lit(k1) * (F.lit(1.0 - b) + (F.lit(b) * F.col("dl")) / F.col("avgdl")))
+        )
+        score = s if score is None else score + s
+    ranked = (
+        scored.withColumn("score", F.round(score, 4))
+        .filter(F.col("score") > 0)
+        .select(id_col, "score")
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(n_top)
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return ranked.withColumn("rank", F.row_number().over(w))
+
+
+def token_entropy(
+    docs,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "DataFrame":
+    """Per-document unigram Shannon entropy (nats) — the
+    distribution-flatness quality signal (near-zero entropy = highly
+    repetitive / degenerate text; high entropy = diverse vocabulary),
+    a standard pre-training corpus filter alongside q_repetition's
+    duplicate-n-gram fraction.
+
+    ONE corpus token explosion -> (doc, term) counts -> one per-doc
+    aggregation, computed as ln(len) - Σ(cnt·ln cnt)/len so the only
+    float work happens over the integer count table. Map-side combine
+    on both aggregations; no windows, no joins."""
+    from beehive_data_etl_spark.functions.dedup import (
+        spread_if_narrow,
+        word_shingles_positional,
+    )
+
+    base = spread_if_narrow(docs.select(id_col, text_col))
+    words = base.select(
+        F.col(id_col),
+        F.explode(word_shingles_positional(text_col, 1)).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = words.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("cnt"))
+    return tf.groupBy(id_col).agg(
+        F.sum("cnt").alias("n_words"),
+        F.count(F.lit(1)).alias("n_terms"),
+        F.round(
+            F.log(F.sum("cnt"))
+            - F.sum(F.col("cnt") * F.log("cnt")) / F.sum("cnt"),
+            4,
+        ).alias("entropy"),
+    )

@@ -2690,6 +2690,95 @@ def q_cooccur(spark, sf):
     return token_cooccurrence(t(spark, sf, "documents"))
 
 
+# ----------------------------------------------------------- BM25 retrieval
+_BM25_TERMS = ("dup", "merge", "vector")  # rare (df 25) + common (df ~390)
+
+
+def _bm25_oracle() -> str:
+    from beehive_data_etl_spark.functions.dedup import _words_sql
+
+    words = _words_sql("text")
+    tf_cols = ", ".join(
+        f"SUM(CASE WHEN term = '{q}' THEN 1 ELSE 0 END) AS tf_{i}"
+        for i, q in enumerate(_BM25_TERMS)
+    )
+    df_cols = ", ".join(
+        f"SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    # fixed left-to-right sum, parenthesized identically to the Spark
+    # expression so the float result is bit-identical before rounding
+    score = " + ".join(
+        f"ln(((n_docs - df_{i} + 0.5) / (df_{i} + 0.5)) + 1.0)"
+        f" * ((tf_{i} * 2.2) / (tf_{i} + 1.2 * (0.25 + (0.75 * dl) / avgdl)))"
+        for i in range(len(_BM25_TERMS))
+    )
+    return f"""
+    WITH w AS (
+        SELECT doc_id, u AS term
+        FROM (SELECT doc_id, unnest({words}) AS u FROM documents)
+        WHERE u <> ''
+    ),
+    per_doc AS (
+        SELECT doc_id, COUNT(*) AS dl, {tf_cols} FROM w GROUP BY doc_id
+    ),
+    nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+    stats AS (SELECT AVG(dl) AS avgdl, {df_cols} FROM per_doc),
+    scored AS (
+        SELECT doc_id, ROUND({score}, 4) AS score
+        FROM per_doc CROSS JOIN stats CROSS JOIN nd
+    )
+    SELECT doc_id, score, CAST(rnk AS INT) AS rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rnk
+        FROM scored WHERE score > 0
+    )
+    WHERE rnk <= 20
+    """
+
+
+@query("q_bm25", _bm25_oracle())
+def q_bm25(spark, sf):
+    """Okapi BM25 top-20 for a fixed query-term set: document length
+    and every term frequency in ONE conditional-sum pass over a single
+    corpus explosion; corpus stats broadcast; top-k via orderBy+limit
+    (TakeOrderedAndProject — per-partition heaps, no global sort); rank
+    window runs over the 20 survivors only. The rare 'dup' marker term
+    (idf ~3.0) dominates — non-vacuous ordering at sf0.01."""
+    from beehive_data_etl_spark.functions.text import bm25_rank
+
+    return bm25_rank(t(spark, sf, "documents"), list(_BM25_TERMS))
+
+
+# ------------------------------------------------------- unigram entropy
+def _entropy_oracle() -> str:
+    from beehive_data_etl_spark.functions.dedup import _words_sql
+
+    words = _words_sql("text")
+    return f"""
+    WITH w AS (
+        SELECT doc_id, u AS term
+        FROM (SELECT doc_id, unnest({words}) AS u FROM documents)
+        WHERE u <> ''
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS cnt FROM w GROUP BY doc_id, term)
+    SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_words, COUNT(*) AS n_terms,
+           ROUND(ln(SUM(cnt)) - SUM(cnt * ln(cnt)) / SUM(cnt), 4) AS entropy
+    FROM tf GROUP BY doc_id
+    """
+
+
+@query("q_entropy", _entropy_oracle())
+def q_entropy(spark, sf):
+    """Per-doc unigram Shannon entropy (the distribution-flatness
+    quality filter): one token explosion, two map-side-combined
+    aggregations, float work only over the integer count table
+    (ln(len) - Σ cnt·ln(cnt)/len), rounded output."""
+    from beehive_data_etl_spark.functions.text import token_entropy
+
+    return token_entropy(t(spark, sf, "documents"))
+
+
 @query(
     "q_patch_fold",
     """

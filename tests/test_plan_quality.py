@@ -255,3 +255,31 @@ def test_txn_release_decision_is_broadcast(spark):
     assert "BroadcastHashJoin" in stuck and "LeftAnti" in stuck
     # no sort-merge fallback: a SMJ here would shuffle the event stream
     assert "SortMergeJoin" not in consistent and "SortMergeJoin" not in stuck
+
+
+def test_bm25_single_explosion_topk_no_global_sort(spark):
+    """q_bm25: the corpus explosion feeds BOTH the stats aggregation
+    and the scoring join, so per_doc is checkpoint-pinned (the explode
+    pipeline runs once, in the checkpoint job) — the live plan's only
+    corpus scan is the column-pruned n_docs count (ReadSchema:
+    struct<>), and the top-k is TakeOrderedAndProject (per-partition
+    heaps), never a global Sort+Limit."""
+    from beehive_data_etl_spark.functions.text import bm25_rank
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = plan_of(bm25_rank(docs, ["dup", "merge", "vector"]))
+    assert plan.count("Scan parquet") == 1 * 2, plan  # formatted: ×2
+    assert "ReadSchema: struct<>" in plan, plan  # the count scan reads 0 cols
+    assert plan.count("Scan ExistingRDD") >= 2, plan  # pinned per_doc
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_entropy_two_aggregations_one_scan(spark):
+    """q_entropy: one corpus scan, two chained aggregations (term
+    counts -> per-doc fold), no joins, no windows."""
+    from beehive_data_etl_spark.functions.text import token_entropy
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = plan_of(token_entropy(docs))
+    assert plan.count("Scan parquet") == 1 * 2, plan  # formatted: ×2
+    assert "SortMergeJoin" not in plan and "Window" not in plan

@@ -312,3 +312,44 @@ def test_lsh_pair_expansion_drops_duplicate_id_self_pairs(spark):
     cs = cosine_neardup_pairs_lsh(emb, threshold=0.5, dim=4).collect()
     assert all(r.id_a != r.id_b for r in cs)
     assert {(r.id_a, r.id_b) for r in cs} == {("dup", "other")}
+
+
+def test_token_entropy_known_distributions(spark):
+    import math
+
+    from beehive_data_etl_spark.functions.text import token_entropy
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a a"),                  # degenerate: entropy 0
+            (2, "a b c d"),                  # uniform over 4: ln 4
+            (3, "a a b b c c d d"),          # uniform over 4: ln 4
+            (4, "x"),                        # single token: 0
+        ],
+        "doc_id int, text string",
+    )
+    got = {r.doc_id: r for r in token_entropy(docs).collect()}
+    assert got[1].entropy == 0.0 and got[1].n_terms == 1 and got[1].n_words == 4
+    assert got[2].entropy == round(math.log(4), 4)
+    assert got[3].entropy == round(math.log(4), 4)
+    assert got[4].entropy == 0.0
+
+
+def test_bm25_rare_term_dominates_and_orders(spark):
+    from beehive_data_etl_spark.functions.text import bm25_rank
+
+    filler = "the quick brown fox jumps over the lazy dog"
+    rows = [(i, filler) for i in range(20)]
+    rows.append((100, filler + " needle needle needle"))
+    rows.append((101, filler + " needle"))
+    rows.append((102, filler + " fox fox"))  # common term only
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    out = bm25_rank(docs, ["needle", "fox"], n_top=5).collect()
+    # every returned row has a positive rounded score; ranks are 1..n
+    assert [r.rank for r in out] == list(range(1, len(out) + 1))
+    assert all(r.score > 0 for r in out)
+    # the rare-term docs outrank the common-term-only doc; higher tf of
+    # the rare term wins within them
+    assert out[0].doc_id == 100 and out[1].doc_id == 101
+    ids = [r.doc_id for r in out]
+    assert ids.index(100) < ids.index(102) and ids.index(101) < ids.index(102)
