@@ -20,7 +20,12 @@ is therefore opt-in and last):
                           MAINTAIN_VACUUM_AGE_S (default 86400; >0 is
                           REQUIRED on multi-writer roots). Tagged
                           snapshots' files are retained.
-  4. rebucket           — only when MAINTAIN_REBUCKET_TO is set and
+  4. fsck               — opt-in integrity audit (sinks/fsck.py) of
+                          the metadata the pruned read paths trust;
+                          MAINTAIN_FSCK_DEEP=1 adds the one-scan
+                          bucket-assignment check; corruption FAILS
+                          the job (scheduler alert)
+  5. rebucket           — only when MAINTAIN_REBUCKET_TO is set and
                           differs from the table's bucket count.
 
 MAINTAIN_SECTIONS (comma list, default "compact,tombstones,vacuum")
@@ -57,7 +62,7 @@ def main() -> None:
         n_buckets = json.load(fh)["n_buckets"]
     sink = SnapshotSink(spark, root, n_buckets=n_buckets)
 
-    known = {"compact", "tombstones", "vacuum"}
+    known = {"compact", "tombstones", "vacuum", "fsck"}
     sections = [
         s.strip()
         for s in os.environ.get(
@@ -84,6 +89,23 @@ def main() -> None:
         out["vacuum"] = sink.vacuum(
             older_than_s=float(os.environ.get("MAINTAIN_VACUUM_AGE_S", "86400"))
         )
+    if "fsck" in sections:
+        # integrity audit AFTER the mutating passes: verifies the
+        # metadata the pruned read paths trust (snapshot chain, entry
+        # dirs, key-range coverage); MAINTAIN_FSCK_DEEP=1 adds the
+        # one-scan bucket-assignment check. Corruption fails the job
+        # (a scheduler alert), it is never auto-"repaired".
+        from beehive_data_etl_spark.sinks.fsck import fsck
+
+        report = fsck(sink, deep=os.environ.get("MAINTAIN_FSCK_DEEP") == "1")
+        out["fsck"] = {
+            "ok": report["ok"],
+            "errors": report["errors"],
+            "files_checked": report["files_checked"],
+        }
+        if not report["ok"]:
+            print("MAINTAIN_METRICS " + json.dumps(out))
+            raise RuntimeError(f"fsck failed: {report['errors']}")
     retain = int(os.environ.get("MAINTAIN_RETAIN_BATCHES", "0"))
     if retain > 0:
         # bound the exactly-once dedup window (see

@@ -26,6 +26,8 @@ def test_maintain_job_end_to_end(spark, smoke_log, tmp_path, monkeypatch, capsys
     monkeypatch.setenv("MAINTAIN_TOMBSTONE_FLOOR", str(int(max_seq) + 1))
     monkeypatch.setenv("MAINTAIN_VACUUM_AGE_S", "0")
     monkeypatch.setenv("MAINTAIN_REBUCKET_TO", "12")
+    monkeypatch.setenv("MAINTAIN_SECTIONS", "compact,tombstones,vacuum,fsck")
+    monkeypatch.setenv("MAINTAIN_FSCK_DEEP", "1")
     maintain_job.main()
     line = next(
         ln for ln in capsys.readouterr().out.splitlines()
@@ -34,6 +36,9 @@ def test_maintain_job_end_to_end(spark, smoke_log, tmp_path, monkeypatch, capsys
     metrics = json.loads(line.split(" ", 1)[1])
     assert metrics["compact"]["compacted"]
     assert metrics["vacuum"]["removed"] >= 0
+    # the integrity audit ran clean over the just-maintained table
+    # (pre-rebucket head: fsck runs before the opt-in rebucket pass)
+    assert metrics["fsck"]["ok"] and metrics["fsck"]["files_checked"] > 0
     assert metrics["rebucket"]["to"] == 12
 
     # table state is intact and fully maintained
