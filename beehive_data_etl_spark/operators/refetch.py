@@ -40,7 +40,7 @@ over the state (``next_op_sequence``), amortizable across refetches.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..sinks.snapshot import _INTERNAL, KEY, SEQ
@@ -49,13 +49,43 @@ from ..sinks.snapshot import _INTERNAL, KEY, SEQ
 def next_op_sequence(sink) -> int:
     """The smallest sequence strictly above every sequence the table
     has seen — what a refetch batch should stamp so its changes win
-    LWW. One column-pruned MAX over the current state (tombstones
-    included: a refetch re-insert must also beat prior deletes)."""
+    LWW. Computed over the RAW deltas (one genuinely column-pruned,
+    shuffle-free MAX scan): the raw max is >= the folded state's max
+    for every key, tombstones included — a fold here would drag every
+    payload column through the LWW struct comparison for a single
+    scalar (review finding)."""
     snap = sink.current_snapshot()
     if snap is None:
         return 1
-    row = sink.read_state().agg(F.max(SEQ).alias("m")).collect()[0]
+    raw = sink._read_buckets(snap, list(range(snap["n_buckets"])))
+    if raw is None:
+        return 1
+    row = raw.select(SEQ).agg(F.max(SEQ).alias("m")).collect()[0]
     return int(row.m or 0) + 1
+
+
+def _refuse_malformed_keys(dump: DataFrame) -> None:
+    """A dump with a NULL key or the same key twice is not a function
+    doc_id → payload, so no diff against it is meaningful: duplicates
+    make the refetch oscillate forever (state converges to one image,
+    the other row re-stamps it every run) and same-seq events with
+    different payloads break the LWW tie contract (ties assume
+    byte-identical duplicate deliveries). One aggregation job over the
+    dump's key column, refused loudly — matching the missing-column
+    philosophy."""
+    bad = (
+        dump.groupBy(KEY)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col(KEY).isNull() | (F.col("n") > 1))
+        .limit(5)
+        .collect()
+    )
+    if bad:
+        raise ValueError(
+            "dump is not keyed by a unique non-null "
+            f"{KEY}: offending keys {[(r[0], r.n) for r in bad]} — "
+            "de-duplicate or fix the fetcher before diffing"
+        )
 
 
 def dump_to_events(
@@ -77,6 +107,7 @@ def dump_to_events(
         raise ValueError(f"dump is missing the key column {KEY!r}")
     if op_sequence <= 0:
         raise ValueError("op_sequence must be positive")
+    _refuse_malformed_keys(dump)
     dump_payload = [c for c in dump.columns if c != KEY]
     if snap is None:
         # empty table: the whole dump is inserts

@@ -40,7 +40,6 @@ from __future__ import annotations
 
 import glob
 import os
-import re
 
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -75,10 +74,18 @@ def fsck(sink, deep: bool = False) -> dict:
         except FileNotFoundError:
             errors.append(f"tag {name!r} points at missing version {v}")
     files_checked = 0
+    # footer reads once per distinct directory, not per referencing
+    # version — tags shortly behind head share most entry dirs
+    stats_cache: dict[str, tuple] = {}
+
+    def _stats(path: str):
+        if path not in stats_cache:
+            stats_cache[path] = _parquet_stats(os.path.join(sink.root, path))
+        return stats_cache[path]
+
     for v, snap in sorted(checked_versions.items()):
-        try:
-            n_buckets = snap["n_buckets"]
-        except KeyError:
+        n_buckets = snap.get("n_buckets")
+        if n_buckets is None:
             errors.append(f"v{v}: snapshot lacks n_buckets")
             continue
         for b, entries in snap["buckets"].items():
@@ -96,7 +103,7 @@ def fsck(sink, deep: bool = False) -> dict:
                         f"v{v} bucket {b}: unparseable schema {e['schema']!r}"
                     )
                 try:
-                    rows, files, actual, _pf = _parquet_stats(d)
+                    rows, files, actual, actual_pf = _stats(e["path"])
                 except Exception as exc:  # unreadable footer = corruption
                     errors.append(
                         f"v{v} bucket {b}: unreadable parquet in {e['path']}: {exc}"
@@ -114,11 +121,48 @@ def fsck(sink, deep: bool = False) -> dict:
                             f"v{v} bucket {b}: recorded key_range {rec} does "
                             f"not cover actual {actual} in {e['path']}"
                         )
+                # per-FILE ranges are load-bearing in a stronger way:
+                # when present, pruned reads enumerate files FROM THE
+                # DICT — an on-disk file absent from it is invisible to
+                # every lookup/scan_range, and a recorded range that
+                # doesn't cover its file's actual range skips live rows
+                rec_pf = e.get("file_ranges")
+                if rec_pf:
+                    unlisted = sorted(set(files) - set(rec_pf))
+                    if unlisted:
+                        errors.append(
+                            f"v{v} bucket {b}: files {unlisted} in "
+                            f"{e['path']} are absent from file_ranges — "
+                            "invisible to pruned reads"
+                        )
+                    ghost = sorted(set(rec_pf) - set(files))
+                    if ghost:
+                        errors.append(
+                            f"v{v} bucket {b}: file_ranges list missing "
+                            f"files {ghost} in {e['path']}"
+                        )
+                    for name, rng in rec_pf.items():
+                        a = (actual_pf or {}).get(name)
+                        if a and rng and rng[0] is not None and (
+                            a[0] < rng[0] or a[1] > rng[1]
+                        ):
+                            errors.append(
+                                f"v{v} bucket {b}: file_ranges[{name}] "
+                                f"{rng} does not cover actual {a} in "
+                                f"{e['path']}"
+                            )
 
     # --- orphans (informational: vacuum's jurisdiction, not corruption)
-    referenced = sink._referenced_paths(head)
-    for _, snap in checked_versions.items():
-        referenced |= sink._referenced_paths(snap)
+    # computed from the snapshots ALREADY loaded above — calling
+    # sink._referenced_paths here would re-load every tagged snapshot
+    # and crash on exactly the missing-tag-version corruption the tag
+    # loop just recorded
+    referenced = {
+        e["path"]
+        for snap in checked_versions.values()
+        for ents in snap["buckets"].values()
+        for e in ents
+    }
     on_disk = {
         os.path.relpath(p, sink.root)
         for p in glob.glob(os.path.join(sink.root, "data", "*", "bucket=*"))
@@ -129,7 +173,7 @@ def fsck(sink, deep: bool = False) -> dict:
 
     report = {
         "version": head["version"],
-        "n_buckets": head["n_buckets"],
+        "n_buckets": head.get("n_buckets"),
         "files_checked": files_checked,
         "errors": errors,
         "info": info,
@@ -137,7 +181,13 @@ def fsck(sink, deep: bool = False) -> dict:
     }
 
     if deep:
-        report["deep"] = _deep_check(spark, sink, head)
+        if head.get("n_buckets") is None:
+            report["deep"] = {
+                "rows_scanned": 0,
+                "errors": ["skipped: head lacks n_buckets"],
+            }
+        else:
+            report["deep"] = _deep_check(spark, sink, head)
         errors.extend(report["deep"]["errors"])
 
     report["ok"] = not errors

@@ -108,3 +108,80 @@ def test_fsck_requires_a_snapshot(spark, tmp_path):
     sink = SnapshotSink(spark, str(tmp_path / "empty"), n_buckets=4)
     with pytest.raises(ValueError, match="no snapshot"):
         fsck(sink)
+
+
+def test_unlisted_file_invisible_to_pruned_reads_detected(spark, replayed):
+    """file_ranges is load-bearing: pruned reads enumerate files FROM
+    THE DICT, so an on-disk file absent from it is silently invisible —
+    the metadata tier must flag it (review finding)."""
+    sink = replayed
+    snap = sink.current_snapshot()
+    src_b, dst_b = [b for b in sorted(snap["buckets"], key=int)
+                    if snap["buckets"][b]][:2]
+    src_dir = os.path.join(sink.root, snap["buckets"][src_b][0]["path"])
+    dst_dir = os.path.join(sink.root, snap["buckets"][dst_b][0]["path"])
+    f = glob.glob(os.path.join(src_dir, "*.parquet"))[0]
+    shutil.copy(f, os.path.join(dst_dir, "misplaced.parquet"))
+    rep = fsck(sink)
+    assert not rep["ok"]
+    assert any("absent from file_ranges" in e for e in rep["errors"])
+
+
+def test_narrowed_file_range_detected(spark, replayed):
+    sink = replayed
+
+    def narrow_one_file(snap):
+        for entries in snap["buckets"].values():
+            for e in entries:
+                if e.get("file_ranges"):
+                    name = next(iter(e["file_ranges"]))
+                    e["file_ranges"][name] = ["zzz-none", "zzz-none"]
+                    # keep the entry-level range covering so only the
+                    # per-file check can catch it
+                    return
+
+    _rewrite_head(sink, narrow_one_file)
+    rep = fsck(sink)
+    assert not rep["ok"]
+    assert any("file_ranges[" in e and "does not cover" in e for e in rep["errors"])
+
+
+def test_ghost_file_in_file_ranges_detected(spark, replayed):
+    sink = replayed
+
+    def add_ghost(snap):
+        for entries in snap["buckets"].values():
+            for e in entries:
+                if e.get("file_ranges"):
+                    e["file_ranges"]["ghost.parquet"] = ["a", "b"]
+                    return
+
+    _rewrite_head(sink, add_ghost)
+    rep = fsck(sink)
+    assert not rep["ok"]
+    assert any("missing files" in e for e in rep["errors"])
+
+
+def test_tag_at_missing_version_reports_not_crashes(spark, replayed):
+    """fsck must RETURN the corruption, never raise on it: a tag whose
+    version JSON is gone previously crashed the orphan scan (review
+    finding — _referenced_paths re-loads every tagged snapshot)."""
+    sink = replayed
+    sink.tag("pin", 1)
+    os.remove(os.path.join(sink.root, "_snapshots", "v000001.json"))
+    rep = fsck(sink)
+    assert not rep["ok"]
+    assert any("points at missing version" in e for e in rep["errors"])
+
+
+def test_head_missing_n_buckets_reports_not_crashes(spark, replayed):
+    sink = replayed
+
+    def drop_nb(snap):
+        del snap["n_buckets"]
+
+    _rewrite_head(sink, drop_nb)
+    rep = fsck(sink, deep=True)
+    assert not rep["ok"]
+    assert any("lacks n_buckets" in e for e in rep["errors"])
+    assert rep["deep"]["rows_scanned"] == 0  # deep skipped, not crashed

@@ -148,3 +148,24 @@ def test_refetch_evolves_new_columns(spark, replayed):
 
 def _first_id(sink):
     return sink.read_final().select("doc_id").orderBy("doc_id").first()[0]
+
+
+def test_refetch_refuses_duplicate_and_null_keys(spark, replayed):
+    """A dump that is not a function doc_id -> payload is refused
+    loudly: duplicates oscillate forever (review finding: each run
+    re-stamps the other image) and NULL keys would plant NULL-key rows
+    the integrity checker classifies as corruption."""
+    sink = replayed
+    base = sink.read_final().select("doc_id", "tokens", "n_tok", "source")
+    two = spark.createDataFrame(
+        [("twice", [1], 1, "a"), ("twice", [2], 1, "b")],
+        "doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    with pytest.raises(ValueError, match="unique non-null"):
+        dump_to_events(sink, base.unionByName(two), next_op_sequence(sink))
+    nullk = spark.createDataFrame(
+        [(None, [1], 1, "a")],
+        "doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    with pytest.raises(ValueError, match="unique non-null"):
+        dump_to_events(sink, base.unionByName(nullk), next_op_sequence(sink))
