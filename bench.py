@@ -70,6 +70,9 @@ HEADLINE = [
     # round-3 session-5 patch-CDC operators
     "q_patch_fold",
     "q_scd2",
+    # round-3 session-8 retrieval/quality operators
+    "q_bm25",
+    "q_entropy",
 ]
 
 
