@@ -251,6 +251,20 @@ class AggregateView:
         cur = self.current()
         if cur is not None and cur["version"] == v_new:
             return {"mode": "noop", "version": v_new}
+        table_cols = {
+            f.name for f in T.StructType.fromDDL(snap["schema"]).fields
+        }
+        gone = [c for c in self.group_cols + self.sum_cols if c not in table_cols]
+        if gone:
+            # a drop_column/rename_column removed a column this view is
+            # keyed on — the stored aggregate cannot be bridged (its
+            # groups reference the old identity); fail with guidance
+            # instead of an AnalysisException deep in the delta job
+            raise ValueError(
+                f"view columns {gone} no longer exist in the table "
+                "(dropped or renamed): delete the view directory and "
+                "rebuild it against the current schema"
+            )
         if cur is None:
             live = self.sink.read_state(version=v_new).filter(~F.col("deleted"))
             agg = full_agg(live, self.group_cols, self.sum_cols)

@@ -117,6 +117,20 @@ class IcebergSink:
     def drop_tag_sql(self, name: str) -> str:
         return f"ALTER TABLE {self.table} DROP TAG `{name}`"
 
+    def drop_column_sql(self, name: str) -> str:
+        """SnapshotSink.drop_column()'s cluster twin. Iceberg drops by
+        FIELD ID, metadata-only: old data files keep the bytes but the
+        field id is retired, so re-adding the same NAME mints a new id
+        and can never resurrect old values — which is exactly why the
+        filesystem sink (name-based parquet) must rewrite physically
+        instead."""
+        return f"ALTER TABLE {self.table} DROP COLUMN `{name}`"
+
+    def rename_column_sql(self, old: str, new: str) -> str:
+        """SnapshotSink.rename_column()'s cluster twin — metadata-only
+        for the same field-id reason as drop_column_sql."""
+        return f"ALTER TABLE {self.table} RENAME COLUMN `{old}` TO `{new}`"
+
     def rollback_sql(self, snapshot_id: int) -> str:
         """SnapshotSink.rollback_to()'s cluster twin. Iceberg's
         procedure restores the old snapshot as the new current one;

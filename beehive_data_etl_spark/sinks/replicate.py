@@ -251,6 +251,16 @@ class Replicator:
                     "— takedown completeness requires purging every "
                     "replica anyway."
                 )
+            for op in ("drop_column", "rename_column"):
+                if op in m:
+                    raise RuntimeError(
+                        f"upstream {op} at v{v} inside replication window "
+                        f"({frm}, {to}]: rewritten rows keep their "
+                        "op_sequence (silent in the changelog) and no "
+                        "forward event can drop or rename a replica's "
+                        f"column. Run the same {op} on the downstream "
+                        "table, then mark_synced(to) past it."
+                    )
 
     def _advance_retention_tag(self, to: int) -> None:
         # atomic move — no crash window where the pin is absent

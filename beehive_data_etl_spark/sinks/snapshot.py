@@ -577,6 +577,35 @@ class SnapshotSink:
             return self.spark.createDataFrame([], T.StructType.fromDDL(snap["schema"]))
         return self._fold(df, KEY, SEQ)
 
+    def _window_name_bridge(
+        self, from_version: int, to_version: int, target: T.StructType
+    ):
+        """Rename-awareness for the changelog readers: a
+        ``rename_column`` inside the window means the FROM-version
+        state stores the column under its OLD name, and a naive
+        align-to-TO-schema would read it as NULL — silently corrupting
+        every pre-image. Walk the window's recorded rename maps
+        (composing chains), and return ``(read_target,
+        forward_renames)``: read the old state with ``read_target``
+        (TO fields mapped back to their FROM-version names), then apply
+        the forward renames so both sides carry TO names with the old
+        VALUES intact."""
+        cur_to_from: dict[str, str] = {}
+        for v in range(from_version + 1, to_version + 1):
+            rm = self.snapshot(v).get("metrics", {}).get("rename_map")
+            if rm:
+                cur_to_from[rm["new"]] = cur_to_from.pop(rm["old"], rm["old"])
+        if not cur_to_from:
+            return target, []
+        fields = [
+            T.StructField(
+                cur_to_from.get(f.name, f.name), f.dataType, f.nullable
+            )
+            for f in target.fields
+        ]
+        forward = [(frm, to) for to, frm in cur_to_from.items() if frm != to]
+        return T.StructType(fields), forward
+
     def read_changes(
         self,
         from_version: int,
@@ -622,9 +651,15 @@ class SnapshotSink:
             f.name for f in target.fields if f.name not in (KEY, SEQ, CELL)
         ]
         payload = [SEQ] + payload
-        o_raw = self._read_buckets(
-            old_snap, list(range(old_snap["n_buckets"])), target=target
+        read_target, fwd = self._window_name_bridge(
+            from_version, to_version, target
         )
+        o_raw = self._read_buckets(
+            old_snap, list(range(old_snap["n_buckets"])), target=read_target
+        )
+        if o_raw is not None:
+            for frm, to in fwd:
+                o_raw = o_raw.withColumnRenamed(frm, to)
         n_raw = self._read_buckets(
             new_snap, list(range(new_snap["n_buckets"])), target=target
         )
@@ -783,7 +818,13 @@ class SnapshotSink:
         old_touched = (
             [int(b) for b in old_snap["buckets"]] if rebucketed else touched
         )
-        o = self._read_buckets(old_snap, old_touched, target=target)
+        read_target, fwd = self._window_name_bridge(
+            from_version, to_version, target
+        )
+        o = self._read_buckets(old_snap, old_touched, target=read_target)
+        if o is not None:
+            for frm, to in fwd:
+                o = o.withColumnRenamed(frm, to)
         old_state = None if o is None else self._fold(o, KEY, SEQ)
         fresh_raw = self._read_buckets(
             {"schema": new_snap["schema"], "buckets": fresh_buckets}, touched
@@ -1853,6 +1894,129 @@ class SnapshotSink:
             snap = None if nxt is None else self.snapshot(nxt)
         return done
 
+    def drop_column(self, name: str) -> dict:
+        """Schema evolution beyond add/widen: REMOVE a payload column.
+
+        In a name-based parquet store a metadata-only drop is a trap:
+        old files still carry the column, so re-adding the same name
+        later would RESURRECT years-old values on read (the classic
+        evolution bug Iceberg's field ids exist to prevent — on the
+        cluster path `IcebergSink` drops by field id, metadata-only).
+        This sink therefore drops PHYSICALLY: one filtering-free
+        column-projection rewrite of every non-empty bucket through the
+        crash-safe staged protocol, then the superseded bytes die with
+        the next vacuum. After it, a fresh column of the same name
+        starts from NULLs everywhere (pinned by test).
+
+        Operational contract (mirrors purge_keys):
+        - quiesce ingest: a batch committing concurrently with the OLD
+          schema re-adds the column via normal evolution — deploy the
+          writer change first, then alter;
+        - a bucket claimed by a concurrent rewrite makes this RAISE
+          (listing the buckets) rather than return with old-schema
+          bytes retained;
+        - time travel still shows the column at pre-drop versions
+          (their entries carry their own schema) until vacuum reaps
+          them; tags pin as usual;
+        - the CHANGELOG is clean across the window for row-LWW tables:
+          rewritten rows keep their op_sequence (silent under the
+          seq predicate) and both states align to the TO schema.
+          Consumers that USED the column fail loudly (missing column),
+          never silently. Replication refuses the window — no forward
+          event drops a replica's column; run the same drop_column
+          downstream, then mark_synced."""
+        return self._alter_column(drop=name)
+
+    def rename_column(self, old: str, new: str) -> dict:
+        """Schema evolution beyond add/widen: RENAME a payload column,
+        values preserved. Physical rewrite for the same
+        name-resurrection reason as drop_column (Iceberg renames by
+        field id, metadata-only — the cluster twin). The changelog
+        readers are rename-AWARE: the window's recorded rename map
+        bridges the FROM-version state to the TO-version names, so
+        pre-images carry the old values under the NEW name and
+        downstream diffs stay exact. Replication still refuses the
+        window (a replica's column can't be renamed by forward events);
+        run the same rename downstream, then mark_synced. Same
+        quiesce/concurrency/time-travel contract as drop_column."""
+        return self._alter_column(rename=(old, new))
+
+    def _alter_column(
+        self, drop: str | None = None, rename: tuple[str, str] | None = None
+    ) -> dict:
+        snap = self.current_snapshot()
+        if snap is None:
+            raise ValueError("no snapshot yet")
+        if self.patch:
+            raise RuntimeError(
+                "drop/rename on a per-cell (patch) table is not supported "
+                "by the filesystem sink: _cell_seq maps key cells BY NAME "
+                "and every historical delta would need its map rewritten. "
+                "Use the Iceberg twin (field-id rename/drop) on a cluster."
+            )
+        schema = T.StructType.fromDDL(snap["schema"])
+        names = {f.name for f in schema.fields}
+        protected = {KEY, SEQ, "deleted", CELL}
+        if drop is not None:
+            if drop in protected:
+                raise ValueError(f"cannot drop internal/key column {drop!r}")
+            if drop not in names:
+                raise ValueError(f"no such column {drop!r}")
+
+            def project(df, _c=drop):
+                return df.drop(_c)
+
+            final = T.StructType([f for f in schema.fields if f.name != drop])
+            label, extra = "drop_column", {"dropped": drop}
+        else:
+            old, new = rename
+            if old in protected or new in protected:
+                raise ValueError(f"cannot rename internal/key column ({old!r} -> {new!r})")
+            if old not in names:
+                raise ValueError(f"no such column {old!r}")
+            if new in names:
+                raise ValueError(f"column {new!r} already exists")
+
+            def project(df, _o=old, _n=new):
+                return df.withColumnRenamed(_o, _n)
+
+            final = T.StructType(
+                [
+                    T.StructField(new, f.dataType, f.nullable)
+                    if f.name == old
+                    else f
+                    for f in schema.fields
+                ]
+            )
+            label, extra = "rename_column", {"rename_map": {"old": old, "new": new}}
+        if not any(ents for ents in snap["buckets"].values()):
+            # no data files: the alter is a metadata-only schema commit
+            with self._commit_lock, self._table_lock():
+                head = self.current_snapshot()
+                new_snap = dict(head)
+                new_snap.update(
+                    {
+                        "version": head["version"] + 1,
+                        "parent": head["version"],
+                        "schema": _ddl(final),
+                        "schema_version": head.get("schema_version", 0) + 1,
+                        "metrics": {label: [], **extra},
+                    }
+                )
+                self._write_snapshot(new_snap)
+            return {"compacted": [], "op": label, **extra}
+        # row_filter=lit(True) is a no-op filter whose presence makes a
+        # bucket that folds to ZERO rows (all tombstones under the GC
+        # floor) clear its entries instead of silently keeping the
+        # old-schema files (the resurrection this rewrite exists to
+        # prevent)
+        res = self._rewrite_buckets(
+            None, min_deltas=1, row_filter=F.lit(True), op_label=label,
+            project=project, final_schema=final, extra_metrics=extra,
+            require_all=True,
+        )
+        return {**res, "op": label, **extra}
+
     def purge_keys(
         self,
         keys: list,
@@ -1992,6 +2156,8 @@ class SnapshotSink:
         self, buckets: list[int] | None, min_deltas: int, row_filter,
         floor: int | None = None, transform: dict | None = None,
         op_label: str = "compaction", backfill_name: str | None = None,
+        project=None, final_schema: T.StructType | None = None,
+        extra_metrics: dict | None = None, require_all: bool = False,
     ) -> dict:
         t0 = time.time()
         snap = self.current_snapshot()
@@ -2008,12 +2174,24 @@ class SnapshotSink:
                 raise RuntimeError(
                     "rebucket in progress; re-run the rewrite after it completes"
                 )
-            todo = [
+            eligible = [
                 b
                 for b in (buckets if buckets is not None else range(self.n_buckets))
                 if len(snap["buckets"].get(str(b), [])) >= min_deltas
-                and b not in self._compacting
             ]
+            blocked = [b for b in eligible if b in self._compacting]
+            if require_all and blocked:
+                # all-or-nothing claim (column alters): a partial
+                # rewrite that still committed the new schema could
+                # never be completed by a re-run (the old column no
+                # longer exists to project away) — abort with NOTHING
+                # claimed or written
+                raise RuntimeError(
+                    f"buckets {blocked} are claimed by a concurrent "
+                    f"rewrite; re-run the {op_label} once it completes "
+                    "(nothing was changed)"
+                )
+            todo = [b for b in eligible if b not in self._compacting]
             self._compacting |= set(todo)
         if not todo:
             return {"compacted": []}
@@ -2028,7 +2206,8 @@ class SnapshotSink:
         try:
             return self._rewrite_buckets_run(
                 snap, todo, row_filter, tag, t0, floor, transform,
-                op_label, backfill_name,
+                op_label, backfill_name, project, final_schema,
+                extra_metrics,
             )
         finally:
             with self._commit_lock:
@@ -2038,7 +2217,9 @@ class SnapshotSink:
     def _rewrite_buckets_run(
         self, snap, todo, row_filter, tag, t0, floor: int | None = None,
         transform: dict | None = None, op_label: str = "compaction",
-        backfill_name: str | None = None,
+        backfill_name: str | None = None, project=None,
+        final_schema: T.StructType | None = None,
+        extra_metrics: dict | None = None,
     ) -> dict:
         table_schema = T.StructType.fromDDL(snap["schema"])
         folded = self._fold(
@@ -2088,6 +2269,10 @@ class SnapshotSink:
                         upd,
                     ),
                 )
+        if project is not None:
+            # column-set rewrite (drop/rename): the callable reshapes
+            # payload columns; internals (KEY/SEQ/deleted) must survive
+            folded = project(folded)
         folded = folded.withColumn("_bucket", _bucket_expr(self.n_buckets))
         staging = os.path.join(self.root, "data", f"_stage-{uuid.uuid4().hex}")
         (
@@ -2117,7 +2302,7 @@ class SnapshotSink:
         # ONE scan group
         written_schema = (
             T.StructType([f for f in folded.schema.fields if f.name != "_bucket"])
-            if transform
+            if transform or project is not None
             else table_schema
         )
         ddl = _ddl(written_schema)
@@ -2179,6 +2364,8 @@ class SnapshotSink:
             metrics = {op_label: todo, "wall_s": round(time.time() - t0, 3)}
             if backfill_name is not None:
                 metrics["backfill_name"] = backfill_name
+            if extra_metrics:
+                metrics.update(extra_metrics)
             new_snap = dict(head)
             new_snap.update(
                 {
@@ -2206,6 +2393,12 @@ class SnapshotSink:
                 )
                 new_snap["schema"] = _ddl(evolved)
                 new_snap["schema_version"] = schema_version
+            if final_schema is not None:
+                # column-set alter (drop/rename): the new schema is the
+                # operation's OUTPUT, not an add/widen evolution — set
+                # it directly and bump the schema epoch
+                new_snap["schema"] = _ddl(final_schema)
+                new_snap["schema_version"] = head.get("schema_version", 0) + 1
             self._write_snapshot(new_snap)
         # tag discarded by the caller's finally (published files are
         # referenced by CURRENT from here on, so vacuum keeps them)

@@ -1,0 +1,198 @@
+"""Column drop/rename schema evolution (SnapshotSink.drop_column /
+rename_column): physical rewrites in a name-based parquet store so a
+re-added name can never resurrect old bytes, with rename-aware
+changelog readers and loud consumer/replication boundaries."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from beehive_data_etl_spark.sinks.snapshot import SnapshotSink
+from beehive_data_etl_spark.streaming.replay import replay_incremental
+from beehive_data_etl_spark.verify import compare_final, oracle_final_spark
+
+
+@pytest.fixture()
+def replayed(spark, smoke_log, tmp_path):
+    sink = SnapshotSink(spark, str(tmp_path / "sink"), n_buckets=8)
+    replay_incremental(spark, smoke_log, sink, files_per_batch=2)
+    return sink
+
+
+def _one_event(spark, sink, key, tokens, extra_cols="", extra_vals=()):
+    return spark.createDataFrame(
+        [("U", 10_000_000, key, tokens, len(tokens), "manual", None, 0)
+         + tuple(extra_vals)],
+        "op string, op_sequence long, doc_id string, tokens array<int>, "
+        "n_tok int, source string, event_ts timestamp, batch_hint int"
+        + extra_cols,
+    )
+
+
+def test_drop_column_removes_and_never_resurrects(spark, smoke_log, replayed):
+    sink = replayed
+    v_pre = sink.current_snapshot()["version"]
+    out = sink.drop_column("source")
+    assert out["op"] == "drop_column"
+    got = sink.read_final()
+    assert "source" not in got.columns
+    # token payload is untouched — byte-equal vs the oracle
+    state = sink.read_state()
+    assert compare_final(
+        state.filter(~state.deleted), oracle_final_spark(spark, smoke_log)
+    )["ok"]
+    # time travel still shows the column at the pre-drop version
+    old = sink.read_state(version=v_pre)
+    assert "source" in old.columns
+    assert old.filter(F.col("source").isNotNull()).count() > 0
+    # THE critical property: re-adding the same name starts from NULLs
+    key = got.select("doc_id").first()[0]
+    sink.apply_batch(_one_event(spark, sink, key, [1, 2]), "re-add")
+    # evolution re-adds 'source' via the batch schema; every OTHER row
+    # must read NULL for it — no resurrection from old bytes
+    cur = sink.read_final()
+    assert "source" in cur.columns
+    assert cur.filter(F.col("source").isNotNull()).count() == 1
+    assert cur.filter(F.col("source") == "manual").count() == 1
+
+
+def test_rename_column_preserves_values(spark, smoke_log, replayed):
+    sink = replayed
+    want = {
+        r.doc_id: r.source
+        for r in sink.read_final().select("doc_id", "source").collect()
+    }
+    out = sink.rename_column("source", "provenance")
+    assert out["op"] == "rename_column"
+    got = sink.read_final()
+    assert "source" not in got.columns and "provenance" in got.columns
+    have = {r.doc_id: r.provenance
+            for r in got.select("doc_id", "provenance").collect()}
+    assert have == want
+    state = sink.read_state()
+    assert compare_final(
+        state.filter(~state.deleted), oracle_final_spark(spark, smoke_log)
+    )["ok"]
+
+
+def test_changelog_bridges_rename_window(spark, smoke_log, replayed):
+    """A rename inside the window: pre-images must carry the OLD values
+    under the NEW name (a naive align would read NULL — silent
+    corruption), the rewrite itself emits no change rows, and a genuine
+    update in the same window shows its correct pre-image."""
+    sink = replayed
+    v_from = sink.current_snapshot()["version"]
+    sink.rename_column("source", "provenance")
+    key = sink.read_final().select("doc_id").orderBy("doc_id").first()[0]
+    old_src = (
+        sink.read_state(version=v_from)
+        .filter(F.col("doc_id") == key)
+        .select("source")
+        .first()[0]
+    )
+    ev = spark.createDataFrame(
+        [("U", 10_000_000, key, [3, 3], 2, "fresh", None, 0)],
+        "op string, op_sequence long, doc_id string, tokens array<int>, "
+        "n_tok int, provenance string, event_ts timestamp, batch_hint int",
+    )
+    sink.apply_batch(ev, "post-rename-update")
+    v_to = sink.current_snapshot()["version"]
+    for reader in (sink.read_changes, sink.read_changes_pruned):
+        ch = reader(v_from, v_to, include_old=True)
+        rows = ch.collect()
+        # ONLY the genuine update surfaces (rewrite rows are silent)
+        assert [r.doc_id for r in rows] == [key]
+        r = rows[0]
+        assert r.change_type == "U"
+        assert r.provenance == "fresh"
+        assert r._old_provenance == old_src  # old VALUE under NEW name
+
+
+def test_changelog_clean_across_drop_window(spark, replayed):
+    sink = replayed
+    v_from = sink.current_snapshot()["version"]
+    sink.drop_column("source")
+    v_to = sink.current_snapshot()["version"]
+    for reader in (sink.read_changes, sink.read_changes_pruned):
+        ch = reader(v_from, v_to, include_old=True)
+        assert "source" not in ch.columns
+        assert ch.count() == 0  # the rewrite is silent
+
+
+def test_aggregate_view_on_altered_column_fails_loudly(spark, replayed, tmp_path):
+    from beehive_data_etl_spark.sinks.aggregates import AggregateView
+
+    sink = replayed
+    view = AggregateView(spark, sink, str(tmp_path / "agg"), ["source"], ["n_tok"])
+    view.refresh()
+    # a view on SURVIVING columns, refreshed before the alter…
+    survivor = AggregateView(spark, sink, str(tmp_path / "agg2"), ["n_tok"], [])
+    survivor.refresh()
+    sink.rename_column("source", "provenance")
+    with pytest.raises(ValueError, match="dropped or renamed"):
+        view.refresh()
+    # …refreshes INCREMENTALLY straight through the alter window (the
+    # rewrite is changelog-silent) and stays exact
+    out = survivor.refresh()
+    assert out["mode"] == "incremental"
+    assert survivor.verify()["ok"]
+
+
+def test_replication_refuses_alter_window(spark, smoke_log, replayed, tmp_path):
+    from beehive_data_etl_spark.sinks.replicate import Replicator
+
+    src = replayed
+    dst = SnapshotSink(spark, str(tmp_path / "dst"), n_buckets=4)
+    repl = Replicator(src, dst, name="r")
+    repl.sync()
+    src.rename_column("source", "provenance")
+    with pytest.raises(RuntimeError, match="rename_column"):
+        repl.sync()
+    # operator bridge: same alter downstream, mark past it, resume
+    dst.rename_column("source", "provenance")
+    repl.mark_synced(src.current_snapshot()["version"])
+    key = src.read_final().select("doc_id").first()[0]
+    ev = spark.createDataFrame(
+        [("U", 10_000_000, key, [4], 1, "fresh", None, 0)],
+        "op string, op_sequence long, doc_id string, tokens array<int>, "
+        "n_tok int, provenance string, event_ts timestamp, batch_hint int",
+    )
+    src.apply_batch(ev, "after-alter")
+    repl.sync()
+    got = dst.read_final().filter(F.col("doc_id") == key).collect()
+    assert len(got) == 1 and got[0].provenance == "fresh"
+
+
+def test_alter_validations(spark, replayed, tmp_path):
+    sink = replayed
+    with pytest.raises(ValueError, match="internal"):
+        sink.drop_column("op_sequence")
+    with pytest.raises(ValueError, match="no such column"):
+        sink.drop_column("nope")
+    with pytest.raises(ValueError, match="already exists"):
+        sink.rename_column("source", "n_tok")
+    with pytest.raises(ValueError, match="internal"):
+        sink.rename_column("doc_id", "key2")
+    patch_sink = SnapshotSink(spark, str(tmp_path / "p"), n_buckets=4, patch=True)
+    one = spark.createDataFrame(
+        [("I", 1, "a", [1], 1, "s", None, 0, None)],
+        "op string, op_sequence long, doc_id string, tokens array<int>, "
+        "n_tok int, source string, event_ts timestamp, batch_hint int, "
+        "patch_cols array<string>",
+    )
+    patch_sink.apply_batch(one, "b1")
+    with pytest.raises(RuntimeError, match="patch"):
+        patch_sink.drop_column("source")
+
+
+def test_fsck_and_lookup_after_alter(spark, replayed):
+    from beehive_data_etl_spark.sinks.fsck import fsck
+
+    sink = replayed
+    sink.rename_column("source", "provenance")
+    sink.drop_column("n_tok")
+    rep = fsck(sink, deep=True)
+    assert rep["ok"], rep
+    # point reads ride the rewritten entries' fresh key stats
+    key = sink.read_final().select("doc_id").first()[0]
+    row = sink.lookup([key]).collect()
+    assert len(row) == 1 and row[0].provenance is not None

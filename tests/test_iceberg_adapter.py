@@ -316,3 +316,20 @@ def test_patch_merge_exprs_equal_engine_fold(spark):
         return out
 
     assert rows(sim) == rows(want)
+
+
+def test_alter_column_sql_strings(spark):
+    """drop_column/rename_column cluster twins: metadata-only by field
+    id — the reason the filesystem sink must rewrite physically."""
+    from beehive_data_etl_spark.sinks.iceberg import IcebergSink
+
+    sink = IcebergSink.__new__(IcebergSink)
+    sink.table = "lake.db.tokens"
+    assert (
+        sink.drop_column_sql("source")
+        == "ALTER TABLE lake.db.tokens DROP COLUMN `source`"
+    )
+    assert (
+        sink.rename_column_sql("source", "provenance")
+        == "ALTER TABLE lake.db.tokens RENAME COLUMN `source` TO `provenance`"
+    )
