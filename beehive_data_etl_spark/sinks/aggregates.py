@@ -265,6 +265,32 @@ class AggregateView:
                 "(dropped or renamed): delete the view directory and "
                 "rebuild it against the current schema"
             )
+        if cur is not None:
+            # current-schema presence is NOT enough: a drop + re-add of
+            # the same name INSIDE the refresh window nulled every
+            # stored value changelog-silently, so the stale aggregate
+            # would merge cleanly and be wrong (review-found). Walk the
+            # window's alter commits; schema_version equality proves
+            # there were none (every alter bumps it).
+            from_snap = self.sink.snapshot(cur["version"])
+            if from_snap.get("schema_version", 0) != snap.get("schema_version", 0):
+                mine = set(self.group_cols + self.sum_cols)
+                for v in range(cur["version"] + 1, v_new + 1):
+                    m = self.sink.snapshot(v).get("metrics", {})
+                    touched = set()
+                    if "drop_column" in m:
+                        touched.add(m.get("dropped"))
+                    rm = m.get("rename_map")
+                    if rm:
+                        touched |= {rm["old"], rm["new"]}
+                    hit = sorted(mine & touched)
+                    if hit:
+                        raise ValueError(
+                            f"column(s) {hit} were dropped/renamed at "
+                            f"v{v} inside the refresh window: the stored "
+                            "aggregate references their old identity — "
+                            "delete the view directory and rebuild"
+                        )
         if cur is None:
             live = self.sink.read_state(version=v_new).filter(~F.col("deleted"))
             agg = full_agg(live, self.group_cols, self.sum_cols)

@@ -258,8 +258,10 @@ class Replicator:
                         f"({frm}, {to}]: rewritten rows keep their "
                         "op_sequence (silent in the changelog) and no "
                         "forward event can drop or rename a replica's "
-                        f"column. Run the same {op} on the downstream "
-                        "table, then mark_synced(to) past it."
+                        f"column. Recover IN ORDER: sync({v - 1}) first "
+                        "(replicating the genuine changes before the "
+                        f"alter), run the same {op} on the downstream "
+                        f"table, then mark_synced({v}) past it and resume."
                     )
 
     def _advance_retention_tag(self, to: int) -> None:

@@ -590,21 +590,41 @@ class SnapshotSink:
         (TO fields mapped back to their FROM-version names), then apply
         the forward renames so both sides carry TO names with the old
         VALUES intact."""
+        # fast path: rename_column always bumps schema_version, so equal
+        # endpoint versions prove no rename in the window — skip the
+        # O(window) metrics walk entirely (the common case)
+        sv_old = self.snapshot(from_version).get("schema_version", 0)
+        sv_new = self.snapshot(to_version).get("schema_version", 0)
+        if sv_old == sv_new:
+            return target, None
         cur_to_from: dict[str, str] = {}
         for v in range(from_version + 1, to_version + 1):
             rm = self.snapshot(v).get("metrics", {}).get("rename_map")
             if rm:
                 cur_to_from[rm["new"]] = cur_to_from.pop(rm["old"], rm["old"])
         if not cur_to_from:
-            return target, []
-        fields = [
-            T.StructField(
-                cur_to_from.get(f.name, f.name), f.dataType, f.nullable
-            )
-            for f in target.fields
-        ]
-        forward = [(frm, to) for to, frm in cur_to_from.items() if frm != to]
-        return T.StructType(fields), forward
+            return target, None
+        # collision-safe mapping (review-found): a window can RE-USE a
+        # name (rename a->b then a batch re-adds 'a', or a swap via a
+        # temp name). Mapped TO fields claim their FROM names first; an
+        # unmapped TO field whose name is claimed had NO value at the
+        # FROM version (it was minted after the rename freed the name)
+        # and reads as a typed NULL via a placeholder absent from every
+        # old file. The forward step is ONE positional select (atomic
+        # renames), never sequential withColumnRenamed — which renames
+        # every matching attribute and corrupts swaps.
+        claimed = {frm for frm in cur_to_from.values()}
+        fields, sel = [], []
+        for i, f in enumerate(target.fields):
+            if f.name in cur_to_from:
+                frm = cur_to_from[f.name]
+            elif f.name in claimed:
+                frm = f"__bridge_absent_{i}"
+            else:
+                frm = f.name
+            fields.append(T.StructField(frm, f.dataType, f.nullable))
+            sel.append((frm, f.name))
+        return T.StructType(fields), sel
 
     def read_changes(
         self,
@@ -651,15 +671,16 @@ class SnapshotSink:
             f.name for f in target.fields if f.name not in (KEY, SEQ, CELL)
         ]
         payload = [SEQ] + payload
-        read_target, fwd = self._window_name_bridge(
+        read_target, bridge_sel = self._window_name_bridge(
             from_version, to_version, target
         )
         o_raw = self._read_buckets(
             old_snap, list(range(old_snap["n_buckets"])), target=read_target
         )
-        if o_raw is not None:
-            for frm, to in fwd:
-                o_raw = o_raw.withColumnRenamed(frm, to)
+        if o_raw is not None and bridge_sel is not None:
+            o_raw = o_raw.select(
+                *[F.col(frm).alias(to) for frm, to in bridge_sel]
+            )
         n_raw = self._read_buckets(
             new_snap, list(range(new_snap["n_buckets"])), target=target
         )
@@ -818,13 +839,12 @@ class SnapshotSink:
         old_touched = (
             [int(b) for b in old_snap["buckets"]] if rebucketed else touched
         )
-        read_target, fwd = self._window_name_bridge(
+        read_target, bridge_sel = self._window_name_bridge(
             from_version, to_version, target
         )
         o = self._read_buckets(old_snap, old_touched, target=read_target)
-        if o is not None:
-            for frm, to in fwd:
-                o = o.withColumnRenamed(frm, to)
+        if o is not None and bridge_sel is not None:
+            o = o.select(*[F.col(frm).alias(to) for frm, to in bridge_sel])
         old_state = None if o is None else self._fold(o, KEY, SEQ)
         fresh_raw = self._read_buckets(
             {"schema": new_snap["schema"], "buckets": fresh_buckets}, touched
@@ -1956,7 +1976,11 @@ class SnapshotSink:
             )
         schema = T.StructType.fromDDL(snap["schema"])
         names = {f.name for f in schema.fields}
-        protected = {KEY, SEQ, "deleted", CELL}
+        # _bucket is the rewrite's own partitioning column (renaming a
+        # payload column onto it would be silently OVERWRITTEN by bucket
+        # numbers — total data loss, review-found); change_type/_old_*
+        # are the changelog readers' reserved output names
+        protected = {KEY, SEQ, "deleted", CELL, "_bucket", "change_type"}
         if drop is not None:
             if drop in protected:
                 raise ValueError(f"cannot drop internal/key column {drop!r}")
@@ -1970,7 +1994,7 @@ class SnapshotSink:
             label, extra = "drop_column", {"dropped": drop}
         else:
             old, new = rename
-            if old in protected or new in protected:
+            if old in protected or new in protected or new.startswith("_old_"):
                 raise ValueError(f"cannot rename internal/key column ({old!r} -> {new!r})")
             if old not in names:
                 raise ValueError(f"no such column {old!r}")
@@ -1993,6 +2017,12 @@ class SnapshotSink:
             # no data files: the alter is a metadata-only schema commit
             with self._commit_lock, self._table_lock():
                 head = self.current_snapshot()
+                if head["version"] != snap["version"]:
+                    raise RuntimeError(
+                        f"table advanced from v{snap['version']} to "
+                        f"v{head['version']} during the {label} — re-run "
+                        "the alter against the new head"
+                    )
                 new_snap = dict(head)
                 new_snap.update(
                     {
@@ -2352,6 +2382,19 @@ class SnapshotSink:
                 raise RuntimeError(
                     "table rolled back mid-rewrite; re-run it against "
                     "the restored head"
+                )
+            if final_schema is not None and head["version"] != snap["version"]:
+                # column alters ENFORCE the quiesce contract: any commit
+                # that landed mid-alter (a batch evolving the schema, a
+                # concurrent rewrite) would have its kept deltas read
+                # under the alter's stale final_schema — an evolved
+                # column erased table-wide, or old-name bytes retained
+                # under entries the schema no longer covers
+                # (resurrection). Nothing was committed; re-run.
+                raise RuntimeError(
+                    f"table advanced from v{snap['version']} to "
+                    f"v{head['version']} during the {op_label} — column "
+                    "alters require quiesced writers; re-run the alter"
                 )
             new_buckets = dict(head["buckets"])
             for key_b, entries in moved.items():

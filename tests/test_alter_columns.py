@@ -196,3 +196,147 @@ def test_fsck_and_lookup_after_alter(spark, replayed):
     key = sink.read_final().select("doc_id").first()[0]
     row = sink.lookup([key]).collect()
     assert len(row) == 1 and row[0].provenance is not None
+
+
+def test_changelog_bridges_name_reuse_after_rename(spark, replayed):
+    """Review-found: a window that RE-USES a freed name (rename a->b,
+    then a batch re-adds 'a') must read the re-added column's pre-image
+    as NULL and the renamed column's pre-image as the old values —
+    naive name mapping produced duplicate columns and crashed."""
+    sink = replayed
+    v_from = sink.current_snapshot()["version"]
+    sink.rename_column("source", "provenance")
+    key = sink.read_final().select("doc_id").orderBy("doc_id").first()[0]
+    old_src = (
+        sink.read_state(version=v_from)
+        .filter(F.col("doc_id") == key).select("source").first()[0]
+    )
+    ev = spark.createDataFrame(
+        [("U", 10_000_000, key, [3], 1, "newval", None, 0)],
+        "op string, op_sequence long, doc_id string, tokens array<int>, "
+        "n_tok int, source string, event_ts timestamp, batch_hint int",
+    )
+    sink.apply_batch(ev, "re-add-source")
+    v_to = sink.current_snapshot()["version"]
+    for reader in (sink.read_changes, sink.read_changes_pruned):
+        rows = reader(v_from, v_to, include_old=True).collect()
+        assert [r.doc_id for r in rows] == [key]
+        r = rows[0]
+        assert r.source == "newval"
+        assert r._old_source is None          # minted AFTER the rename
+        assert r._old_provenance == old_src   # old value, new name
+
+
+def test_changelog_bridges_swap_renames(spark, replayed):
+    """A swap through a temp name (a->tmp, b->a, tmp->b) must compose:
+    sequential withColumnRenamed corrupts it (renames every match)."""
+    sink = replayed
+    v_from = sink.current_snapshot()["version"]
+    key = sink.read_final().select("doc_id").orderBy("doc_id").first()[0]
+    pre = (
+        sink.read_state(version=v_from)
+        .filter(F.col("doc_id") == key)
+        .select("source", "n_tok").first()
+    )
+    sink.rename_column("source", "tmpcol")
+    sink.rename_column("n_tok", "source")   # source now holds counts
+    sink.rename_column("tmpcol", "n_tok")   # n_tok now holds labels
+    ev = spark.createDataFrame(
+        [("U", 10_000_000, key, [3], "swapped", 1, None, 0)],
+        "op string, op_sequence long, doc_id string, tokens array<int>, "
+        "n_tok string, source int, event_ts timestamp, batch_hint int",
+    )
+    sink.apply_batch(ev, "post-swap")
+    v_to = sink.current_snapshot()["version"]
+    for reader in (sink.read_changes, sink.read_changes_pruned):
+        rows = reader(v_from, v_to, include_old=True).collect()
+        assert [r.doc_id for r in rows] == [key]
+        r = rows[0]
+        assert r._old_source == pre.n_tok    # counts under 'source'
+        assert r._old_n_tok == pre.source    # labels under 'n_tok'
+
+
+def test_rename_onto_reserved_bucket_name_refused(spark, replayed):
+    with pytest.raises(ValueError, match="internal"):
+        replayed.rename_column("source", "_bucket")
+    with pytest.raises(ValueError, match="internal"):
+        replayed.rename_column("source", "_old_source")
+    with pytest.raises(ValueError, match="internal"):
+        replayed.rename_column("source", "change_type")
+
+
+def test_alter_aborts_when_table_advances_mid_rewrite(spark, replayed, tmp_path):
+    """The quiesce contract is ENFORCED, not just documented: a commit
+    landing between alter planning and publish aborts the alter with
+    nothing committed (review-found: the stale final_schema would have
+    erased a concurrently-evolved column table-wide)."""
+    from pyspark.sql import functions as SF
+    from pyspark.sql import types as T
+
+    sink = replayed
+    writer = SnapshotSink(spark, sink.root, n_buckets=sink.n_buckets)
+    key = sink.read_final().select("doc_id").first()[0]
+    fired = []
+
+    def sneaky_project(df):
+        if not fired:
+            fired.append(True)
+            ev = spark.createDataFrame(
+                [("U", 10_000_000, key, [8], 1, "mid", None, 0)],
+                "op string, op_sequence long, doc_id string, "
+                "tokens array<int>, n_tok int, source string, "
+                "event_ts timestamp, batch_hint int",
+            )
+            writer.apply_batch(ev, "mid-alter")
+        return df.drop("source")
+
+    schema = T.StructType.fromDDL(sink.current_snapshot()["schema"])
+    final = T.StructType([f for f in schema.fields if f.name != "source"])
+    v_before = sink.current_snapshot()["version"]
+    with pytest.raises(RuntimeError, match="quiesced"):
+        sink._rewrite_buckets(
+            None, min_deltas=1, row_filter=SF.lit(True),
+            op_label="drop_column", project=sneaky_project,
+            final_schema=final, require_all=True,
+        )
+    head = sink.current_snapshot()
+    # only the concurrent batch committed; the alter left no trace
+    assert head["version"] == v_before + 1
+    assert "source" in head["schema"]
+
+
+def test_alter_all_or_nothing_when_bucket_claimed(spark, replayed):
+    sink = replayed
+    busy = int(next(b for b, e in sink.current_snapshot()["buckets"].items() if e))
+    with sink._commit_lock:
+        sink._compacting.add(busy)
+    try:
+        v = sink.current_snapshot()["version"]
+        with pytest.raises(RuntimeError, match="nothing was changed"):
+            sink.drop_column("source")
+        assert sink.current_snapshot()["version"] == v
+    finally:
+        with sink._commit_lock:
+            sink._compacting.discard(busy)
+    assert sink.drop_column("source")["op"] == "drop_column"
+
+
+def test_aggregate_view_catches_drop_readd_inside_window(spark, replayed, tmp_path):
+    """Review-found: drop + re-add of the SAME name inside one refresh
+    window passes a current-schema check but the stored aggregate is
+    stale (the drop nulled every value changelog-silently)."""
+    from beehive_data_etl_spark.sinks.aggregates import AggregateView
+
+    sink = replayed
+    view = AggregateView(spark, sink, str(tmp_path / "agg"), ["source"], [])
+    view.refresh()
+    sink.drop_column("source")
+    key = sink.read_final().select("doc_id").first()[0]
+    ev = spark.createDataFrame(
+        [("U", 10_000_000, key, [1], 1, "back", None, 0)],
+        "op string, op_sequence long, doc_id string, tokens array<int>, "
+        "n_tok int, source string, event_ts timestamp, batch_hint int",
+    )
+    sink.apply_batch(ev, "re-add")
+    with pytest.raises(ValueError, match="dropped/renamed at"):
+        view.refresh()
