@@ -211,3 +211,19 @@ def test_noop_and_k_validation(spark, replayed, tmp_path):
         big.refresh()
     with pytest.raises(ValueError):
         ShardExport(spark, replayed, str(tmp_path / "zero"), k=0)
+
+
+def test_shard_export_over_patch_table(spark, patch_log, tmp_path):
+    """The export composes with per-cell (patch) tables: the changelog
+    emits full row images, internals (incl. _cell_seq) stay out of the
+    shard files, and incremental equals full."""
+    sink = SnapshotSink(spark, str(tmp_path / "sink"), n_buckets=8, patch=True)
+    replay_incremental(spark, patch_log, sink, files_per_batch=2, max_batches=2)
+    exp = ShardExport(spark, sink, str(tmp_path / "shards"), k=4)
+    exp.refresh()
+    replay_incremental(spark, patch_log, sink, files_per_batch=2)
+    out = exp.refresh()
+    assert out["mode"] == "incremental"
+    assert "_cell_seq" not in exp.read().columns
+    _assert_equal_layout(exp, _full_twin(spark, sink, tmp_path, 4))
+    assert exp.verify()["ok"]
