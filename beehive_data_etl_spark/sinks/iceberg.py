@@ -123,12 +123,29 @@ class IcebergSink:
         field id is retired, so re-adding the same NAME mints a new id
         and can never resurrect old values — which is exactly why the
         filesystem sink (name-based parquet) must rewrite physically
-        instead."""
+        instead.
+
+        REFUSED on patch tables: their ``_cell_seq`` maps key cells BY
+        NAME, and a metadata-only alter does not migrate map keys —
+        the table would need an UPDATE rewriting every map first."""
+        if getattr(self, "patch", False):
+            raise RuntimeError(
+                "metadata-only DROP COLUMN does not migrate the "
+                "name-keyed _cell_seq maps of a patch table; run an "
+                "UPDATE rewriting the maps first (or rebuild the table)"
+            )
         return f"ALTER TABLE {self.table} DROP COLUMN `{name}`"
 
     def rename_column_sql(self, old: str, new: str) -> str:
         """SnapshotSink.rename_column()'s cluster twin — metadata-only
-        for the same field-id reason as drop_column_sql."""
+        for the same field-id reason (and patch-table refusal) as
+        drop_column_sql."""
+        if getattr(self, "patch", False):
+            raise RuntimeError(
+                "metadata-only RENAME COLUMN does not migrate the "
+                "name-keyed _cell_seq maps of a patch table; run an "
+                "UPDATE rewriting the maps first (or rebuild the table)"
+            )
         return f"ALTER TABLE {self.table} RENAME COLUMN `{old}` TO `{new}`"
 
     def rollback_sql(self, snapshot_id: int) -> str:

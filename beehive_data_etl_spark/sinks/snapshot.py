@@ -91,6 +91,47 @@ def _cell_fp(col):
     return F.sort_array(F.map_entries(col))
 
 
+def _bridge_cell_map(col, allowed: list[str], renames: dict[str, str]):
+    """Bring a FROM-version ``_cell_seq`` map into the TO-version's
+    cell namespace across a column-alter window: renamed columns' cells
+    carry over under the NEW name, and cells of columns absent from
+    the TO schema (dropped) are removed. Restriction to ``allowed`` is
+    a no-op on healthy non-alter windows (write-time maps key only
+    schema columns), so it is applied unconditionally in patch mode —
+    without it the pruned reader's union fold would merge old-name
+    cells alongside new-name cells and every row would read as
+    changed."""
+    m = col
+    if renames:
+        def _key(e):
+            out = e["key"]
+            for frm, to in renames.items():
+                out = F.when(e["key"] == frm, F.lit(to)).otherwise(out)
+            return out
+
+        m = F.map_from_entries(
+            F.transform(
+                F.map_entries(m),
+                lambda e: F.struct(
+                    _key(e).alias("key"), e["value"].alias("value")
+                ),
+            )
+        )
+    return F.map_filter(m, lambda k, _v: k.isin(*allowed))
+
+
+def _bridge_renames(bridge_sel) -> dict[str, str]:
+    """FROM-name → TO-name pairs out of a _window_name_bridge select
+    list (placeholders for minted-after-rename columns excluded)."""
+    if not bridge_sel:
+        return {}
+    return {
+        frm: to
+        for frm, to in bridge_sel
+        if frm != to and not frm.startswith("__bridge_absent_")
+    }
+
+
 class SnapshotSink:
     def __init__(
         self,
@@ -681,6 +722,16 @@ class SnapshotSink:
             o_raw = o_raw.select(
                 *[F.col(frm).alias(to) for frm, to in bridge_sel]
             )
+        if o_raw is not None and self.patch:
+            allowed = [
+                f.name for f in target.fields if f.name not in (KEY, SEQ, CELL)
+            ]
+            o_raw = o_raw.withColumn(
+                CELL,
+                _bridge_cell_map(
+                    F.col(CELL), allowed, _bridge_renames(bridge_sel)
+                ),
+            )
         n_raw = self._read_buckets(
             new_snap, list(range(new_snap["n_buckets"])), target=target
         )
@@ -845,6 +896,21 @@ class SnapshotSink:
         o = self._read_buckets(old_snap, old_touched, target=read_target)
         if o is not None and bridge_sel is not None:
             o = o.select(*[F.col(frm).alias(to) for frm, to in bridge_sel])
+        if o is not None and self.patch:
+            # bridge the cell namespace BEFORE the fold: the union fold
+            # below merges old-state maps with fresh-file maps, and
+            # old-name (or dropped-column) cells surviving the merge
+            # would both corrupt the winner map and storm the
+            # fingerprint compare
+            allowed = [
+                f.name for f in target.fields if f.name not in (KEY, SEQ, CELL)
+            ]
+            o = o.withColumn(
+                CELL,
+                _bridge_cell_map(
+                    F.col(CELL), allowed, _bridge_renames(bridge_sel)
+                ),
+            )
         old_state = None if o is None else self._fold(o, KEY, SEQ)
         fresh_raw = self._read_buckets(
             {"schema": new_snap["schema"], "buckets": fresh_buckets}, touched
@@ -1938,13 +2004,21 @@ class SnapshotSink:
         - time travel still shows the column at pre-drop versions
           (their entries carry their own schema) until vacuum reaps
           them; tags pin as usual;
-        - the CHANGELOG is clean across the window for row-LWW tables:
-          rewritten rows keep their op_sequence (silent under the
-          seq predicate) and both states align to the TO schema.
-          Consumers that USED the column fail loudly (missing column),
-          never silently. Replication refuses the window — no forward
-          event drops a replica's column; run the same drop_column
-          downstream, then mark_synced."""
+        - the CHANGELOG is clean across the window: rewritten rows keep
+          their op_sequence (silent under the seq predicate) and both
+          states align to the TO schema; on per-cell (patch) tables the
+          readers additionally bridge the old state's cell namespace
+          (dropped cells removed, renamed cells carried) before folding
+          and fingerprinting. Consumers that USED the column fail
+          loudly (missing column), never silently. Replication refuses
+          the window — no forward event drops a replica's column; run
+          the same drop_column downstream, then mark_synced.
+        - on patch tables the rewrite also rewrites every _cell_seq
+          map (drop: the cell dies with the column, so a re-add starts
+          never-set; rename: the setter clock carries over so late
+          out-of-order patches still resolve against the right seq).
+          NOTE the Iceberg twin's metadata-only alter does NOT migrate
+          name-keyed cell maps — see drop_column_sql."""
         return self._alter_column(drop=name)
 
     def rename_column(self, old: str, new: str) -> dict:
@@ -1967,13 +2041,6 @@ class SnapshotSink:
         snap = self.current_snapshot()
         if snap is None:
             raise ValueError("no snapshot yet")
-        if self.patch:
-            raise RuntimeError(
-                "drop/rename on a per-cell (patch) table is not supported "
-                "by the filesystem sink: _cell_seq maps key cells BY NAME "
-                "and every historical delta would need its map rewritten. "
-                "Use the Iceberg twin (field-id rename/drop) on a cluster."
-            )
         schema = T.StructType.fromDDL(snap["schema"])
         names = {f.name for f in schema.fields}
         # _bucket is the rewrite's own partitioning column (renaming a
@@ -1981,6 +2048,7 @@ class SnapshotSink:
         # numbers — total data loss, review-found); change_type/_old_*
         # are the changelog readers' reserved output names
         protected = {KEY, SEQ, "deleted", CELL, "_bucket", "change_type"}
+        patch = self.patch
         if drop is not None:
             if drop in protected:
                 raise ValueError(f"cannot drop internal/key column {drop!r}")
@@ -1988,7 +2056,15 @@ class SnapshotSink:
                 raise ValueError(f"no such column {drop!r}")
 
             def project(df, _c=drop):
-                return df.drop(_c)
+                out = df.drop(_c)
+                if patch:
+                    # the column's cells die with it: a re-add of the
+                    # name must start from never-set everywhere
+                    out = out.withColumn(
+                        CELL,
+                        F.map_filter(F.col(CELL), lambda k, _v: k != _c),
+                    )
+                return out
 
             final = T.StructType([f for f in schema.fields if f.name != drop])
             label, extra = "drop_column", {"dropped": drop}
@@ -2002,7 +2078,26 @@ class SnapshotSink:
                 raise ValueError(f"column {new!r} already exists")
 
             def project(df, _o=old, _n=new):
-                return df.withColumnRenamed(_o, _n)
+                out = df.withColumnRenamed(_o, _n)
+                if patch:
+                    # cells key by NAME: carry the setter clock over so
+                    # a late out-of-order patch on the renamed column
+                    # still loses/wins against the right sequence
+                    out = out.withColumn(
+                        CELL,
+                        F.map_from_entries(
+                            F.transform(
+                                F.map_entries(F.col(CELL)),
+                                lambda e: F.struct(
+                                    F.when(e["key"] == _o, F.lit(_n))
+                                    .otherwise(e["key"])
+                                    .alias("key"),
+                                    e["value"].alias("value"),
+                                ),
+                            )
+                        ),
+                    )
+                return out
 
             final = T.StructType(
                 [

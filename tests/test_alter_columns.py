@@ -172,16 +172,100 @@ def test_alter_validations(spark, replayed, tmp_path):
         sink.rename_column("source", "n_tok")
     with pytest.raises(ValueError, match="internal"):
         sink.rename_column("doc_id", "key2")
-    patch_sink = SnapshotSink(spark, str(tmp_path / "p"), n_buckets=4, patch=True)
-    one = spark.createDataFrame(
-        [("I", 1, "a", [1], 1, "s", None, 0, None)],
-        "op string, op_sequence long, doc_id string, tokens array<int>, "
-        "n_tok int, source string, event_ts timestamp, batch_hint int, "
-        "patch_cols array<string>",
+    # the Iceberg twin's metadata-only alter is refused on patch tables
+    # (it cannot migrate name-keyed cell maps)
+    from beehive_data_etl_spark.sinks.iceberg import IcebergSink
+
+    twin = IcebergSink.__new__(IcebergSink)
+    twin.table, twin.patch = "lake.db.t", True
+    with pytest.raises(RuntimeError, match="_cell_seq"):
+        twin.drop_column_sql("source")
+    with pytest.raises(RuntimeError, match="_cell_seq"):
+        twin.rename_column_sql("source", "label")
+
+
+_PATCH_DDL = (
+    "op string, op_sequence long, doc_id string, tokens array<int>, "
+    "n_tok int, source string, event_ts timestamp, batch_hint int, "
+    "patch_cols array<string>"
+)
+
+
+def _patch_sink(spark, tmp_path):
+    sink = SnapshotSink(spark, str(tmp_path / "p"), n_buckets=4, patch=True)
+    base = spark.createDataFrame(
+        [
+            ("I", 1, "a", [1], 1, "s0", None, 0, None),
+            ("I", 1, "b", [2, 2], 2, "s0", None, 0, None),
+            ("P", 5, "a", None, None, "s5", None, 0, ["source"]),
+        ],
+        _PATCH_DDL,
     )
-    patch_sink.apply_batch(one, "b1")
-    with pytest.raises(RuntimeError, match="patch"):
-        patch_sink.drop_column("source")
+    sink.apply_batch(base, "seed")
+    return sink
+
+
+def test_patch_rename_carries_cell_clock(spark, tmp_path):
+    """Renaming a column on a per-cell table must carry the SETTER
+    CLOCK: a late out-of-order patch on the renamed column still loses
+    to the pre-rename cell, and a fresh one still wins."""
+    sink = _patch_sink(spark, tmp_path)
+    sink.rename_column("source", "label")
+    late_ddl = _PATCH_DDL.replace("source string", "label string")
+    late = spark.createDataFrame(
+        [("P", 3, "a", None, None, "s3", None, 0, ["label"])], late_ddl
+    )
+    sink.apply_batch(late, "late")
+    row = sink.read_final().filter(F.col("doc_id") == "a").collect()[0]
+    assert row.label == "s5"  # seq 3 lost to the carried-over cell at 5
+    fresh = spark.createDataFrame(
+        [("P", 7, "a", None, None, "s7", None, 0, ["label"])], late_ddl
+    )
+    sink.apply_batch(fresh, "fresh")
+    row = sink.read_final().filter(F.col("doc_id") == "a").collect()[0]
+    assert row.label == "s7"
+    assert list(row.tokens) == [1]  # untouched cells intact
+
+
+def test_patch_drop_kills_cells_no_resurrection(spark, tmp_path):
+    """Dropping a patch column kills its cells: a re-added column of
+    the same name starts never-set, so even a LOWER-seq patch sets it
+    (the dead cell's clock must not shadow it)."""
+    sink = _patch_sink(spark, tmp_path)
+    sink.drop_column("source")
+    assert "source" not in sink.read_final().columns
+    low = spark.createDataFrame(
+        [("P", 2, "a", None, None, "s2-after-drop", None, 0, ["source"])],
+        _PATCH_DDL,
+    )
+    sink.apply_batch(low, "re-add-low-seq")
+    rows = {r.doc_id: r.source for r in sink.read_final().collect()}
+    assert rows["a"] == "s2-after-drop"  # seq 2 < dead cell's 5: still wins
+    assert rows["b"] is None             # everyone else: never-set
+
+
+def test_patch_changelog_bridges_alter_window(spark, tmp_path):
+    """Across a patch-table rename window the readers bridge the cell
+    namespace: the rewrite itself is silent (no fingerprint storm) and
+    a genuine post-rename patch surfaces with its pre-image under the
+    new name."""
+    sink = _patch_sink(spark, tmp_path)
+    v_from = sink.current_snapshot()["version"]
+    sink.rename_column("source", "label")
+    late_ddl = _PATCH_DDL.replace("source string", "label string")
+    sink.apply_batch(
+        spark.createDataFrame(
+            [("P", 9, "a", None, None, "s9", None, 0, ["label"])], late_ddl
+        ),
+        "genuine",
+    )
+    v_to = sink.current_snapshot()["version"]
+    for reader in (sink.read_changes, sink.read_changes_pruned):
+        rows = reader(v_from, v_to, include_old=True).collect()
+        assert [r.doc_id for r in rows] == ["a"]  # no storm: ONE change
+        r = rows[0]
+        assert r.label == "s9"
+        assert r._old_label == "s5"  # old value under the new name
 
 
 def test_fsck_and_lookup_after_alter(spark, replayed):
