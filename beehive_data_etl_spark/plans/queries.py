@@ -3028,6 +3028,68 @@ def q_multimaster(spark, sf):
     )
 
 
+@query(
+    "q_seq_gaps",
+    """
+    WITH s AS (
+      SELECT DISTINCT event_id FROM events WHERE event_type = 'click'
+    ),
+    d AS (
+      SELECT event_id,
+             lag(event_id) OVER (ORDER BY event_id) AS prev
+      FROM s
+    )
+    SELECT prev + 1 AS gap_start,
+           event_id - 1 AS gap_end,
+           event_id - 1 - prev AS gap_len
+    FROM d
+    WHERE prev IS NOT NULL AND event_id - prev > 1
+    """,
+)
+def q_seq_gaps(spark, sf):
+    """Transport-integrity hole detection (operators/gaps.py): the
+    coordinates of every missing run in a WAL sequence — here the
+    'click' substream's event_id against the dense global log, so the
+    holes are exactly the other event types' positions (non-vacuous:
+    ~1.6k ranges at sf0.01). The engine path is the block-stitched
+    plan (block_size=1000 so the stitching branch actually runs at
+    driver scale): intra-block lag windows stay bounded at any total
+    span, boundary holes come from the per-block extrema aggregate —
+    the oracle's single global window is the semantics, not the plan
+    that survives 10^10 sequence values."""
+    from beehive_data_etl_spark.operators.gaps import sequence_gap_ranges
+
+    ev = t(spark, sf, "events").filter(F.col("event_type") == "click")
+    return sequence_gap_ranges(ev, seq="event_id", block_size=1000)
+
+
+@query(
+    "q_seq_audit",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT event_id) AS n_distinct,
+           COUNT(*) - COUNT(DISTINCT event_id) AS n_dups,
+           MIN(event_id) AS seq_lo,
+           MAX(event_id) AS seq_hi,
+           MAX(event_id) - MIN(event_id) + 1
+             - COUNT(DISTINCT event_id) AS n_missing
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_seq_audit(spark, sf):
+    """Per-source sequence accounting (operators/gaps.py
+    sequence_gap_summary): events / distinct / re-delivered / span /
+    missing per group in ONE aggregation — the cheap continuous check
+    an operator alerts on before paying for hole coordinates."""
+    from beehive_data_etl_spark.operators.gaps import sequence_gap_summary
+
+    return sequence_gap_summary(
+        t(spark, sf, "events"), seq="event_id", by=["event_type"]
+    )
+
+
 # ------------------------------------------------- driver snapshot ordering
 # The correctness driver snapshots the FIRST 50 queries() entries in dict
 # order (observed rounds 1-2: exactly registration order, both rounds).

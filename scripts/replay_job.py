@@ -10,6 +10,10 @@ REPLAY_MODE=pipelined runs the incremental replayer with
 REPLAY_INFLIGHT (default 4) micro-batches in flight — the
 throughput-oriented backfill mode (BENCH/BASELINE.md); commits may land
 out of log order, which the sink's LWW semantics make safe.
+
+REPLAY_GAPMON=1 audits the WAL's sequence continuity before replaying
+(missing/re-delivered change events — operators.gaps); =strict refuses
+a log with holes.
 """
 
 from __future__ import annotations
@@ -109,6 +113,27 @@ def _replicator(spark, sink):
         ),
     )
     return Replicator(sink, dst, name=os.environ.get("REPLAY_REPLICATE_NAME", "repl"))
+
+
+def _outbox(sink):
+    """REPLAY_OUTBOX_TO=<dir> publishes this table's changelog as
+    Kafka-record-shaped JSON change events (sinks.outbox) after every
+    epoch (stream) / once post-replay (pipelined) — the outbound CDC
+    feed for non-Spark consumers. REPLAY_OUTBOX_PARTITIONS sizes the
+    simulated topic (default 8). Filesystem sink only."""
+    out = os.environ.get("REPLAY_OUTBOX_TO")
+    if not out:
+        return None
+    if not isinstance(sink, SnapshotSink):
+        raise ValueError("REPLAY_OUTBOX_TO requires the filesystem sink")
+    from beehive_data_etl_spark.sinks.outbox import Outbox
+
+    return Outbox(
+        sink,
+        out,
+        name=os.environ.get("REPLAY_OUTBOX_NAME", "outbox"),
+        n_partitions=int(os.environ.get("REPLAY_OUTBOX_PARTITIONS", "8")),
+    )
 
 
 def main() -> None:
@@ -217,8 +242,35 @@ def main() -> None:
                 else None
             ),
         )
+    # REPLAY_GAPMON=1|strict: pre-replay transport-integrity audit
+    # (operators.gaps) — ONE column-pruned scan of the WAL reporting
+    # re-delivered and MISSING sequence numbers, the loss class the
+    # sink's LWW would otherwise absorb silently. 'strict' refuses to
+    # replay a log with holes (missing change events = a corrupt
+    # replica no amount of replaying can fix).
+    gapmon = os.environ.get("REPLAY_GAPMON")
+    if gapmon:
+        from beehive_data_etl_spark.operators.gaps import (
+            sequence_gap_ranges,
+            sequence_gap_summary,
+        )
+
+        log_df = spark.read.parquet(wal_dir).select("op_sequence")
+        s = sequence_gap_summary(log_df).collect()[0].asDict()
+        if s["n_missing"]:
+            first = sequence_gap_ranges(log_df, block_size=1 << 20).head(5)
+            s["first_gaps"] = [
+                [r.gap_start, r.gap_end] for r in first
+            ]
+        print("GAPMON " + json.dumps(s))
+        if gapmon == "strict" and s["n_missing"]:
+            raise RuntimeError(
+                f"WAL has {s['n_missing']} missing sequence numbers "
+                "(REPLAY_GAPMON=strict)"
+            )
     views = _derived_views(spark, sink)
     replicator = _replicator(spark, sink)
+    outbox = _outbox(sink)
     if os.environ.get("REPLAY_MODE", "stream") == "pipelined":
         t0 = time.time()
         batches = replay_incremental(
@@ -245,6 +297,8 @@ def main() -> None:
             )
         if replicator is not None:
             replicator.sync()
+        if outbox is not None:
+            outbox.sync()
         return
 
     def _refresh_views(epoch_id: int) -> None:
@@ -252,6 +306,8 @@ def main() -> None:
             v.refresh()
         if replicator is not None:
             replicator.sync()
+        if outbox is not None:
+            outbox.sync()
 
     replay_stream(
         spark,
@@ -264,7 +320,9 @@ def main() -> None:
         max_files_per_trigger=8,
         watermark=("event_ts", "10 minutes"),
         on_batch_commit=(
-            _refresh_views if (views or replicator is not None) else None
+            _refresh_views
+            if (views or replicator is not None or outbox is not None)
+            else None
         ),
     )
 
