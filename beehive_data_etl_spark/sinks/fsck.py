@@ -103,7 +103,9 @@ def fsck(sink, deep: bool = False) -> dict:
                         f"v{v} bucket {b}: unparseable schema {e['schema']!r}"
                     )
                 try:
-                    rows, files, actual, actual_pf = _stats(e["path"])
+                    rows, files, actual, actual_pf, actual_cols = _stats(
+                        e["path"]
+                    )
                 except Exception as exc:  # unreadable footer = corruption
                     errors.append(
                         f"v{v} bucket {b}: unreadable parquet in {e['path']}: {exc}"
@@ -151,6 +153,29 @@ def fsck(sink, deep: bool = False) -> dict:
                                 f"{rng} does not cover actual {a} in "
                                 f"{e['path']}"
                             )
+                # per-COLUMN ranges: scan_where() prunes whole buckets
+                # on these, so recorded must COVER actual; a recorded
+                # all-NULL marker ([]) with actual non-null values means
+                # pruned scans skip live rows
+                for cname, rng in (e.get("col_ranges") or {}).items():
+                    a = (actual_cols or {}).get(cname)
+                    if a is None:
+                        continue  # footer stats absent ⇒ unverifiable
+                    if rng == [] and a != []:
+                        errors.append(
+                            f"v{v} bucket {b}: col_ranges[{cname}] claims "
+                            f"all-NULL but actual is {a} in {e['path']}"
+                        )
+                        continue
+                    try:
+                        if rng and a and (a[0] < rng[0] or a[1] > rng[1]):
+                            errors.append(
+                                f"v{v} bucket {b}: col_ranges[{cname}] "
+                                f"{rng} does not cover actual {a} in "
+                                f"{e['path']}"
+                            )
+                    except TypeError:
+                        pass  # incomparable recorded/actual ⇒ skip
 
     # --- orphans (informational: vacuum's jurisdiction, not corruption)
     # computed from the snapshots ALREADY loaded above — calling

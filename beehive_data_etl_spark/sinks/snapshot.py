@@ -1100,6 +1100,146 @@ class SnapshotSink:
         payload = [c for c in state.columns if c not in _INTERNAL and c != KEY]
         return state.filter(~F.col("deleted")).select(KEY, *payload)
 
+    def plan_scan_where(
+        self, predicates: list[tuple], version: int | str | None = None
+    ) -> dict:
+        """Scan planning for :meth:`scan_where`: which buckets the
+        predicate conjunction can possibly match, decided driver-side
+        from the per-column [min, max] stats every commit entry records
+        (harvested from the staged parquet footers at publish — the
+        Iceberg manifest-column-stats analogue generalized beyond the
+        key column).
+
+        Pruning granularity is the BUCKET, never the entry or file,
+        and that is a correctness requirement, not a shortcut: under
+        merge-on-read LWW a pruned entry may hold the NEWER,
+        non-matching version of a key whose stale version matches in a
+        kept entry — skipping it would emit the stale winner. All
+        versions of a key live in one bucket, so folding a whole
+        bucket (or skipping a whole bucket no latest row of which can
+        match) is exact. Contrast lookup()/scan_range(): KEY
+        predicates prune at file level because every version of an
+        in-range key — tombstones included — carries the key itself.
+
+        Bucket admission rules (both proven in tests):
+
+        - row-LWW table: a bucket may match iff SOME single entry
+          admits ALL conjuncts — the latest row lives wholly inside
+          one entry, whose recorded ranges cover all its values;
+        - per-cell (patch) table: a bucket may match iff EVERY
+          conjunct is admitted by SOME entry — the latest row is
+          ASSEMBLED from cells written by different entries, so
+          requiring one entry to admit the whole conjunction would
+          wrongly prune a row stitched from two patches.
+
+        Returns ``{"buckets_read", "buckets_pruned", "buckets_empty",
+        "n_buckets"}``; legacy entries without recorded stats are
+        never pruned."""
+        preds = self._check_scan_predicates(predicates)
+        snap = self.current_snapshot() if version is None else self.snapshot(version)
+        if snap is None:
+            raise ValueError("no snapshot yet")
+        names = {f.name for f in T.StructType.fromDDL(snap["schema"]).fields}
+        for col, _, _ in preds:
+            if col not in names or col in _INTERNAL or col == "_bucket":
+                raise ValueError(f"scan_where: no such payload column {col!r}")
+        patch_mode = bool(snap.get("patch", self.patch))
+        read: list[int] = []
+        pruned: list[int] = []
+        empty: list[int] = []
+        for b in range(snap["n_buckets"]):
+            entries = snap["buckets"].get(str(b), [])
+            if not entries:
+                empty.append(b)
+                continue
+            if patch_mode:
+                keep = all(
+                    any(_entry_admits(e, c, op, v) for e in entries)
+                    for (c, op, v) in preds
+                )
+            else:
+                keep = any(
+                    all(_entry_admits(e, c, op, v) for (c, op, v) in preds)
+                    for e in entries
+                )
+            (read if keep else pruned).append(b)
+        return {
+            "buckets_read": read,
+            "buckets_pruned": pruned,
+            "buckets_empty": empty,
+            "n_buckets": snap["n_buckets"],
+            "version": snap["version"],
+        }
+
+    def scan_where(
+        self, predicates: list[tuple], version: int | str | None = None
+    ) -> DataFrame:
+        """Live rows whose CURRENT (post-LWW) values satisfy every
+        conjunct — ``predicates`` is a conjunctive list of
+        ``(column, op, value)`` with op in ``= < <= > >= between in``
+        (``between`` takes a ``(lo, hi)`` pair, either bound None;
+        ``in`` a value list).
+
+        The 10^10-row story: selective predicates on payload columns
+        ("this tenant's docs", "sequences over 100k tokens") skip
+        every bucket whose recorded column stats prove no match —
+        driver-side, before any Spark job (see plan_scan_where for the
+        granularity argument). Surviving buckets are read WHOLE and
+        LWW-folded, and only then filtered: pushing the predicate
+        below the fold would drop a key's newest non-matching version
+        while keeping an older matching one, resurrecting the stale
+        row — the filter therefore applies to final values only, by
+        construction. Residual parquet-level pushdown still applies to
+        the fold's scan via the engine's pushed key filters, and
+        cluster_by compaction (compact(cluster_by=[...])) tightens
+        row-group stats on the predicate columns for the surviving
+        buckets' scans."""
+        preds = self._check_scan_predicates(predicates)
+        plan = self.plan_scan_where(preds, version)
+        snap = (
+            self.current_snapshot() if version is None else self.snapshot(version)
+        )
+        table_schema = T.StructType.fromDDL(snap["schema"])
+        df = (
+            self._read_buckets(snap, plan["buckets_read"], target=table_schema)
+            if plan["buckets_read"]
+            else None
+        )
+        if df is None:
+            return self.spark.createDataFrame([], table_schema).drop(*_INTERNAL)
+        state = self._fold(df, KEY, SEQ)
+        pred = F.lit(True)
+        for c, op, v in preds:
+            pred = pred & _conjunct_expr(c, op, v)
+        payload = [c for c in state.columns if c not in _INTERNAL and c != KEY]
+        return (
+            state.filter(~F.col("deleted")).filter(pred).select(KEY, *payload)
+        )
+
+    @staticmethod
+    def _check_scan_predicates(predicates) -> list[tuple]:
+        if not predicates:
+            raise ValueError("scan_where needs at least one (col, op, value)")
+        out = []
+        for p in predicates:
+            if len(p) != 3:
+                raise ValueError(f"predicate must be (col, op, value): {p!r}")
+            col, op, val = p
+            if op not in _SCAN_OPS:
+                raise ValueError(
+                    f"unknown op {op!r}; one of {sorted(_SCAN_OPS)}"
+                )
+            if op == "between" and (
+                not isinstance(val, (tuple, list)) or len(val) != 2
+            ):
+                raise ValueError("between takes a (lo, hi) pair")
+            if op == "in" and (
+                not isinstance(val, (tuple, list, set)) or not val
+            ):
+                raise ValueError("in takes a non-empty value list")
+            out.append((col, op, list(val) if op == "in" else val))
+        return out
+
     # ------------------------------------------------------------- merge
     def apply_batch(self, batch_df: DataFrame, batch_id: str | int) -> dict:
         """Key-partitioned MERGE of one micro-batch of change events.
@@ -1472,7 +1612,7 @@ class SnapshotSink:
                 dests[b] = os.path.relpath(dest, self.root)
             written = [b for b in written if b not in skipped_live]
             for b in written:
-                rows, files, key_range, file_ranges = stats[b]
+                rows, files, key_range, file_ranges, col_ranges = stats[b]
                 bucket_rows[b] = rows
                 self._write_manifest(
                     batch_id,
@@ -1488,6 +1628,7 @@ class SnapshotSink:
                         # files within it via the per-file ranges
                         "key_range": key_range,
                         "file_ranges": file_ranges,
+                        "col_ranges": col_ranges,
                         "schema": schema_ddl_payload,
                         # the bucket space this file was numbered in — a
                         # rebucket invalidates it for crash-replay reuse
@@ -1516,6 +1657,7 @@ class SnapshotSink:
                     "compacted": b in compact_candidates,
                     "key_range": key_range,
                     "file_ranges": file_ranges,
+                    "col_ranges": col_ranges,
                 }
             shutil.rmtree(staging, ignore_errors=True)
             for b in sorted(manifested):
@@ -1531,6 +1673,7 @@ class SnapshotSink:
                     "compacted": m.get("compacted", False),
                     "key_range": m.get("key_range"),
                     "file_ranges": m.get("file_ranges"),
+                    "col_ranges": m.get("col_ranges"),
                 }
                 # consume exactly what the crashed attempt recorded it
                 # folded (may be absent in legacy manifests → fold
@@ -1656,14 +1799,36 @@ class SnapshotSink:
             fh.write(json.dumps(metrics) + "\n")
 
     # ------------------------------------------------------- maintenance
-    def compact(self, buckets: list[int] | None = None) -> dict:
+    def compact(
+        self,
+        buckets: list[int] | None = None,
+        cluster_by: list[str] | None = None,
+    ) -> dict:
         """Fold every delta of the given buckets (default: all buckets
         holding >1 delta) into a single file each. Idempotent and
         crash-safe: the fold writes to a staging dir and only the
         snapshot-pointer swap publishes it — a crash leaves the old
         snapshot live. The background-compaction analog of the inline
-        threshold compaction in apply_batch."""
-        return self._rewrite_buckets(buckets, min_deltas=2, row_filter=None)
+        threshold compaction in apply_batch.
+
+        ``cluster_by``: payload columns to sort FIRST within each
+        bucket file (key stays as the tie-breaker). Clustering
+        tightens parquet row-group min/max on those columns, so
+        scan_where()'s residual predicate skips row groups inside the
+        buckets its stats pruning had to keep — the Z-order-lite
+        layout choice for tables served by payload predicates. The
+        trade-off is explicit: files are no longer primarily
+        key-sorted, so lookup()'s row-group skipping (and the per-file
+        key ranges) widen; pick the sort to match the table's read
+        pattern."""
+        if cluster_by:
+            for c in cluster_by:
+                if c in _INTERNAL or c == "_bucket" or c == KEY:
+                    raise ValueError(f"cluster_by: invalid column {c!r}")
+        return self._rewrite_buckets(
+            buckets, min_deltas=2 if not cluster_by else 1, row_filter=None,
+            cluster_by=cluster_by,
+        )
 
     def expire_tombstones(
         self, min_op_sequence: int, buckets: list[int] | None = None
@@ -1799,14 +1964,14 @@ class SnapshotSink:
                 dest = os.path.join(dest_root, f"bucket={b}")
                 if os.path.isdir(dest):
                     shutil.rmtree(dest)
-                _, _, key_range, file_ranges = _parquet_stats(
+                _, _, key_range, file_ranges, col_ranges = _parquet_stats(
                     os.path.join(staging, d)
                 )
                 os.replace(os.path.join(staging, d), dest)
                 moved[str(b)] = [
                     {"path": os.path.relpath(dest, self.root), "schema": ddl,
                      "compacted": True, "key_range": key_range,
-                     "file_ranges": file_ranges}
+                     "file_ranges": file_ranges, "col_ranges": col_ranges}
                 ]
             shutil.rmtree(staging, ignore_errors=True)
         with self._commit_lock, self._table_lock():
@@ -2283,6 +2448,7 @@ class SnapshotSink:
         op_label: str = "compaction", backfill_name: str | None = None,
         project=None, final_schema: T.StructType | None = None,
         extra_metrics: dict | None = None, require_all: bool = False,
+        cluster_by: list[str] | None = None,
     ) -> dict:
         t0 = time.time()
         snap = self.current_snapshot()
@@ -2332,7 +2498,7 @@ class SnapshotSink:
             return self._rewrite_buckets_run(
                 snap, todo, row_filter, tag, t0, floor, transform,
                 op_label, backfill_name, project, final_schema,
-                extra_metrics,
+                extra_metrics, cluster_by,
             )
         finally:
             with self._commit_lock:
@@ -2344,7 +2510,7 @@ class SnapshotSink:
         transform: dict | None = None, op_label: str = "compaction",
         backfill_name: str | None = None, project=None,
         final_schema: T.StructType | None = None,
-        extra_metrics: dict | None = None,
+        extra_metrics: dict | None = None, cluster_by: list[str] | None = None,
     ) -> dict:
         table_schema = T.StructType.fromDDL(snap["schema"])
         folded = self._fold(
@@ -2405,8 +2571,10 @@ class SnapshotSink:
             # key-sorted within each bucket file: parquet row-group
             # min/max stats on the key then let point lookups (lookup())
             # skip row groups — the standard sorted-compaction layout;
-            # the sort rides the rewrite's existing shuffle
-            .sortWithinPartitions("_bucket", KEY)
+            # the sort rides the rewrite's existing shuffle. cluster_by
+            # columns (compact()) sort FIRST so row-group stats tighten
+            # on the payload columns scan_where() filters on
+            .sortWithinPartitions("_bucket", *(cluster_by or []), KEY)
             .write.mode("overwrite")
             .partitionBy("_bucket")
             .option("compression", self.compression)
@@ -2445,12 +2613,12 @@ class SnapshotSink:
             dest = os.path.join(dest_root, f"bucket={b}")
             if os.path.isdir(dest):
                 shutil.rmtree(dest)
-            _, _, key_range, file_ranges = _parquet_stats(src_dir)
+            _, _, key_range, file_ranges, col_ranges = _parquet_stats(src_dir)
             os.replace(src_dir, dest)
             moved[str(b)] = [
                 {"path": os.path.relpath(dest, self.root), "schema": ddl,
                  "compacted": True, "key_range": key_range,
-                 "file_ranges": file_ranges}
+                 "file_ranges": file_ranges, "col_ranges": col_ranges}
             ]
         shutil.rmtree(staging, ignore_errors=True)
         # publish under the commit lock (pipelined ingest may be
@@ -2684,22 +2852,44 @@ def _ddl(schema: T.StructType) -> str:
     return ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in schema.fields)
 
 
+def _json_stat(v):
+    """A footer min/max value as a JSON-serializable comparable, or
+    None when the type can't be recorded losslessly (timestamps,
+    decimals, …) — an unrecordable stat simply drops that column from
+    ``col_ranges``, it never blocks the KEY range."""
+    if isinstance(v, bytes):
+        return v.decode("utf-8", "replace")
+    if isinstance(v, (int, float, str)) and not isinstance(v, bool):
+        return v
+    return None
+
+
 def _parquet_stats(
     directory: str,
-) -> tuple[int, list[str], list[str] | None, dict | None]:
+) -> tuple[int, list[str], list[str] | None, dict | None, dict | None]:
     """Row count, file basenames, the KEY column's [min, max] over
-    every parquet file in ``directory``, and the per-FILE ranges
-    (basename → [min, max]) — all from footers, no data read. The
-    ranges are the Iceberg-manifest-column-stats analogue: recorded in
-    the commit entry, they let scan planning skip whole delta files
-    (entry level) and, when a sorted rewrite split a bucket into
-    several target-sized files, individual files within the entry
-    (file level) whose key range cannot contain a probe (lookup) or an
-    interval (scan_range). Returns ``None`` ranges when any footer
-    lacks usable stats (a row group without min/max ⇒ the true range
-    is unknown ⇒ never skip). Parquet writers may TRUNCATE long binary
-    stats, but truncation keeps min a lower bound and max an upper
-    bound, so recorded ranges stay conservative."""
+    every parquet file in ``directory``, the per-FILE key ranges
+    (basename → [min, max]), and the generic per-COLUMN ranges over
+    the whole directory (column → [min, max] for every top-level leaf
+    column with usable, JSON-recordable stats) — all from footers, no
+    data read. The ranges are the Iceberg-manifest-column-stats
+    analogue: recorded in the commit entry, the KEY ranges let scan
+    planning skip whole delta files (entry level) and, when a sorted
+    rewrite split a bucket into several target-sized files, individual
+    files within the entry (file level) whose key range cannot contain
+    a probe (lookup) or an interval (scan_range); the per-column
+    ranges let scan_where() skip whole BUCKETS whose files provably
+    hold no row matching a predicate. Returns ``None`` key ranges when
+    any footer lacks usable key stats (a row group without min/max ⇒
+    the true range is unknown ⇒ never skip); a non-key column with
+    unusable stats is silently absent from ``col_ranges`` (absent =
+    never pruned on). A column whose every row group is all-NULL is
+    recorded as the empty list ``[]`` — "provably no non-null value",
+    which null-rejecting comparison predicates may prune on (a
+    tombstone-only delta's payload columns hit this). Parquet writers
+    may TRUNCATE long binary stats, but truncation keeps min a lower
+    bound and max an upper bound, so recorded ranges stay
+    conservative."""
     import pyarrow.parquet as pq
 
     rows, files = 0, []
@@ -2707,18 +2897,58 @@ def _parquet_stats(
     hi: str | None = None
     per_file: dict[str, list] = {}
     stats_ok = True
+    col_lo: dict = {}
+    col_hi: dict = {}
+    col_ok: dict | None = None  # None until the first file fixes the set
     for f in sorted(glob.glob(os.path.join(directory, "*.parquet"))):
         md = pq.read_metadata(f)
         rows += md.num_rows
         name = os.path.basename(f)
         files.append(name)
+        # top-level leaf columns of THIS file (nested paths carry dots)
+        cols = {
+            md.schema.column(i).path: i
+            for i in range(len(md.schema))
+            if "." not in md.schema.column(i).path
+        }
+        if col_ok is None:
+            col_ok = {c: True for c in cols if c != KEY}
+        else:
+            for c in col_ok:  # a column a later file lacks is unknowable
+                if c not in cols:
+                    col_ok[c] = False
+        for c, ok in col_ok.items():
+            if not ok:
+                continue
+            f_clo = f_chi = None
+            for rg in range(md.num_row_groups):
+                rgm = md.row_group(rg)
+                st = rgm.column(cols[c]).statistics
+                if st is None:
+                    col_ok[c] = False
+                    break
+                if not st.has_min_max:
+                    # all-NULL row groups legitimately carry no min/max
+                    # and contribute no non-null value; anything else
+                    # is unknowable
+                    if st.has_null_count and st.null_count == rgm.num_rows:
+                        continue
+                    col_ok[c] = False
+                    break
+                mn, mx = _json_stat(st.min), _json_stat(st.max)
+                if mn is None or mx is None:
+                    col_ok[c] = False
+                    break
+                f_clo = mn if f_clo is None or mn < f_clo else f_clo
+                f_chi = mx if f_chi is None or mx > f_chi else f_chi
+            if col_ok[c] and f_clo is not None:
+                cur = col_lo.get(c)
+                col_lo[c] = f_clo if cur is None or f_clo < cur else cur
+                cur = col_hi.get(c)
+                col_hi[c] = f_chi if cur is None or f_chi > cur else cur
         if not stats_ok:
             continue
-        key_idx = None
-        for i in range(len(md.schema)):
-            if md.schema.column(i).path == KEY:
-                key_idx = i
-                break
+        key_idx = cols.get(KEY)
         if key_idx is None:
             stats_ok = False
             continue
@@ -2741,7 +2971,21 @@ def _parquet_stats(
             lo = f_lo if lo is None or f_lo < lo else lo
             hi = f_hi if hi is None or f_hi > hi else hi
     rng = [lo, hi] if stats_ok and lo is not None else None
-    return rows, files, rng, (per_file if stats_ok and per_file else None)
+    col_ranges = None
+    if files and col_ok:
+        col_ranges = {
+            c: ([col_lo[c], col_hi[c]] if c in col_lo else [])
+            for c, ok in sorted(col_ok.items())
+            if ok
+        }
+        col_ranges = col_ranges or None
+    return (
+        rows,
+        files,
+        rng,
+        (per_file if stats_ok and per_file else None),
+        col_ranges,
+    )
 
 
 def _range_may_contain(key_range, keys_sorted: list) -> bool:
@@ -2764,3 +3008,81 @@ def _range_intersects(key_range, lo, hi) -> bool:
     if hi is not None and key_range[0] > hi:
         return False
     return True
+
+
+_SCAN_OPS = {"=", "<", "<=", ">", ">=", "between", "in"}
+
+
+def _col_range_admits(rng, op: str, val) -> bool:
+    """True unless the recorded range PROVES no row in the entry's
+    files can satisfy ``col op val``. ``None``/missing evidence always
+    admits; the all-NULL marker ``[]`` admits nothing (comparison
+    predicates are null-rejecting, so a file with no non-null value
+    holds no match); incomparable evidence (recorded str vs probe int)
+    admits — Spark, not the stats, decides the actual match."""
+    if rng is None:
+        return True
+    if len(rng) == 0:
+        return False
+    lo, hi = rng
+    try:
+        if op == "=":
+            return lo <= val <= hi
+        if op == "<":
+            return lo < val
+        if op == "<=":
+            return lo <= val
+        if op == ">":
+            return hi > val
+        if op == ">=":
+            return hi >= val
+        if op == "between":
+            vlo, vhi = val
+            return (vhi is None or lo <= vhi) and (vlo is None or hi >= vlo)
+        if op == "in":
+            return any(lo <= v <= hi for v in val)
+    except TypeError:
+        return True
+    raise ValueError(f"unknown scan_where op {op!r}")
+
+
+def _entry_admits(entry: dict, col: str, op: str, val) -> bool:
+    """One conjunct against one commit entry's recorded stats. KEY
+    conjuncts use the dedicated key_range (recorded since the stats
+    feature landed; col_ranges deliberately exclude the key); payload
+    conjuncts use col_ranges. A column absent from the recorded stats
+    admits — it may merely have been unrecordable."""
+    if col == KEY:
+        kr = entry.get("key_range")
+        return _col_range_admits(
+            kr if (kr and kr[0] is not None) else None, op, val
+        )
+    cr = entry.get("col_ranges") or {}
+    return _col_range_admits(cr.get(col), op, val)
+
+
+def _conjunct_expr(col: str, op: str, val):
+    """The real Spark predicate for one conjunct (applied AFTER the
+    LWW fold — never pushed below it, see scan_where)."""
+    c = F.col(col)
+    if op == "=":
+        return c == F.lit(val)
+    if op == "<":
+        return c < F.lit(val)
+    if op == "<=":
+        return c <= F.lit(val)
+    if op == ">":
+        return c > F.lit(val)
+    if op == ">=":
+        return c >= F.lit(val)
+    if op == "between":
+        vlo, vhi = val
+        e = F.lit(True)
+        if vlo is not None:
+            e = e & (c >= F.lit(vlo))
+        if vhi is not None:
+            e = e & (c <= F.lit(vhi))
+        return e
+    if op == "in":
+        return c.isin(list(val))
+    raise ValueError(f"unknown scan_where op {op!r}")

@@ -10,7 +10,9 @@ commit locks as writers; only REBUCKET requires a quiesced table and
 is therefore opt-in and last):
 
   1. compact            — fold multi-delta buckets to one key-sorted
-                          file each (row-group pruning for lookups)
+                          file each (row-group pruning for lookups);
+                          MAINTAIN_CLUSTER_BY=col1,col2 re-sorts by
+                          payload columns instead (scan_where layout)
   2. expire_tombstones  — drop delete markers below the retention
                           floor MAINTAIN_TOMBSTONE_FLOOR (the caller
                           owns the promise that no event below it can
@@ -78,7 +80,16 @@ def main() -> None:
     out: dict = {"sections": sections}
     t0 = time.time()
     if "compact" in sections:
-        out["compact"] = sink.compact()
+        # MAINTAIN_CLUSTER_BY=col1,col2 sorts bucket files by these
+        # payload columns first (key as tie-breaker): tight row-group
+        # stats for scan_where() predicates, at the cost of lookup()'s
+        # key-primary row-group skipping — pick per table read pattern
+        cluster = [
+            c.strip()
+            for c in os.environ.get("MAINTAIN_CLUSTER_BY", "").split(",")
+            if c.strip()
+        ]
+        out["compact"] = sink.compact(cluster_by=cluster or None)
     if "tombstones" in sections:
         floor = int(os.environ.get("MAINTAIN_TOMBSTONE_FLOOR", "0"))
         if floor > 0:

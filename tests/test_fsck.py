@@ -70,6 +70,39 @@ def test_uncovering_key_range_detected(spark, replayed):
     assert any("does not cover" in e for e in rep["errors"])
 
 
+def test_uncovering_col_range_detected(spark, replayed):
+    """scan_where() prunes whole buckets on col_ranges — a recorded
+    range that doesn't cover the file's actual values (or a false
+    all-NULL marker) skips live rows; fsck must flag both."""
+    sink = replayed
+
+    def narrow(snap):
+        for entries in snap["buckets"].values():
+            for e in entries:
+                cr = e.get("col_ranges") or {}
+                if cr.get("op_sequence"):
+                    e["col_ranges"]["op_sequence"] = [-2, -1]
+                    return
+
+    _rewrite_head(sink, narrow)
+    rep = fsck(sink)
+    assert not rep["ok"]
+    assert any("col_ranges[op_sequence]" in e for e in rep["errors"])
+
+    def fake_allnull(snap):
+        for entries in snap["buckets"].values():
+            for e in entries:
+                cr = e.get("col_ranges") or {}
+                if cr.get("op_sequence") and cr["op_sequence"] != []:
+                    e["col_ranges"]["op_sequence"] = []
+                    return
+
+    _rewrite_head(sink, fake_allnull)
+    rep = fsck(sink)
+    assert not rep["ok"]
+    assert any("claims all-NULL" in e for e in rep["errors"])
+
+
 def test_broken_snapshot_chain_detected(spark, replayed):
     sink = replayed
     os.remove(os.path.join(sink.root, "_snapshots", "v000001.json"))
@@ -90,11 +123,14 @@ def test_deep_catches_misplaced_bucket_file(spark, replayed):
     shutil.copy(f, os.path.join(dst_dir, "misplaced.parquet"))
 
     def forget_ranges(snap):
-        # hide the move from the metadata tier (legacy entry: no stats)
+        # hide the move from the metadata tier (legacy entry: no stats
+        # — col_ranges included, or ITS coverage check sees the
+        # misplaced file's widened column ranges first)
         for entries in snap["buckets"].values():
             for e in entries:
                 e["key_range"] = None
                 e["file_ranges"] = None
+                e["col_ranges"] = None
 
     _rewrite_head(sink, forget_ranges)
     shallow = fsck(sink)
