@@ -153,6 +153,16 @@ class TokenIndex:
             return stored
         return sink_t
 
+    def _value_set(self, col) -> "F.Column":
+        """The row's set of indexed values as an array expression —
+        the ONE point where TokenIndex (array column: its distinct
+        elements) and ValueIndex (scalar column: the value itself,
+        nothing when NULL) differ; the whole diff/refresh/verify
+        machinery is shared through it."""
+        elem = self._elem_type()
+        empty = F.array().cast(T.ArrayType(elem))
+        return F.array_distinct(F.coalesce(col, empty))
+
     def _pairs_schema(self) -> T.StructType:
         key_field = next(
             f for f in self._table_schema().fields if f.name == KEY
@@ -195,7 +205,7 @@ class TokenIndex:
         if cur is None:
             live = self.sink.read_state(version=v_new).filter(~F.col("deleted"))
             pairs = live.select(
-                F.explode(F.array_distinct(tokens)).alias("token"),
+                F.explode(self._value_set(tokens)).alias("token"),
                 F.col(KEY),
                 F.lit(v_new).alias("v"),
                 F.lit(1).alias("sign"),
@@ -215,11 +225,11 @@ class TokenIndex:
         elem = self._elem_type()
         empty = F.array().cast(T.ArrayType(elem))
         new_set = F.when(
-            F.col("change_type") != "D", F.array_distinct(F.coalesce(tokens, empty))
+            F.col("change_type") != "D", self._value_set(tokens)
         ).otherwise(empty)
         old_set = F.when(
             F.col("change_type") != "I",
-            F.array_distinct(F.coalesce(F.col(f"_old_{self.token_col}"), empty)),
+            self._value_set(F.col(f"_old_{self.token_col}")),
         ).otherwise(empty)
         delta = ch.select(
             F.col(KEY),
@@ -383,10 +393,98 @@ class TokenIndex:
             ~F.col("deleted")
         )
         want = live.select(
-            F.explode(F.array_distinct(F.col(self.token_col))).alias("token"),
+            F.explode(self._value_set(F.col(self.token_col))).alias("token"),
             F.col(KEY),
         )
         got = self.read()
         extra = got.exceptAll(want).count()
         missing = want.exceptAll(got).count()
         return {"extra": extra, "missing": missing, "ok": extra == 0 and missing == 0}
+
+
+class ValueIndex(TokenIndex):
+    """Secondary index over a SCALAR payload column (value -> docs) —
+    the database-style companion to ``SnapshotSink.scan_where``.
+
+    scan_where's column stats skip buckets that provably never held a
+    value, but a value present SOMEWHERE in most buckets (a tenant id,
+    a language tag) defeats bucket-granular pruning and the scan pays
+    O(surviving buckets). A ValueIndex answers the same equality
+    predicate at O(matching docs): postings are maintained from the
+    pre-image changelog exactly like TokenIndex (refresh cost
+    O(changed rows), merge-on-read sign fold, value-hash-bucketed
+    appends with pruned + pushed lookups, pointer-swap commits), and
+    ``select_rows`` drives the matching keys through the sink's
+    four-prune ``lookup()`` — a selective predicate on a 10^10-row
+    table touches the index's probed buckets plus the matching keys'
+    files, never a table scan.
+
+    Each live row contributes exactly ONE posting (its current value);
+    NULL values are never indexed (comparison predicates are
+    null-rejecting, matching scan_where semantics). The posting column
+    keeps the internal name ``token`` so the entire TokenIndex
+    machinery — diff refresh, fold, compaction, verify — is inherited
+    unchanged; only the per-row value-set extraction differs."""
+
+    def _sink_elem_type(self) -> T.DataType:
+        f = next(
+            f for f in self._table_schema().fields if f.name == self.token_col
+        )
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType)):
+            raise ValueError(
+                f"{self.token_col} is not a scalar column "
+                f"({f.dataType.simpleString()}); use TokenIndex for arrays"
+            )
+        return f.dataType
+
+    def _value_set(self, col) -> "F.Column":
+        # the scalar's singleton set; NULL -> empty (never indexed)
+        return F.filter(F.array(col), lambda v: v.isNotNull())
+
+    def select_rows(
+        self,
+        values: list,
+        max_keys: int = 100_000,
+        allow_stale: bool = False,
+    ) -> DataFrame:
+        """Live sink rows whose indexed column currently equals one of
+        ``values`` — the index-accelerated equality scan.
+
+        The matching key set materializes driver-side (bounded by
+        ``max_keys`` — beyond it the predicate is not selective enough
+        for an index plan; fall back to ``sink.scan_where``) and feeds
+        ``SnapshotSink.lookup``, which bucket-/stats-/rowgroup-prunes
+        the primary reads. The index must reflect the sink's HEAD
+        (refresh() first — O(changes)); with ``allow_stale=True`` a
+        lagging index is accepted and the result is re-filtered on the
+        CURRENT values, which removes false positives but cannot
+        recover docs that acquired the value after the index version —
+        the staleness contract is the caller's to accept."""
+        snap = self.sink.current_snapshot()
+        cur = self.current()
+        if snap is None or cur is None:
+            raise ValueError("sink/index not initialized")
+        if cur["version"] != snap["version"] and not allow_stale:
+            raise ValueError(
+                f"index at v{cur['version']} lags sink head "
+                f"v{snap['version']}; refresh() first or pass "
+                "allow_stale=True (false negatives possible)"
+            )
+        keys_df = self.lookup(values).select(KEY).limit(max_keys + 1)
+        keys = [r[0] for r in keys_df.collect()]
+        if len(keys) > max_keys:
+            raise ValueError(
+                f"more than max_keys={max_keys} docs match; the "
+                "predicate is not selective enough for an index plan — "
+                "use sink.scan_where instead"
+            )
+        if not keys:
+            schema = T.StructType.fromDDL(snap["schema"])
+            drop = [f.name for f in schema.fields
+                    if f.name in ("op_sequence", "deleted", "_cell_seq")]
+            return self.spark.createDataFrame([], schema).drop(*drop)
+        rows = self.sink.lookup(keys)
+        # exactness under staleness: lookup() returns CURRENT rows, so
+        # re-asserting the predicate on them drops any doc whose value
+        # moved off the probe since the index version
+        return rows.filter(F.col(self.token_col).isin(list(values)))
