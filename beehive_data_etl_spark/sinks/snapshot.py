@@ -1196,9 +1196,10 @@ class SnapshotSink:
         buckets' scans."""
         preds = self._check_scan_predicates(predicates)
         plan = self.plan_scan_where(preds, version)
-        snap = (
-            self.current_snapshot() if version is None else self.snapshot(version)
-        )
+        # read the EXACT snapshot the plan was made against — a second
+        # pointer fetch here could see a concurrent commit and apply
+        # vN pruning decisions to vN+1 data (review-found TOCTOU)
+        snap = self.snapshot(plan["version"])
         table_schema = T.StructType.fromDDL(snap["schema"])
         df = (
             self._read_buckets(snap, plan["buckets_read"], target=table_schema)
@@ -1233,6 +1234,12 @@ class SnapshotSink:
                 not isinstance(val, (tuple, list)) or len(val) != 2
             ):
                 raise ValueError("between takes a (lo, hi) pair")
+            if op == "between" and val[0] is None and val[1] is None:
+                # an unbounded between is not null-rejecting, which
+                # breaks the pruning contract (the all-NULL marker
+                # assumes comparisons reject NULLs) — and it filters
+                # nothing anyway
+                raise ValueError("between needs at least one bound")
             if op == "in" and (
                 not isinstance(val, (tuple, list, set)) or not val
             ):
@@ -1822,13 +1829,35 @@ class SnapshotSink:
         key ranges) widen; pick the sort to match the table's read
         pattern."""
         if cluster_by:
+            snap = self.current_snapshot()
+            if snap is None:
+                return {"compacted": []}
+            names = {f.name for f in T.StructType.fromDDL(snap["schema"]).fields}
             for c in cluster_by:
                 if c in _INTERNAL or c == "_bucket" or c == KEY:
                     raise ValueError(f"cluster_by: invalid column {c!r}")
-        return self._rewrite_buckets(
-            buckets, min_deltas=2 if not cluster_by else 1, row_filter=None,
-            cluster_by=cluster_by,
-        )
+                if c not in names:
+                    # fail HERE, not as an AnalysisException after the
+                    # fold job inside a cron'd maintenance run
+                    raise ValueError(f"cluster_by: no such column {c!r}")
+            # idempotence for the cron'd path (MAINTAIN_CLUSTER_BY):
+            # a single-entry bucket already clustered with the same
+            # columns needs no rewrite — without this skip every
+            # maintenance cycle re-sorts the ENTIRE table
+            todo = [
+                b
+                for b in (buckets if buckets is not None
+                          else range(self.n_buckets))
+                if (ents := snap["buckets"].get(str(b), []))
+                and not (
+                    len(ents) == 1
+                    and ents[0].get("clustered") == list(cluster_by)
+                )
+            ]
+            return self._rewrite_buckets(
+                todo, min_deltas=1, row_filter=None, cluster_by=cluster_by
+            )
+        return self._rewrite_buckets(buckets, min_deltas=2, row_filter=None)
 
     def expire_tombstones(
         self, min_op_sequence: int, buckets: list[int] | None = None
@@ -2618,7 +2647,10 @@ class SnapshotSink:
             moved[str(b)] = [
                 {"path": os.path.relpath(dest, self.root), "schema": ddl,
                  "compacted": True, "key_range": key_range,
-                 "file_ranges": file_ranges, "col_ranges": col_ranges}
+                 "file_ranges": file_ranges, "col_ranges": col_ranges,
+                 # the sort this entry's files carry — compact()'s
+                 # cron idempotence skip keys on it
+                 **({"clustered": list(cluster_by)} if cluster_by else {})}
             ]
         shutil.rmtree(staging, ignore_errors=True)
         # publish under the commit lock (pipelined ingest may be

@@ -44,7 +44,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from beehive_data_etl_spark.sinks.snapshot import KEY, SEQ
+from beehive_data_etl_spark.sinks.snapshot import KEY, SEQ, _INTERNAL
 
 
 def _token_bucket_expr(n_buckets: int):
@@ -479,10 +479,10 @@ class ValueIndex(TokenIndex):
                 "use sink.scan_where instead"
             )
         if not keys:
+            # same column set as the non-empty path (sink.lookup drops
+            # the sink's internal columns)
             schema = T.StructType.fromDDL(snap["schema"])
-            drop = [f.name for f in schema.fields
-                    if f.name in ("op_sequence", "deleted", "_cell_seq")]
-            return self.spark.createDataFrame([], schema).drop(*drop)
+            return self.spark.createDataFrame([], schema).drop(*_INTERNAL)
         rows = self.sink.lookup(keys)
         # exactness under staleness: lookup() returns CURRENT rows, so
         # re-asserting the predicate on them drops any doc whose value

@@ -265,8 +265,36 @@ def test_scan_where_validation(sink):
         sink.scan_where([("nope", "=", 1)])
     with pytest.raises(ValueError, match="between"):
         sink.scan_where([("n_tok", "between", 5)])
+    # unbounded between is not null-rejecting — it would break the
+    # all-NULL-marker pruning contract (review-found)
+    with pytest.raises(ValueError, match="at least one bound"):
+        sink.scan_where([("n_tok", "between", (None, None))])
     with pytest.raises(ValueError, match="cluster_by"):
         sink.compact(cluster_by=["doc_id"])
+    with pytest.raises(ValueError, match="no such column"):
+        sink.compact(cluster_by=["sorce"])
+
+
+def test_cluster_by_compaction_is_cron_idempotent(sink):
+    """MAINTAIN_CLUSTER_BY runs compact(cluster_by) every cycle: the
+    second run over an unchanged table must rewrite NOTHING (the
+    entries record their sort), not re-sort the whole table
+    (review-found full-table-rewrite-per-cron)."""
+    first = sink.compact(cluster_by=["source"])
+    assert first["compacted"]
+    second = sink.compact(cluster_by=["source"])
+    assert second["compacted"] == [], second
+    # a DIFFERENT sort does rewrite; plain compact() of the
+    # single-entry buckets stays a no-op
+    third = sink.compact(cluster_by=["n_tok"])
+    assert third["compacted"]
+    assert sink.compact()["compacted"] == []
+    # new deltas re-dirty their buckets for the clustered compact
+    sink.apply_batch(
+        _batch(sink.spark, [("I", 9900, "new-1", [1], 1, "web")]), "b-new"
+    )
+    fourth = sink.compact(cluster_by=["n_tok"])
+    assert len(fourth["compacted"]) >= 1
 
 
 def test_admit_incomparable_evidence_never_prunes():
