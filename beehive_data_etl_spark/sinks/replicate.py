@@ -57,14 +57,43 @@ import re
 
 from pyspark.sql import functions as F
 
-from beehive_data_etl_spark.sinks.snapshot import SnapshotSink
+from beehive_data_etl_spark.sinks.snapshot import (
+    KEY,
+    SEQ,
+    SnapshotSink,
+    _conjunct_expr,
+)
 
 
 class Replicator:
-    def __init__(self, src: SnapshotSink, dst, name: str = "repl") -> None:
+    def __init__(
+        self,
+        src: SnapshotSink,
+        dst,
+        name: str = "repl",
+        where: list[tuple] | None = None,
+    ) -> None:
         """``name`` must be unique per (source, destination) pair when a
         table receives multiple replication streams — it namespaces both
-        the batch ids (the cursor) and the upstream retention tag."""
+        the batch ids (the cursor) and the upstream retention tag.
+
+        ``where``: conjunctive ``(col, op, value)`` predicates (the
+        scan_where grammar) making this a FILTERED replication — the
+        downstream holds exactly the matching subset of the source's
+        live rows (a tenant mirror, a language slice, a "sequences
+        over N tokens" training cut). The non-obvious correctness
+        piece is MEMBERSHIP TRANSITIONS: an update that moves a row
+        OUT of the predicate becomes a genuine delete downstream,
+        carried at the evicting row's own op_sequence (a truthful
+        clock — it is the change that evicted the doc), so a replayed
+        or out-of-order window can never resurrect the evicted row;
+        a row moving IN arrives as an ordinary upsert. The window
+        diff is state-at-frm vs state-at-to (one net row per doc), so
+        in-window oscillation collapses to its net transition.
+        Predicates are null-rejecting, matching scan_where. Patch-mode
+        sources are refused: a patch can flip membership WITHOUT
+        advancing the row clock, leaving the eviction delete with no
+        sequence to win by."""
         if not re.fullmatch(r"[A-Za-z0-9_.]+", name):
             raise ValueError(f"replicator name must be [A-Za-z0-9_.]+, got {name!r}")
         if getattr(dst, "current_snapshot", None) is None:
@@ -90,10 +119,28 @@ class Replicator:
                 "destination (row-LWW replicas cannot order same-seq "
                 "cell changes); construct the destination with patch=True"
             )
+        self.where = None
+        if where is not None:
+            if getattr(src, "patch", False):
+                raise TypeError(
+                    "filtered replication is not supported from a "
+                    "patch-mode source: a patch can change predicate "
+                    "membership without advancing the row op_sequence, "
+                    "so the eviction delete has no clock to win by"
+                )
+            self.where = SnapshotSink._check_scan_predicates(where)
         self.src = src
         self.dst = dst
         self.name = name
         self._id_pat = re.compile(rf"^{re.escape(name)}-v(\d+)-v(\d+)$")
+
+    def _pred(self, prefix: str = "") -> "F.Column":
+        """The conjunction over current (``prefix=''``) or pre-image
+        (``prefix='_old_'``) columns; F.lit(True) when unfiltered."""
+        e = F.lit(True)
+        for c, op, v in self.where or []:
+            e = e & _conjunct_expr(prefix + c, op, v)
+        return e
 
     # ------------------------------------------------------------- cursor
     def _batch_id(self, frm: int, to: int) -> str:
@@ -160,9 +207,17 @@ class Replicator:
                     "manually and mark_synced(to, force=True)."
                 )
             state = self.src.read_state(version=to)
+            if self.where is not None:
+                # filtered bootstrap: matching live rows only, but ALL
+                # tombstones carry over — they cost O(deletes) and keep
+                # replica-side LWW able to reject any late stale event
+                state = state.filter(F.col("deleted") | self._pred())
             env = state.withColumn(
                 "op", F.when(F.col("deleted"), F.lit("D")).otherwise(F.lit("U"))
             ).drop("deleted")
+        elif self.where is not None:
+            self._refuse_unreplicable_window(frm, to)
+            env = self._filtered_window_env(frm, to)
         else:
             self._refuse_unreplicable_window(frm, to)
             # patch-mode source: carry the per-cell seqs so the (patch-
@@ -185,6 +240,44 @@ class Replicator:
         out = self.dst.apply_batch(env, bid)
         self._advance_retention_tag(to)
         return out
+
+    def _filtered_window_env(self, frm: int, to: int):
+        """One window's change batch scoped to the predicate. The
+        changelog diffs state-at-frm vs state-at-to (one net row per
+        doc), so membership transitions are exact:
+
+        - I, new matches            -> I (arrives in the subset)
+        - U, new matches            -> U (stays / moves in)
+        - U, new misses, old matched -> D at the EVICTING row's seq
+          (truthful clock: the change that removed the doc from the
+          subset; the replica's prior row has a lower seq and loses)
+        - D, old matched            -> D (genuine delete, tombstone seq)
+        - everything else           -> skipped (never was, still isn't)
+
+        Eviction/delete rows null every payload column — tombstones
+        carry no values, exactly like source D events."""
+        ch = self.src.read_changes_pruned(frm, to, include_old=True)
+        ct = F.col("change_type")
+        new_m = self._pred()
+        old_m = self._pred("_old_")
+        keep = (
+            ((ct == "I") & new_m)
+            | ((ct == "U") & (new_m | old_m))
+            | ((ct == "D") & old_m)
+        )
+        is_del = (ct == "D") | ((ct == "U") & ~new_m)
+        payload = [
+            c
+            for c in ch.columns
+            if c not in (KEY, SEQ, "change_type") and not c.startswith("_old_")
+        ]
+        return ch.filter(keep).select(
+            F.col(KEY),
+            F.col(SEQ),
+            F.when(is_del, F.lit("D")).otherwise(F.lit("U")).alias("op"),
+            # when() without otherwise = typed NULL on the delete arm
+            *[F.when(~is_del, F.col(c)).alias(c) for c in payload],
+        )
 
     def mark_synced(self, to_version: int | str, force: bool = False) -> dict:
         """Advance the cursor WITHOUT replicating rows — the operator
