@@ -96,8 +96,11 @@ def _replicator(spark, sink):
     second SnapshotSink after every epoch (stream mode) or once after
     the replay (pipelined — out-of-order commits make the quiesced end
     the only safe sync point). REPLAY_REPLICATE_BUCKETS sizes the
-    replica (default: same as source). Filesystem sink only — the
-    replicator reads SnapshotSink snapshots."""
+    replica (default: same as source). REPLAY_REPLICATE_WHERE makes it
+    a FILTERED replica — a JSON conjunct list in the scan_where
+    grammar, e.g. '[["source","=","web"],["n_tok",">=",100]]'.
+    Filesystem sink only — the replicator reads SnapshotSink
+    snapshots."""
     target = os.environ.get("REPLAY_REPLICATE_TO")
     if not target:
         return None
@@ -112,7 +115,18 @@ def _replicator(spark, sink):
             os.environ.get("REPLAY_REPLICATE_BUCKETS", str(sink.n_buckets))
         ),
     )
-    return Replicator(sink, dst, name=os.environ.get("REPLAY_REPLICATE_NAME", "repl"))
+    where_env = os.environ.get("REPLAY_REPLICATE_WHERE")
+    where = None
+    if where_env:
+        import json as _json
+
+        where = [tuple(p) for p in _json.loads(where_env)]
+    return Replicator(
+        sink,
+        dst,
+        name=os.environ.get("REPLAY_REPLICATE_NAME", "repl"),
+        where=where,
+    )
 
 
 def _outbox(sink):

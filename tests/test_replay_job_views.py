@@ -117,3 +117,33 @@ def test_replay_job_replication_wiring(spark, smoke_log, tmp_path, monkeypatch, 
     from beehive_data_etl_spark.sinks.replicate import Replicator
 
     assert Replicator(src, dst).cursor() == src.current_snapshot()["version"]
+
+
+def test_replay_job_filtered_replication_wiring(
+    spark, smoke_log, tmp_path, monkeypatch
+):
+    """REPLAY_REPLICATE_WHERE (JSON conjuncts, scan_where grammar)
+    turns the deployed replica into a filtered slice."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    import replay_job
+
+    target = str(tmp_path / "src_f")
+    replica = str(tmp_path / "dst_f")
+    monkeypatch.setattr(sys, "argv", ["replay_job.py", smoke_log, target])
+    monkeypatch.setenv("REPLAY_MODE", "pipelined")
+    monkeypatch.setenv("REPLAY_N_BUCKETS", "8")
+    monkeypatch.setenv("REPLAY_FILES_PER_BATCH", "2")
+    monkeypatch.setenv("REPLAY_INFLIGHT", "2")
+    monkeypatch.setenv("REPLAY_REPLICATE_TO", replica)
+    monkeypatch.setenv("REPLAY_REPLICATE_BUCKETS", "4")
+    monkeypatch.setenv("REPLAY_REPLICATE_WHERE", '[["n_tok", ">=", 5]]')
+    replay_job.main()
+
+    src = SnapshotSink(spark, target, n_buckets=8)
+    dst = SnapshotSink(spark, replica, n_buckets=4)
+    want = src.read_final().filter(F.col("n_tok") >= 5)
+    got = dst.read_final()
+    cols = sorted(want.columns)
+    assert sorted(map(tuple, want.select(*cols).collect())) == \
+        sorted(map(tuple, got.select(*cols).collect()))
+    assert want.count() > 0
