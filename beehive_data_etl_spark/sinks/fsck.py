@@ -56,15 +56,21 @@ def fsck(sink, deep: bool = False) -> dict:
     info: list[str] = []
 
     # --- snapshot chain: time travel's contract is every version JSON
+    # at or above the recorded expiry floor (expire_snapshots retires
+    # the rest on purpose — a hole BELOW the floor is policy, not
+    # corruption; a hole above it is corruption)
+    floor = head.get("snapshot_floor", 1)
     missing_versions = [
         v
-        for v in range(1, head["version"] + 1)
+        for v in range(floor, head["version"] + 1)
         if not os.path.exists(
             os.path.join(sink.root, "_snapshots", f"v{v:06d}.json")
         )
     ]
     if missing_versions:
         errors.append(f"missing snapshot JSONs for versions {missing_versions}")
+    if floor > 1:
+        info.append(f"snapshot chain expired below v{floor}")
 
     # --- referenced entries: head + every tagged version
     checked_versions = {head["version"]: head}

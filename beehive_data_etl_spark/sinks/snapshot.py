@@ -432,6 +432,7 @@ class SnapshotSink:
                     head.get("tombstone_floor", 0),
                     target.get("tombstone_floor", 0),
                 ),
+                "snapshot_floor": head.get("snapshot_floor", 1),
                 # monotone: any writer/rewrite that PLANNED against a
                 # pre-rollback head is refused at its commit (and its
                 # crash manifests at replay) by an epoch mismatch —
@@ -592,12 +593,26 @@ class SnapshotSink:
         version number or tag name. Raises if it was never written;
         vacuum() trades old snapshots' DATA for space (TAGGED versions
         excepted), so a time-travel read after vacuum may reference
-        removed files (the JSON metadata itself is always kept)."""
+        removed files; ``expire_snapshots`` additionally retires the
+        JSON metadata below a recorded floor (tagged versions kept) —
+        reads below it fail here with the floor named."""
         version = self.resolve_ref(version)
-        with open(
-            os.path.join(self.root, "_snapshots", f"v{version:06d}.json")
-        ) as fh:
-            return json.load(fh)
+        try:
+            with open(
+                os.path.join(self.root, "_snapshots", f"v{version:06d}.json")
+            ) as fh:
+                return json.load(fh)
+        except FileNotFoundError:
+            head = self.current_snapshot()
+            floor = 1 if head is None else head.get("snapshot_floor", 1)
+            if version < floor:
+                raise ValueError(
+                    f"snapshot v{version} was expired (snapshot_floor="
+                    f"{floor}); time travel / changelog windows below "
+                    "the floor are gone — tag versions you need to keep "
+                    "before expire_snapshots()"
+                ) from None
+            raise
 
     def read_state(
         self, buckets: list[int] | None = None, version: int | str | None = None
@@ -1797,6 +1812,7 @@ class SnapshotSink:
             "committed_batches": committed + [batch_id],
             "parent": None if head is None else head["version"],
             "tombstone_floor": 0 if head is None else head.get("tombstone_floor", 0),
+            "snapshot_floor": 1 if head is None else head.get("snapshot_floor", 1),
             "rollback_epoch": 0 if head is None else head.get("rollback_epoch", 0),
             "patch": self.patch,
             "metrics": {k: v for k, v in metrics.items() if k != "lineage"},
@@ -2099,6 +2115,93 @@ class SnapshotSink:
             self._write_snapshot(new_snap)
         return {"trimmed": len(dropped), "version": new_snap["version"]}
 
+    def expire_snapshots(self, keep_last: int) -> dict:
+        """Metadata GC for the snapshot CHAIN — the Iceberg
+        ``expire_snapshots`` analogue for the JSON layer.
+
+        Every commit writes one ``_snapshots/vNNNNNN.json``; a
+        10^10-event replay is millions of micro-batches, i.e. millions
+        of metadata files that nothing else bounds (``vacuum`` reaps
+        DATA, ``trim_committed_batches`` bounds the dedup window INSIDE
+        each snapshot — this bounds the chain itself). Retires every
+        version below ``head - keep_last + 1`` with three protections:
+
+        - **tagged versions keep their JSON** (audit pins, replication
+          cursors) AND clamp the floor to ``min(tags) + 1``: a
+          changelog window FROM a tagged cursor walks every interior
+          version above it (rename bridges, unreplicable-window
+          refusals), so the suffix above the oldest tag must stay
+          intact — an unclamped floor would strand the slowest
+          replica;
+        - **floor-first publish**: the new floor commits as a
+          metadata-only snapshot BEFORE any JSON is deleted, so a
+          crash mid-delete leaves extra files (re-reaped next run),
+          never a hole below an unrecorded floor (which fsck would
+          misread as corruption);
+        - **reads below the floor fail loudly** (``snapshot()`` names
+          the floor), and ``backfill_status``'s lineage walk stops at
+          it — a pre-floor backfill is forgotten and re-runs
+          idempotently rather than crashing the walk.
+
+        Time travel below the floor is deliberately given up — that is
+        the storage being reclaimed. Size ``keep_last`` to the deepest
+        changelog window any consumer tails (replicas already pin
+        their cursors with tags, so the clamp makes lagging consumers
+        safe by construction)."""
+        if keep_last < 1:
+            raise ValueError(f"keep_last must be >= 1, got {keep_last}")
+        with self._commit_lock, self._table_lock():
+            head = self.current_snapshot()
+            if head is None:
+                raise ValueError("no snapshot yet")
+            cur_floor = head.get("snapshot_floor", 1)
+            cand = head["version"] - keep_last + 1
+            tags = self.tags()
+            if tags:
+                cand = min(cand, min(tags.values()) + 1)
+            floor = max(cur_floor, cand)
+
+            def _sweep(below: int, keep: set) -> int:
+                n = 0
+                sdir = os.path.join(self.root, "_snapshots")
+                for f in os.listdir(sdir):
+                    if not (f.startswith("v") and f.endswith(".json")):
+                        continue
+                    v = int(f[1:7])
+                    if v < below and v not in keep:
+                        os.remove(os.path.join(sdir, f))
+                        n += 1
+                return n
+
+            if floor == cur_floor:
+                # unchanged floor still sweeps: a tag dropped since the
+                # last expiry may have released versions below it
+                return {
+                    "expired": _sweep(cur_floor, set(tags.values())),
+                    "snapshot_floor": cur_floor,
+                }
+            new_snap = dict(head)
+            new_snap.update(
+                {
+                    "version": head["version"] + 1,
+                    "parent": head["version"],
+                    "snapshot_floor": floor,
+                    "metrics": {"expire_snapshots": True,
+                                "snapshot_floor": floor},
+                }
+            )
+            self._write_snapshot(new_snap)
+            # sweep the DIRECTORY, not the [old floor, new floor)
+            # range: a version kept below the old floor only because a
+            # tag pinned it (since dropped) would otherwise leak
+            # forever, as would leftovers of a crashed delete pass
+            expired = _sweep(floor, set(tags.values()))
+        return {
+            "expired": expired,
+            "snapshot_floor": floor,
+            "version": new_snap["version"],
+        }
+
     def backfill(
         self,
         columns: dict,
@@ -2158,6 +2261,7 @@ class SnapshotSink:
         snapshot log). Resume = re-run the chunk loop skipping these."""
         done: set[int] = set()
         snap = self.current_snapshot()
+        floor = 1 if snap is None else snap.get("snapshot_floor", 1)
         while snap is not None:
             m = snap.get("metrics", {})
             if m.get("backfill_name") == name:
@@ -2171,7 +2275,10 @@ class SnapshotSink:
                 nxt = m["rollback_to"]
             else:
                 nxt = snap.get("parent")
-            snap = None if nxt is None else self.snapshot(nxt)
+            # the lineage below the snapshot floor is expired: stop
+            # cleanly — a pre-floor backfill is forgotten and re-runs
+            # idempotently, which beats crashing the walk
+            snap = None if nxt is None or nxt < floor else self.snapshot(nxt)
         return done
 
     def drop_column(self, name: str) -> dict:

@@ -29,6 +29,9 @@ is therefore opt-in and last):
                           the job (scheduler alert)
   5. rebucket           — only when MAINTAIN_REBUCKET_TO is set and
                           differs from the table's bucket count.
+  6. expire (opt-in)    — snapshot-chain metadata GC: retire version
+                          JSONs below head - MAINTAIN_SNAPSHOT_KEEP
+                          (tagged versions kept; tags clamp the floor)
 
 MAINTAIN_SECTIONS (comma list, default "compact,tombstones,vacuum")
 selects passes. Prints one MAINTAIN_METRICS JSON line for schedulers.
@@ -64,7 +67,7 @@ def main() -> None:
         n_buckets = json.load(fh)["n_buckets"]
     sink = SnapshotSink(spark, root, n_buckets=n_buckets)
 
-    known = {"compact", "tombstones", "vacuum", "fsck"}
+    known = {"compact", "tombstones", "vacuum", "fsck", "expire"}
     sections = [
         s.strip()
         for s in os.environ.get(
@@ -99,6 +102,13 @@ def main() -> None:
     if "vacuum" in sections:
         out["vacuum"] = sink.vacuum(
             older_than_s=float(os.environ.get("MAINTAIN_VACUUM_AGE_S", "86400"))
+        )
+    if "expire" in sections:
+        # snapshot-chain metadata GC; MAINTAIN_SNAPSHOT_KEEP sizes the
+        # retained suffix (tags clamp the floor, so replicas/audit pins
+        # are safe regardless)
+        out["expire"] = sink.expire_snapshots(
+            keep_last=int(os.environ.get("MAINTAIN_SNAPSHOT_KEEP", "10000"))
         )
     if "fsck" in sections:
         # integrity audit AFTER the mutating passes: verifies the
