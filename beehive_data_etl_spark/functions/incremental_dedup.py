@@ -571,6 +571,19 @@ class NearDupView:
         cur = self.current()
         if cur is not None and cur["version"] == v_new:
             return {"mode": "noop", "version": v_new}
+        if cur is not None and cur["version"] < snap.get("snapshot_floor", 1):
+            # the incremental window was expired (expire_snapshots) and
+            # — unlike AggregateView/TokenIndex/ShardExport — this view
+            # ACCUMULATES pair history that a silent full re-process
+            # would drop or double-count against the signature store:
+            # refuse with the recovery spelled out
+            raise ValueError(
+                f"near-dup view at v{cur['version']} lags the source's "
+                f"snapshot_floor {snap.get('snapshot_floor', 1)}: the "
+                "incremental window was expired. Delete the view "
+                "directory and rebuild, or size MAINTAIN_SNAPSHOT_KEEP "
+                "above the view's refresh lag"
+            )
         committed = cur["version"] if cur is not None else -1
         self._reap_crash_artifacts(committed)
         if cur is None:

@@ -251,6 +251,13 @@ class AggregateView:
         cur = self.current()
         if cur is not None and cur["version"] == v_new:
             return {"mode": "noop", "version": v_new}
+        if cur is not None and cur["version"] < snap.get("snapshot_floor", 1):
+            # expire_snapshots retired the incremental window out from
+            # under a lagging view (only replication cursors clamp the
+            # floor via tags) — fall back to a FULL rebuild, which is
+            # exact by construction, instead of failing every refresh
+            # forever (review-found)
+            cur = None
         table_cols = {
             f.name for f in T.StructType.fromDDL(snap["schema"]).fields
         }

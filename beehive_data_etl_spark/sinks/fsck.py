@@ -77,7 +77,11 @@ def fsck(sink, deep: bool = False) -> dict:
     for name, v in sink.tags().items():
         try:
             checked_versions[v] = sink.snapshot(v)
-        except FileNotFoundError:
+        except (FileNotFoundError, ValueError):
+            # ValueError: snapshot() converts a below-floor miss into
+            # an informative "expired" error — but a TAGGED version's
+            # JSON is supposed to survive expiry, so either way this
+            # is corruption to REPORT, never a crash (fsck contract)
             errors.append(f"tag {name!r} points at missing version {v}")
     files_checked = 0
     # footer reads once per distinct directory, not per referencing

@@ -265,7 +265,14 @@ class Replicator:
             | ((ct == "U") & (new_m | old_m))
             | ((ct == "D") & old_m)
         )
-        is_del = (ct == "D") | ((ct == "U") & ~new_m)
+        # three-valued logic trap (review-found): an update that sets a
+        # predicate column to NULL makes new_m SQL-NULL, and a bare
+        # ~new_m would leave is_del NULL → the row shipped as a LIVE
+        # all-NULL 'U' instead of the eviction delete. NULL rejects the
+        # predicate, so NULL-new_m must count as "does not match".
+        is_del = (ct == "D") | (
+            (ct == "U") & ~F.coalesce(new_m, F.lit(False))
+        )
         payload = [
             c
             for c in ch.columns

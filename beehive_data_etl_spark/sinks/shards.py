@@ -166,6 +166,9 @@ class ShardExport:
             cur is None
             or cur["n_buckets"] != snap["n_buckets"]
             or cur["schema"] != snap["schema"]
+            # expire_snapshots retired the incremental window: full
+            # re-export instead of failing every refresh (review-found)
+            or cur["version"] < snap.get("snapshot_floor", 1)
         )
         if full:
             live = self.sink.read_state(version=v_new).filter(~F.col("deleted"))

@@ -2167,7 +2167,16 @@ class SnapshotSink:
                 for f in os.listdir(sdir):
                     if not (f.startswith("v") and f.endswith(".json")):
                         continue
-                    v = int(f[1:7])
+                    # parse the WHOLE version field, not 6 digits:
+                    # f"v{v:06d}" stops zero-padding at 10^6, exactly
+                    # the chain length this feature exists for — a
+                    # 6-digit slice would mis-parse v1000000.json as
+                    # 100000 and reap live above-floor JSONs
+                    # (review-found)
+                    try:
+                        v = int(f[1:-5])
+                    except ValueError:
+                        continue  # foreign file; never delete it
                     if v < below and v not in keep:
                         os.remove(os.path.join(sdir, f))
                         n += 1

@@ -201,6 +201,10 @@ class TokenIndex:
         cur = self.current()
         if cur is not None and cur["version"] == v_new:
             return {"mode": "noop", "version": v_new}
+        if cur is not None and cur["version"] < snap.get("snapshot_floor", 1):
+            # the incremental window was expired (expire_snapshots):
+            # full rebuild instead of failing every refresh forever
+            cur = None
         tokens = F.col(self.token_col)
         if cur is None:
             live = self.sink.read_state(version=v_new).filter(~F.col("deleted"))

@@ -48,7 +48,7 @@ def sink(spark, tmp_path):
 
 def _json_versions(sink):
     return sorted(
-        int(f[1:7])
+        int(f[1:-5])
         for f in os.listdir(os.path.join(sink.root, "_snapshots"))
         if f.startswith("v") and f.endswith(".json")
     )
@@ -136,3 +136,61 @@ def test_backfill_status_stops_at_floor(spark, sink):
 def test_validation(spark, sink):
     with pytest.raises(ValueError, match="keep_last"):
         sink.expire_snapshots(keep_last=0)
+
+
+def test_sweep_parses_seven_digit_versions(spark, sink):
+    """f"v{v:06d}" stops zero-padding at 10^6 — exactly the chain
+    length this feature exists for. A 6-digit slice parsed
+    v1000005.json as 100000 and reaped the live head (review-found)."""
+    import json as _json
+
+    head = sink.current_snapshot()
+    big = dict(head)
+    big.update({"version": 1000005, "parent": head["version"]})
+    sdir = os.path.join(sink.root, "_snapshots")
+    with open(os.path.join(sdir, "v1000005.json"), "w") as fh:
+        _json.dump(big, fh)
+    with open(os.path.join(sdir, "CURRENT"), "w") as fh:
+        fh.write("v1000005.json")
+    out = sink.expire_snapshots(keep_last=3)
+    assert out["snapshot_floor"] == 1000003
+    vs = _json_versions(sink)
+    assert 1000005 in vs  # the head survived
+    assert all(v >= 1000003 for v in vs)
+    assert sink.read_final().count() == 8  # state intact
+
+
+def test_fsck_reports_not_crashes_on_missing_tagged_json(spark, sink):
+    sink.tag("pin", 2)
+    sink.expire_snapshots(keep_last=2)  # floor clamped to 3, v2 kept
+    os.remove(os.path.join(sink.root, "_snapshots", "v000002.json"))
+    rep = fsck(sink)  # must report, never raise (fsck contract)
+    assert not rep["ok"]
+    assert any("points at missing version" in e for e in rep["errors"])
+
+
+def test_lagging_views_rebuild_after_expiry(spark, sink, tmp_path):
+    """Derived views keep their cursor in their own pointer (no source
+    tag clamps the floor for them): an expired incremental window must
+    fall back to a full rebuild, not fail every refresh forever."""
+    from beehive_data_etl_spark.sinks.aggregates import AggregateView
+    from beehive_data_etl_spark.sinks.shards import ShardExport
+    from beehive_data_etl_spark.sinks.token_index import ValueIndex
+
+    agg = AggregateView(spark, sink, str(tmp_path / "agg"),
+                        group_cols=["source"], sum_cols=["n_tok"])
+    vix = ValueIndex(spark, sink, str(tmp_path / "vix"),
+                     token_col="source", n_buckets=4)
+    sh = ShardExport(spark, sink, str(tmp_path / "sh"), k=2)
+    for v in (agg, vix, sh):
+        v.refresh()
+    _grow(spark, sink, 4, 800, tag="w")
+    sink.expire_snapshots(keep_last=1)
+    assert agg.refresh()["mode"] != "noop"
+    assert vix.refresh()["mode"] == "full"
+    assert sh.refresh()["mode"] == "full"
+    assert vix.verify()["ok"]
+    total = agg.read().agg(F.sum("n_rows")).collect()[0][0]
+    assert total == sink.read_final().count()
+    tok = agg.read().agg(F.sum("n_tok")).collect()[0][0]
+    assert tok == sink.read_final().agg(F.sum("n_tok")).collect()[0][0]

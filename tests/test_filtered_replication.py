@@ -103,6 +103,27 @@ def test_membership_transitions_across_windows(spark, pair):
     assert docs == {"b-1", "w-1"}
 
 
+def test_null_predicate_value_evicts(spark, pair):
+    """Three-valued-logic regression (review-found): an update setting
+    the predicate column to NULL made new_m SQL-NULL, and the bare
+    ~new_m shipped the row as a LIVE all-NULL upsert instead of the
+    eviction delete — permanently diverging the replica. NULL rejects
+    the predicate, so the row must tombstone."""
+    src, dst = pair
+    rep = Replicator(src, dst, name="webmirror", where=PRED)
+    rep.sync()
+    src.apply_batch(
+        _batch(spark, [("U", 600, "w-1", [1], 1, None)]), "b-null"
+    )
+    rep.sync()
+    assert _dst_rows(dst) == _subset(src)
+    docs = {r[0] for r in dst.read_final().select("doc_id").collect()}
+    assert "w-1" not in docs
+    tomb = {r.doc_id: r.op_sequence
+            for r in dst.read_state().filter("deleted").collect()}
+    assert tomb.get("w-1") == 600
+
+
 def test_all_miss_window_commits_empty_and_advances(spark, pair):
     src, dst = pair
     rep = Replicator(src, dst, name="webmirror", where=PRED)
