@@ -51,6 +51,31 @@ def _log_files(log_dir: str) -> list[str]:
     return files
 
 
+def _auto_files_per_batch(files: list[str], target_events: int) -> int:
+    """Size micro-batches by EVENTS, not file count: files_per_batch =
+    target_events / median rows-per-file, from the footer row counts of
+    the first (up to) 100 files — driver-side metadata only.
+
+    Determinism is the load-bearing property: batch ids are functions
+    of the chunking, so a resume must re-derive the SAME size. The
+    sample is the log's first 100 files by sorted name, and a WAL dir
+    is append-only (existing files never change), so the derived size
+    is stable across resumes and across the log growing at the tail.
+    Operationally this is the "500k events per micro-batch regardless
+    of how the producer happened to roll files" knob — tiny files
+    batch up (per-job scheduling overhead amortizes), huge files go
+    one per batch."""
+    import pyarrow.parquet as pq
+
+    rows = sorted(
+        pq.read_metadata(f).num_rows for f in files[: min(100, len(files))]
+    )
+    median = rows[len(rows) // 2]
+    if median <= 0:
+        return 1
+    return max(1, min(len(files), target_events // median or 1))
+
+
 def wal_max_seq(path: str, seq_col: str = "op_sequence") -> int | None:
     """Max ``op_sequence`` in a WAL file, from parquet footer statistics
     only (driver-side metadata, no data scan). ``None`` when any row
@@ -140,12 +165,13 @@ def replay_incremental(
     spark: SparkSession,
     log_dir: str,
     sink: CdcSink,
-    files_per_batch: int = 1,
+    files_per_batch: int | str = 1,
     transform: Transform | None = None,
     max_batches: int | None = None,
     inflight: int = 1,
     start_after_seq: int | None = None,
     batch_prefix: str = "wal",
+    target_events_per_batch: int = 500_000,
 ) -> list[dict]:
     """Replay an ordered WAL directory through the sink, one schema-aware
     micro-batch per ``files_per_batch`` files. Resumable: batch ids are
@@ -178,6 +204,12 @@ def replay_incremental(
     key). A file without footer stats is unprunable and keeps its
     chunk."""
     files = _log_files(log_dir)
+    if files_per_batch == "auto":
+        files_per_batch = _auto_files_per_batch(files, target_events_per_batch)
+    elif not isinstance(files_per_batch, int):
+        raise ValueError(
+            f"files_per_batch must be an int or 'auto', got {files_per_batch!r}"
+        )
     chunks = [files[i : i + files_per_batch] for i in range(0, len(files), files_per_batch)]
     if max_batches is not None:
         chunks = chunks[:max_batches]

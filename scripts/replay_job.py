@@ -91,6 +91,15 @@ def _derived_views(spark, sink) -> list:
     return views
 
 
+def _files_per_batch() -> "int | str":
+    """REPLAY_FILES_PER_BATCH: an int, or "auto" to size micro-batches
+    by events (REPLAY_TARGET_EVENTS, default 500k) from the log's
+    footer row counts — deterministic across resumes (see
+    replay_incremental)."""
+    v = os.environ.get("REPLAY_FILES_PER_BATCH", "8")
+    return v if v == "auto" else int(v)
+
+
 def _replicator(spark, sink):
     """REPLAY_REPLICATE_TO=<path> tails this table's changelog into a
     second SnapshotSink after every epoch (stream mode) or once after
@@ -189,7 +198,10 @@ def main() -> None:
             t0 = time.time()
             batches = replay_incremental(
                 spark, wal_dir, coord,
-                files_per_batch=int(os.environ.get("REPLAY_FILES_PER_BATCH", "8")),
+                files_per_batch=_files_per_batch(),
+                target_events_per_batch=int(
+                    os.environ.get("REPLAY_TARGET_EVENTS", "500000")
+                ),
                 inflight=1,
             )
             # REPLAY_TXN_TTL=<points>: transaction-timeout maintenance
@@ -291,7 +303,10 @@ def main() -> None:
             spark,
             wal_dir,
             sink,
-            files_per_batch=int(os.environ.get("REPLAY_FILES_PER_BATCH", "8")),
+            files_per_batch=_files_per_batch(),
+            target_events_per_batch=int(
+                os.environ.get("REPLAY_TARGET_EVENTS", "500000")
+            ),
             inflight=int(os.environ.get("REPLAY_INFLIGHT", "4")),
         )
         # one machine-readable line so callers (bench smoke, cluster

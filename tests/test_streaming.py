@@ -259,3 +259,48 @@ def test_streaming_dedup_within_watermark(spark, smoke_log, tmp_path):
         spark.read.parquet(*files).select("doc_id", "op_sequence").distinct().count()
     )
     assert n_distinct == expected
+
+
+def test_auto_files_per_batch_deterministic_and_resumable(
+    spark, smoke_log, tmp_path
+):
+    """files_per_batch='auto' sizes chunks by footer row counts (events
+    per batch), deterministically: a partial run resumed with 'auto'
+    re-derives the SAME chunking, so committed batch ids line up and
+    the resume applies exactly the uncommitted suffix."""
+    from beehive_data_etl_spark.sinks.snapshot import SnapshotSink
+    from beehive_data_etl_spark.streaming.replay import (
+        _auto_files_per_batch,
+        _log_files,
+        replay_incremental,
+    )
+    from beehive_data_etl_spark.verify import compare_final, oracle_final_spark
+
+    files = _log_files(smoke_log)
+    # smoke log: ~375-rows files (median 381); target 800 → 2 files
+    assert _auto_files_per_batch(files, 800) == 2
+    # tiny target → 1; huge target → capped at the file count
+    assert _auto_files_per_batch(files, 1) == 1
+    assert _auto_files_per_batch(files, 10**9) == len(files)
+
+    sink = SnapshotSink(spark, str(tmp_path / "auto"), n_buckets=4)
+    out1 = replay_incremental(
+        spark, smoke_log, sink, files_per_batch="auto",
+        target_events_per_batch=800, max_batches=2,
+    )
+    assert len(out1) == 2 and not any(o.get("skipped") for o in out1)
+    out2 = replay_incremental(
+        spark, smoke_log, sink, files_per_batch="auto",
+        target_events_per_batch=800,
+    )
+    assert [o.get("skipped", False) for o in out2[:2]] == [True, True]
+    state = sink.read_state()
+    res = compare_final(
+        state.filter(~state.deleted), oracle_final_spark(spark, smoke_log)
+    )
+    assert res["ok"], res
+
+    import pytest
+
+    with pytest.raises(ValueError, match="auto"):
+        replay_incremental(spark, smoke_log, sink, files_per_batch="4")
