@@ -134,6 +134,7 @@ class Outbox:
         name: str = "outbox",
         n_partitions: int = 8,
         tombstones: str = "envelope",
+        where: list[tuple] | None = None,
     ) -> None:
         if not re.fullmatch(r"[A-Za-z0-9_.]+", name):
             raise ValueError(f"outbox name must be [A-Za-z0-9_.]+, got {name!r}")
@@ -149,6 +150,15 @@ class Outbox:
             )
         if n_partitions < 1:
             raise ValueError("n_partitions must be >= 1")
+        self.where = None
+        if where is not None:
+            # filtered subscription: consumers receive the predicate-
+            # scoped feed with the SAME membership-transition semantics
+            # as filtered replication (a row leaving the predicate is a
+            # genuine D at the evicting row's seq — see
+            # replicate.filtered_window_env). Patch sources are already
+            # refused above, for the same clock reason.
+            self.where = SnapshotSink._check_scan_predicates(where)
         self.src = src
         self.spark = src.spark
         self.out_dir = out_dir
@@ -198,9 +208,24 @@ class Outbox:
 
         if frm == 0:
             state = self.src.read_state(version=to)
+            if self.where is not None:
+                from beehive_data_etl_spark.sinks.replicate import (
+                    predicate_expr,
+                )
+
+                state = state.filter(
+                    F.col("deleted") | predicate_expr(self.where)
+                )
             df = state.withColumn(
                 "op", F.when(F.col("deleted"), F.lit("D")).otherwise(F.lit("U"))
             ).drop("deleted")
+        elif self.where is not None:
+            self._refuse_unpublishable_window(frm, to)
+            from beehive_data_etl_spark.sinks.replicate import (
+                filtered_window_env,
+            )
+
+            df = filtered_window_env(self.src, self.where, frm, to)
         else:
             self._refuse_unpublishable_window(frm, to)
             changes = self.src.read_changes_pruned(frm, to)

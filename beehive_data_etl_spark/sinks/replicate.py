@@ -65,6 +65,58 @@ from beehive_data_etl_spark.sinks.snapshot import (
 )
 
 
+def predicate_expr(where: list[tuple] | None, prefix: str = "") -> "F.Column":
+    """The conjunction over current (``prefix=''``) or pre-image
+    (``prefix='_old_'``) columns; F.lit(True) when unfiltered. Shared
+    by filtered replication and the filtered outbox."""
+    e = F.lit(True)
+    for c, op, v in where or []:
+        e = e & _conjunct_expr(prefix + c, op, v)
+    return e
+
+
+def filtered_window_env(src, where: list[tuple], frm: int, to: int):
+    """One changelog window's change batch scoped to a predicate. The
+    changelog diffs state-at-frm vs state-at-to (one net row per doc),
+    so membership transitions are exact:
+
+    - I, new matches             -> I (arrives in the subset)
+    - U, new matches             -> U (stays / moves in)
+    - U, new misses, old matched -> D at the EVICTING row's seq
+      (truthful clock: the change that removed the doc from the
+      subset; a consumer's prior row has a lower seq and loses)
+    - D, old matched             -> D (genuine delete, tombstone seq)
+    - everything else            -> skipped (never was, still isn't)
+
+    Eviction/delete rows null every payload column — tombstones carry
+    no values, exactly like source D events. NULL predicate values
+    count as non-matching (three-valued-logic trap, review-found): an
+    update that sets a predicate column to NULL must EVICT, not ship a
+    live all-NULL row."""
+    ch = src.read_changes_pruned(frm, to, include_old=True)
+    ct = F.col("change_type")
+    new_m = predicate_expr(where)
+    old_m = predicate_expr(where, "_old_")
+    keep = (
+        ((ct == "I") & new_m)
+        | ((ct == "U") & (new_m | old_m))
+        | ((ct == "D") & old_m)
+    )
+    is_del = (ct == "D") | ((ct == "U") & ~F.coalesce(new_m, F.lit(False)))
+    payload = [
+        c
+        for c in ch.columns
+        if c not in (KEY, SEQ, "change_type") and not c.startswith("_old_")
+    ]
+    return ch.filter(keep).select(
+        F.col(KEY),
+        F.col(SEQ),
+        F.when(is_del, F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        # when() without otherwise = typed NULL on the delete arm
+        *[F.when(~is_del, F.col(c)).alias(c) for c in payload],
+    )
+
+
 class Replicator:
     def __init__(
         self,
@@ -135,12 +187,7 @@ class Replicator:
         self._id_pat = re.compile(rf"^{re.escape(name)}-v(\d+)-v(\d+)$")
 
     def _pred(self, prefix: str = "") -> "F.Column":
-        """The conjunction over current (``prefix=''``) or pre-image
-        (``prefix='_old_'``) columns; F.lit(True) when unfiltered."""
-        e = F.lit(True)
-        for c, op, v in self.where or []:
-            e = e & _conjunct_expr(prefix + c, op, v)
-        return e
+        return predicate_expr(self.where, prefix)
 
     # ------------------------------------------------------------- cursor
     def _batch_id(self, frm: int, to: int) -> str:
@@ -242,49 +289,8 @@ class Replicator:
         return out
 
     def _filtered_window_env(self, frm: int, to: int):
-        """One window's change batch scoped to the predicate. The
-        changelog diffs state-at-frm vs state-at-to (one net row per
-        doc), so membership transitions are exact:
-
-        - I, new matches            -> I (arrives in the subset)
-        - U, new matches            -> U (stays / moves in)
-        - U, new misses, old matched -> D at the EVICTING row's seq
-          (truthful clock: the change that removed the doc from the
-          subset; the replica's prior row has a lower seq and loses)
-        - D, old matched            -> D (genuine delete, tombstone seq)
-        - everything else           -> skipped (never was, still isn't)
-
-        Eviction/delete rows null every payload column — tombstones
-        carry no values, exactly like source D events."""
-        ch = self.src.read_changes_pruned(frm, to, include_old=True)
-        ct = F.col("change_type")
-        new_m = self._pred()
-        old_m = self._pred("_old_")
-        keep = (
-            ((ct == "I") & new_m)
-            | ((ct == "U") & (new_m | old_m))
-            | ((ct == "D") & old_m)
-        )
-        # three-valued logic trap (review-found): an update that sets a
-        # predicate column to NULL makes new_m SQL-NULL, and a bare
-        # ~new_m would leave is_del NULL → the row shipped as a LIVE
-        # all-NULL 'U' instead of the eviction delete. NULL rejects the
-        # predicate, so NULL-new_m must count as "does not match".
-        is_del = (ct == "D") | (
-            (ct == "U") & ~F.coalesce(new_m, F.lit(False))
-        )
-        payload = [
-            c
-            for c in ch.columns
-            if c not in (KEY, SEQ, "change_type") and not c.startswith("_old_")
-        ]
-        return ch.filter(keep).select(
-            F.col(KEY),
-            F.col(SEQ),
-            F.when(is_del, F.lit("D")).otherwise(F.lit("U")).alias("op"),
-            # when() without otherwise = typed NULL on the delete arm
-            *[F.when(~is_del, F.col(c)).alias(c) for c in payload],
-        )
+        # shared with the filtered Outbox — see filtered_window_env
+        return filtered_window_env(self.src, self.where, frm, to)
 
     def mark_synced(self, to_version: int | str, force: bool = False) -> dict:
         """Advance the cursor WITHOUT replicating rows — the operator

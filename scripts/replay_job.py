@@ -143,7 +143,9 @@ def _outbox(sink):
     Kafka-record-shaped JSON change events (sinks.outbox) after every
     epoch (stream) / once post-replay (pipelined) — the outbound CDC
     feed for non-Spark consumers. REPLAY_OUTBOX_PARTITIONS sizes the
-    simulated topic (default 8). Filesystem sink only."""
+    simulated topic (default 8); REPLAY_OUTBOX_WHERE (JSON conjuncts,
+    scan_where grammar) makes it a filtered subscription.
+    Filesystem sink only."""
     out = os.environ.get("REPLAY_OUTBOX_TO")
     if not out:
         return None
@@ -151,11 +153,18 @@ def _outbox(sink):
         raise ValueError("REPLAY_OUTBOX_TO requires the filesystem sink")
     from beehive_data_etl_spark.sinks.outbox import Outbox
 
+    where_env = os.environ.get("REPLAY_OUTBOX_WHERE")
+    where = None
+    if where_env:
+        import json as _json
+
+        where = [tuple(p) for p in _json.loads(where_env)]
     return Outbox(
         sink,
         out,
         name=os.environ.get("REPLAY_OUTBOX_NAME", "outbox"),
         n_partitions=int(os.environ.get("REPLAY_OUTBOX_PARTITIONS", "8")),
+        where=where,
     )
 
 

@@ -204,3 +204,28 @@ def test_kafka_producer_records_shape(spark, smoke_log, tmp_path):
     one = recs.filter(F.col("value").isNotNull()).first()
     env = json.loads(bytes(one.value).decode())
     assert {"op", "op_sequence", "doc_id"} <= set(env)
+
+
+def test_filtered_subscription_roundtrip(spark, smoke_log, tmp_path):
+    """Outbox(where=...): the published feed is the predicate-scoped
+    subset with filtered-replication semantics — a consumer replaying
+    the feed into its own sink reconstructs exactly
+    filter(src.read_final()), including evictions (rows whose update
+    left the predicate arrive as genuine deletes)."""
+    src = _mk_source(spark, smoke_log, tmp_path, max_batches=2)
+    out = str(tmp_path / "ftopic")
+    pred = [("n_tok", ">=", 5)]
+    ob = Outbox(src, out, n_partitions=4, where=pred)
+    assert ob.sync()["published"] > 0
+    # second window carries real update/delete mix (in/out transitions)
+    replay_incremental(spark, smoke_log, src, files_per_batch=2)
+    assert ob.sync()["published"] >= 0
+
+    dst = SnapshotSink(spark, str(tmp_path / "freplica"), n_buckets=4)
+    _consume(spark, out, dst, "fconsume-1")
+    want = _live(src).filter(F.col("n_tok") >= 5)
+    got = _live(dst)
+    assert want.exceptAll(got).count() == 0
+    assert got.exceptAll(want).count() == 0
+    # nothing live outside the predicate leaked into the feed replica
+    assert got.filter(~(F.col("n_tok") >= 5)).count() == 0
