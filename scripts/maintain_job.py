@@ -32,6 +32,9 @@ is therefore opt-in and last):
   6. expire (opt-in)    — snapshot-chain metadata GC: retire version
                           JSONs below head - MAINTAIN_SNAPSHOT_KEEP
                           (tagged versions kept; tags clamp the floor)
+  7. report (opt-in)    — advisory health report (sinks.health):
+                          per-bucket delta/skew/small-file state and
+                          the concrete maintenance calls needed next
 
 MAINTAIN_SECTIONS (comma list, default "compact,tombstones,vacuum")
 selects passes. Prints one MAINTAIN_METRICS JSON line for schedulers.
@@ -67,7 +70,7 @@ def main() -> None:
         n_buckets = json.load(fh)["n_buckets"]
     sink = SnapshotSink(spark, root, n_buckets=n_buckets)
 
-    known = {"compact", "tombstones", "vacuum", "fsck", "expire"}
+    known = {"compact", "tombstones", "vacuum", "fsck", "expire", "report"}
     sections = [
         s.strip()
         for s in os.environ.get(
@@ -103,6 +106,14 @@ def main() -> None:
         out["vacuum"] = sink.vacuum(
             older_than_s=float(os.environ.get("MAINTAIN_VACUUM_AGE_S", "86400"))
         )
+    if "report" in sections:
+        # advisory health report (metadata+footers only, no Spark job):
+        # per-bucket delta/row/file counts + the concrete maintenance
+        # calls the table needs next — run it FIRST in the section list
+        # to see the pre-maintenance state, or last for the residue
+        from beehive_data_etl_spark.sinks.health import table_report
+
+        out["report"] = table_report(sink)
     if "expire" in sections:
         # snapshot-chain metadata GC; MAINTAIN_SNAPSHOT_KEEP sizes the
         # retained suffix (tags clamp the floor, so replicas/audit pins
