@@ -17,10 +17,22 @@ don't contribute to the estimates)."""
 
 from __future__ import annotations
 
+import glob as _glob
 import os
 from concurrent.futures import ThreadPoolExecutor
 
-from beehive_data_etl_spark.sinks.snapshot import _parquet_stats
+
+def _dir_rows(path: str) -> list[int]:
+    """Per-file row counts of a delta dir — the ONLY footer fact the
+    report needs, so it reads exactly that (a full _parquet_stats pass
+    would also build key/column ranges per row group only to discard
+    them — review-found cost multiplier on a cron'd diagnostic)."""
+    import pyarrow.parquet as pq
+
+    return [
+        pq.read_metadata(f).num_rows
+        for f in sorted(_glob.glob(os.path.join(path, "*.parquet")))
+    ]
 
 
 def table_report(sink, small_file_rows: int | None = None) -> dict:
@@ -28,7 +40,10 @@ def table_report(sink, small_file_rows: int | None = None) -> dict:
 
     Returns ``{"table": {...}, "buckets": {...}, "recommendations":
     [...]}`` where every recommendation is ``{"action", "reason",
-    "call"}`` — ``call`` being the literal engine API to run.
+    "call", "args"}`` — ``args`` carries the COMPLETE machine-usable
+    parameters (full bucket lists, counts), ``call`` a human-readable
+    summary of the engine API to run; mechanical actors consume
+    ``action`` + ``args``, never parse ``call``.
 
     ``small_file_rows``: files below this row count are counted as
     small (default: the sink's ``target_file_rows`` if set, else
@@ -43,12 +58,13 @@ def table_report(sink, small_file_rows: int | None = None) -> dict:
                     "action": "none",
                     "reason": "table has no snapshot yet",
                     "call": None,
+                    "args": {},
                 }
             ],
         }
 
-    # one footer pass per distinct referenced dir, threaded like the
-    # publish-path stats harvest
+    # one light footer pass per distinct referenced dir, threaded like
+    # the publish-path stats harvest
     entries = [
         (int(b), e) for b, ents in snap["buckets"].items() for e in ents
     ]
@@ -58,26 +74,21 @@ def table_report(sink, small_file_rows: int | None = None) -> dict:
             zip(
                 dirs,
                 ex.map(
-                    lambda p: _parquet_stats(os.path.join(sink.root, p)),
-                    dirs,
+                    lambda p: _dir_rows(os.path.join(sink.root, p)), dirs
                 ),
             )
         ) if dirs else {}
 
     buckets: dict[int, dict] = {}
     for b, e in entries:
-        rows, files, _, _, _ = stats[e["path"]]
+        per_file = stats[e["path"]]
         cur = buckets.setdefault(
             b, {"deltas": 0, "rows": 0, "files": 0, "file_rows": []}
         )
         cur["deltas"] += 1
-        cur["rows"] += rows
-        cur["files"] += len(files)
-        # footers give the DIR total; attribute the mean to each file
-        # (small-file detection at dir granularity — a dir of many
-        # tiny files reads as many small files, which is the signal)
-        avg = rows // max(1, len(files))
-        cur["file_rows"].extend([avg] * len(files))
+        cur["rows"] += sum(per_file)
+        cur["files"] += len(per_file)
+        cur["file_rows"].extend(per_file)
 
     all_rows = sorted(b["rows"] for b in buckets.values()) or [0]
     total_rows = sum(all_rows)
@@ -116,8 +127,9 @@ def table_report(sink, small_file_rows: int | None = None) -> dict:
                 "reason": f"{len(dirty)} bucket(s) hold >= "
                 f"{bar} deltas (read amplification: every "
                 "read folds them)",
-                "call": f"sink.compact(buckets={dirty[:20]}"
-                + (" + ...)" if len(dirty) > 20 else ")"),
+                "call": f"sink.compact(buckets=<{len(dirty)} buckets, "
+                "see args>)",
+                "args": {"buckets": dirty},
             }
         )
     if small_files > max(4, total_files // 10):
@@ -127,6 +139,7 @@ def table_report(sink, small_file_rows: int | None = None) -> dict:
                 "reason": f"{small_files}/{total_files} files under "
                 f"{small_file_rows} rows (per-file open/seek overhead)",
                 "call": "sink.compact()",
+                "args": {"small_files": small_files},
             }
         )
     # bucket skew: the unit of merge parallelism — one bucket far
@@ -137,10 +150,16 @@ def table_report(sink, small_file_rows: int | None = None) -> dict:
                 "action": "investigate-skew",
                 "reason": f"largest bucket holds {max_bucket} raw rows vs "
                 f"median {median_bucket} (straggler tasks at every merge; "
-                "hot keys? consider salt_partials, or rebucket if the "
-                "table outgrew its bucket count)",
-                "call": "SnapshotSink(..., salt_partials=8) / "
-                f"sink.rebucket({2 * snap['n_buckets']})",
+                "hot keys? enable salting, or rebucket if the table "
+                "outgrew its bucket count — a human call, not automatic)",
+                "call": "SnapshotSink(..., salt_partials=<args>) or "
+                "sink.rebucket(<args>)",
+                "args": {
+                    "salt_partials": 8,
+                    "rebucket_to": 2 * snap["n_buckets"],
+                    "max_bucket_rows": max_bucket,
+                    "median_bucket_rows": median_bucket,
+                },
             }
         )
     # average deltas-per-bucket ~ rows folded per read beyond 1x
@@ -152,7 +171,8 @@ def table_report(sink, small_file_rows: int | None = None) -> dict:
                     "action": "rebucket",
                     "reason": f"~{int(rows_per_bucket)} raw rows per bucket "
                     "— bucket state stops fitting an executor partition",
-                    "call": f"sink.rebucket({2 * snap['n_buckets']})",
+                    "call": "sink.rebucket(<args>)",
+                    "args": {"rebucket_to": 2 * snap["n_buckets"]},
                 }
             )
     n_batches = len(snap.get("committed_batches", []))
@@ -162,7 +182,8 @@ def table_report(sink, small_file_rows: int | None = None) -> dict:
                 "action": "trim-dedup-window",
                 "reason": f"{n_batches} committed batch ids copied into "
                 "every snapshot JSON",
-                "call": "sink.trim_committed_batches(retain_last=10000)",
+                "call": "sink.trim_committed_batches(retain_last=<args>)",
+                "args": {"retain_last": 10_000},
             }
         )
     if n_json > 10_000:
@@ -171,12 +192,18 @@ def table_report(sink, small_file_rows: int | None = None) -> dict:
                 "action": "expire-snapshots",
                 "reason": f"{n_json} snapshot JSONs on disk (metadata "
                 "chain growth)",
-                "call": "sink.expire_snapshots(keep_last=10000)",
+                "call": "sink.expire_snapshots(keep_last=<args>)",
+                "args": {"keep_last": 10_000},
             }
         )
     if not recs:
         recs.append(
-            {"action": "none", "reason": "table is healthy", "call": None}
+            {
+                "action": "none",
+                "reason": "table is healthy",
+                "call": None,
+                "args": {},
+            }
         )
 
     return {

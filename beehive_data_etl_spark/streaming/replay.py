@@ -51,29 +51,40 @@ def _log_files(log_dir: str) -> list[str]:
     return files
 
 
-def _auto_files_per_batch(files: list[str], target_events: int) -> int:
-    """Size micro-batches by EVENTS, not file count: files_per_batch =
-    target_events / median rows-per-file, from the footer row counts of
-    the first (up to) 100 files — driver-side metadata only.
+def _chunks_by_events(files: list[str], target_events: int) -> list[list[str]]:
+    """Greedy event-based chunking: consecutive files accumulate into
+    a chunk until its footer row count reaches ``target_events`` —
+    "500k events per micro-batch regardless of how the producer
+    happened to roll files". Driver-side metadata only.
 
     Determinism is the load-bearing property: batch ids are functions
-    of the chunking, so a resume must re-derive the SAME size. The
-    sample is the log's first 100 files by sorted name, and a WAL dir
-    is append-only (existing files never change), so the derived size
-    is stable across resumes and across the log growing at the tail.
-    Operationally this is the "500k events per micro-batch regardless
-    of how the producer happened to roll files" knob — tiny files
-    batch up (per-job scheduling overhead amortizes), huge files go
-    one per batch."""
+    of the chunking, so a resume must re-derive the SAME boundaries.
+    Greedy prefix accumulation gives it structurally: a chunk's
+    boundary depends only on the row counts of the files BEFORE it,
+    and a WAL dir is append-only (existing files never change), so
+    growth at the tail can never move an earlier boundary — unlike any
+    global files-per-batch derivation, which would shift every
+    boundary when a resume re-samples a grown log (review-found). The
+    one residual: the final, below-target chunk of a run can merge
+    with newly-appended files on the next run and re-apply under a new
+    batch id — bounded to one chunk, and LWW makes the re-application
+    idempotent."""
     import pyarrow.parquet as pq
 
-    rows = sorted(
-        pq.read_metadata(f).num_rows for f in files[: min(100, len(files))]
-    )
-    median = rows[len(rows) // 2]
-    if median <= 0:
-        return 1
-    return max(1, min(len(files), target_events // median or 1))
+    if target_events < 1:
+        raise ValueError(f"target_events_per_batch must be >= 1, got {target_events}")
+    chunks: list[list[str]] = []
+    cur: list[str] = []
+    acc = 0
+    for f in files:
+        cur.append(f)
+        acc += pq.read_metadata(f).num_rows
+        if acc >= target_events:
+            chunks.append(cur)
+            cur, acc = [], 0
+    if cur:
+        chunks.append(cur)
+    return chunks
 
 
 def wal_max_seq(path: str, seq_col: str = "op_sequence") -> int | None:
@@ -205,12 +216,20 @@ def replay_incremental(
     chunk."""
     files = _log_files(log_dir)
     if files_per_batch == "auto":
-        files_per_batch = _auto_files_per_batch(files, target_events_per_batch)
+        chunks = _chunks_by_events(files, target_events_per_batch)
     elif not isinstance(files_per_batch, int):
         raise ValueError(
             f"files_per_batch must be an int or 'auto', got {files_per_batch!r}"
         )
-    chunks = [files[i : i + files_per_batch] for i in range(0, len(files), files_per_batch)]
+    elif files_per_batch < 1:
+        raise ValueError(
+            f"files_per_batch must be >= 1, got {files_per_batch}"
+        )
+    else:
+        chunks = [
+            files[i : i + files_per_batch]
+            for i in range(0, len(files), files_per_batch)
+        ]
     if max_batches is not None:
         chunks = chunks[:max_batches]
 

@@ -37,7 +37,10 @@ is therefore opt-in and last):
                           the concrete maintenance calls needed next
 
 MAINTAIN_SECTIONS (comma list, default "compact,tombstones,vacuum")
-selects passes. Prints one MAINTAIN_METRICS JSON line for schedulers.
+selects passes AND their order — sections run in list order, so
+"report,compact,vacuum" captures the pre-maintenance state while
+"compact,vacuum,report" reports the residue. Prints one
+MAINTAIN_METRICS JSON line for schedulers.
 
 Usage:
   spark-submit --py-files beehive.zip scripts/maintain_job.py <table_root>
@@ -85,7 +88,8 @@ def main() -> None:
         raise ValueError(f"unknown MAINTAIN_SECTIONS {unknown}; known: {sorted(known)}")
     out: dict = {"sections": sections}
     t0 = time.time()
-    if "compact" in sections:
+
+    def _run_compact():
         # MAINTAIN_CLUSTER_BY=col1,col2 sorts bucket files by these
         # payload columns first (key as tie-breaker): tight row-group
         # stats for scan_where() predicates, at the cost of lookup()'s
@@ -95,49 +99,68 @@ def main() -> None:
             for c in os.environ.get("MAINTAIN_CLUSTER_BY", "").split(",")
             if c.strip()
         ]
-        out["compact"] = sink.compact(cluster_by=cluster or None)
-    if "tombstones" in sections:
+        return sink.compact(cluster_by=cluster or None)
+
+    def _run_tombstones():
         floor = int(os.environ.get("MAINTAIN_TOMBSTONE_FLOOR", "0"))
         if floor > 0:
-            out["tombstones"] = sink.expire_tombstones(floor)
-        else:
-            out["tombstones"] = {"skipped": "MAINTAIN_TOMBSTONE_FLOOR unset"}
-    if "vacuum" in sections:
-        out["vacuum"] = sink.vacuum(
+            return sink.expire_tombstones(floor)
+        return {"skipped": "MAINTAIN_TOMBSTONE_FLOOR unset"}
+
+    def _run_vacuum():
+        return sink.vacuum(
             older_than_s=float(os.environ.get("MAINTAIN_VACUUM_AGE_S", "86400"))
         )
-    if "report" in sections:
+
+    def _run_report():
         # advisory health report (metadata+footers only, no Spark job):
         # per-bucket delta/row/file counts + the concrete maintenance
-        # calls the table needs next — run it FIRST in the section list
-        # to see the pre-maintenance state, or last for the residue
+        # calls the table needs next
         from beehive_data_etl_spark.sinks.health import table_report
 
-        out["report"] = table_report(sink)
-    if "expire" in sections:
+        return table_report(sink)
+
+    def _run_expire():
         # snapshot-chain metadata GC; MAINTAIN_SNAPSHOT_KEEP sizes the
         # retained suffix (tags clamp the floor, so replicas/audit pins
         # are safe regardless)
-        out["expire"] = sink.expire_snapshots(
+        return sink.expire_snapshots(
             keep_last=int(os.environ.get("MAINTAIN_SNAPSHOT_KEEP", "10000"))
         )
-    if "fsck" in sections:
-        # integrity audit AFTER the mutating passes: verifies the
-        # metadata the pruned read paths trust (snapshot chain, entry
-        # dirs, key-range coverage); MAINTAIN_FSCK_DEEP=1 adds the
-        # one-scan bucket-assignment check. Corruption fails the job
-        # (a scheduler alert), it is never auto-"repaired".
+
+    def _run_fsck():
+        # integrity audit — list it AFTER the mutating passes to check
+        # their output; MAINTAIN_FSCK_DEEP=1 adds the one-scan
+        # bucket-assignment check. Corruption fails the job (a
+        # scheduler alert), it is never auto-"repaired".
         from beehive_data_etl_spark.sinks.fsck import fsck
 
         report = fsck(sink, deep=os.environ.get("MAINTAIN_FSCK_DEEP") == "1")
-        out["fsck"] = {
+        res = {
             "ok": report["ok"],
             "errors": report["errors"],
             "files_checked": report["files_checked"],
         }
         if not report["ok"]:
+            out["fsck"] = res
             print("MAINTAIN_METRICS " + json.dumps(out))
             raise RuntimeError(f"fsck failed: {report['errors']}")
+        return res
+
+    runners = {
+        "compact": _run_compact,
+        "tombstones": _run_tombstones,
+        "vacuum": _run_vacuum,
+        "report": _run_report,
+        "expire": _run_expire,
+        "fsck": _run_fsck,
+    }
+    # sections run IN LIST ORDER — "report,compact,..." sees the
+    # pre-maintenance state, "...,report" the residue (review-found:
+    # the old hard-coded order made the documented pre-maintenance
+    # report unobtainable)
+    for name in sections:
+        out[name] = runners[name]()
     retain = int(os.environ.get("MAINTAIN_RETAIN_BATCHES", "0"))
     if retain > 0:
         # bound the exactly-once dedup window (see

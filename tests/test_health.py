@@ -51,9 +51,12 @@ def test_delta_accumulation_recommends_compact(spark, tmp_path):
     rep = table_report(s, small_file_rows=0)
     acts = _actions(rep)
     assert "compact" in acts
-    call = next(r for r in rep["recommendations"] if r["action"] == "compact")
-    assert "sink.compact(buckets=" in call["call"]
-    # the dirty buckets really hold >= threshold deltas
+    rec = next(r for r in rep["recommendations"] if r["action"] == "compact")
+    # args carry the COMPLETE machine-usable bucket list (a mechanical
+    # actor consumes action+args, never parses the call string)
+    assert rec["args"]["buckets"] == sorted(
+        b for b, s in rep["buckets"].items() if s["deltas"] >= 4
+    )
     assert all(b["deltas"] >= 2 for b in rep["buckets"].values())
     s.compact()
     assert "compact" not in _actions(table_report(s, small_file_rows=0))

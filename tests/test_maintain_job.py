@@ -84,3 +84,32 @@ def test_maintain_sections_strict(spark, smoke_log, tmp_path, monkeypatch):
     monkeypatch.setenv("MAINTAIN_SECTIONS", " compact , vacuum ")
     monkeypatch.setenv("MAINTAIN_VACUUM_AGE_S", "0")
     maintain_job.main()  # stripped tokens accepted
+
+
+def test_maintain_sections_run_in_list_order(
+    spark, smoke_log, tmp_path, monkeypatch, capsys
+):
+    """'report,compact' captures the PRE-maintenance state (dirty
+    buckets visible in the report even though the same run compacts
+    them) — the old hard-coded order made that unobtainable
+    (review-found)."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    import maintain_job
+
+    root = str(tmp_path / "o")
+    sink = SnapshotSink(spark, root, n_buckets=4, compact_threshold=100)
+    replay_incremental(spark, smoke_log, sink, files_per_batch=1)  # deltas
+    monkeypatch.setattr(sys, "argv", ["maintain_job.py", root])
+    monkeypatch.setenv("MAINTAIN_SECTIONS", "report,compact")
+    maintain_job.main()
+    line = next(
+        ln for ln in capsys.readouterr().out.splitlines()
+        if ln.startswith("MAINTAIN_METRICS ")
+    )
+    metrics = json.loads(line.split(" ", 1)[1])
+    # the report saw the dirty pre-compaction buckets...
+    assert any(
+        r["action"] == "compact" for r in metrics["report"]["recommendations"]
+    )
+    # ...and the same run then compacted them
+    assert metrics["compact"]["compacted"]

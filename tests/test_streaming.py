@@ -264,24 +264,32 @@ def test_streaming_dedup_within_watermark(spark, smoke_log, tmp_path):
 def test_auto_files_per_batch_deterministic_and_resumable(
     spark, smoke_log, tmp_path
 ):
-    """files_per_batch='auto' sizes chunks by footer row counts (events
-    per batch), deterministically: a partial run resumed with 'auto'
-    re-derives the SAME chunking, so committed batch ids line up and
-    the resume applies exactly the uncommitted suffix."""
+    """files_per_batch='auto' chunks by cumulative footer row counts
+    (events per batch), deterministically: greedy prefix accumulation
+    means a chunk boundary depends only on the files BEFORE it, so a
+    resume — even after the append-only log GREW — re-derives the same
+    committed-prefix boundaries and batch ids line up."""
     from beehive_data_etl_spark.sinks.snapshot import SnapshotSink
     from beehive_data_etl_spark.streaming.replay import (
-        _auto_files_per_batch,
+        _chunks_by_events,
         _log_files,
         replay_incremental,
     )
     from beehive_data_etl_spark.verify import compare_final, oracle_final_spark
 
     files = _log_files(smoke_log)
-    # smoke log: ~375-rows files (median 381); target 800 → 2 files
-    assert _auto_files_per_batch(files, 800) == 2
-    # tiny target → 1; huge target → capped at the file count
-    assert _auto_files_per_batch(files, 1) == 1
-    assert _auto_files_per_batch(files, 10**9) == len(files)
+    chunks = _chunks_by_events(files, 800)
+    assert [f for c in chunks for f in c] == files  # partition, in order
+    assert all(len(c) >= 2 for c in chunks)  # ~375-row files batch up
+    # tiny target → one file per chunk; huge target → one chunk
+    assert _chunks_by_events(files, 1) == [[f] for f in files]
+    assert _chunks_by_events(files, 10**9) == [files]
+    # THE determinism property: chunking the grown log preserves every
+    # boundary derived from the shorter prefix (review-found hazard of
+    # any global files-per-batch derivation)
+    short = _chunks_by_events(files[:5], 800)
+    grown = _chunks_by_events(files, 800)
+    assert grown[: len(short) - 1] == short[: len(short) - 1]
 
     sink = SnapshotSink(spark, str(tmp_path / "auto"), n_buckets=4)
     out1 = replay_incremental(
