@@ -1042,15 +1042,9 @@ class SnapshotSink:
             raise ValueError("no snapshot yet")
         table_schema = T.StructType.fromDDL(snap["schema"])
         key_field = next(f for f in table_schema.fields if f.name == KEY)
-        # the probe DataFrame doubles as the type gate: a probe id of
-        # the wrong type fails HERE with a clear driver-side TypeError
-        # instead of an ANSI cast error inside the scan's IN filter
-        probe = self.spark.createDataFrame(
-            [(i,) for i in ids], T.StructType([key_field])
-        ).coalesce(1)
-        rows = probe.select(
-            F.col(KEY), _bucket_expr(snap["n_buckets"]).alias("b")
-        ).collect()
+        rows = _probe_buckets(
+            self.spark, ids, key_field, snap["n_buckets"]
+        )
         buckets = sorted({r.b for r in rows})
         keys = [r[0] for r in rows]
         keys_sorted = sorted(keys)
@@ -3134,6 +3128,67 @@ def _parquet_stats(
         (per_file if stats_ok and per_file else None),
         col_ranges,
     )
+
+
+_PY_TYPES = {
+    T.StringType: str,
+    T.IntegerType: int,
+    T.LongType: int,
+    T.ShortType: int,
+    T.DoubleType: float,
+    T.FloatType: float,
+    T.BooleanType: bool,
+}
+
+
+def _probe_buckets(
+    spark, ids: list, key_field, n_buckets: int, bucket_expr=None
+) -> list:
+    """Probe ids → (id, bucket) rows via the sink's own bucket
+    expression, as one tiny JVM-ONLY job: literals exploded from a
+    `range(1)` local relation, cast to the key's exact type (the hash
+    is type-sensitive — a Python int defaults to LongType, which would
+    bucket an int32 key differently). The obvious
+    ``createDataFrame([(id,)])`` plan costs ~4 s PER CALL here: a
+    Python-list local relation runs its task through a Python worker,
+    and every cold worker pays the full pyspark import (measured —
+    the whole point of a point lookup is to NOT pay that). Large probe
+    sets (>1024) fall back to createDataFrame, where the worker cost
+    amortizes and a 100k-literal plan tree would hurt instead.
+
+    The type gate stays driver-side either way: a probe id of the
+    wrong Python type fails HERE with a clear TypeError instead of an
+    ANSI cast error inside the scan's IN filter."""
+    want = _PY_TYPES.get(type(key_field.dataType))
+    if want is not None:
+        for i in ids:
+            # bool is an int subclass — reject it for numeric keys
+            if not isinstance(i, want) or (
+                want is not bool and isinstance(i, bool)
+            ):
+                raise TypeError(
+                    f"probe id {i!r} is {type(i).__name__}; key column "
+                    f"{key_field.name!r} is {key_field.dataType.simpleString()}"
+                )
+    if len(ids) <= 1024:
+        # cast the ARRAY (a generator can't nest inside a cast): the
+        # elements land with the key's exact type before the explode
+        probe = spark.range(1).select(
+            F.explode(
+                F.array(*[F.lit(i) for i in ids]).cast(
+                    T.ArrayType(key_field.dataType)
+                )
+            ).alias(key_field.name)
+        )
+    else:
+        probe = spark.createDataFrame(
+            [(i,) for i in ids], T.StructType([key_field])
+        ).coalesce(1)
+    if bucket_expr is None:
+        bucket_expr = _bucket_expr(n_buckets)
+    return probe.select(
+        F.col(key_field.name), bucket_expr.alias("b")
+    ).collect()
 
 
 def _range_may_contain(key_range, keys_sorted: list) -> bool:

@@ -315,15 +315,19 @@ class TokenIndex:
         cur = self.current()
         if cur is None:
             raise ValueError("index never refreshed")
-        # type-gate + bucket computation in one tiny driver-side job,
-        # same pattern as SnapshotSink.lookup
-        probe = self.spark.createDataFrame(
-            [(t,) for t in probe_tokens],
-            T.StructType([T.StructField("token", self._elem_type())]),
-        ).coalesce(1)
-        rows = probe.select(
-            "token", _token_bucket_expr(self.n_buckets).alias("b")
-        ).collect()
+        # type-gate + bucket computation in one tiny JVM-only job
+        # (same pattern as SnapshotSink.lookup — the createDataFrame
+        # probe paid a cold Python worker's full pyspark import, ~4 s,
+        # per call)
+        from beehive_data_etl_spark.sinks.snapshot import _probe_buckets
+
+        rows = _probe_buckets(
+            self.spark,
+            probe_tokens,
+            T.StructField("token", self._elem_type()),
+            self.n_buckets,
+            bucket_expr=_token_bucket_expr(self.n_buckets),
+        )
         buckets = sorted({r.b for r in rows})
         toks = [r.token for r in rows]
         paths = [
