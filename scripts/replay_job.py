@@ -40,7 +40,8 @@ def _derived_views(spark, sink) -> list:
     AggregateView; REPLAY_INDEX_COL=<array col> adds a TokenIndex;
     REPLAY_NEARDUP=1 adds changelog-driven near-dup detection
     (NearDupView); REPLAY_SHARDS=<k> maintains a k-shard training
-    export (ShardExport). All live under <target>/_views/ and refresh per
+    export (ShardExport); REPLAY_HISTORY=1 maintains an SCD2 audit
+    history (HistoryView). All live under <target>/_views/ and refresh per
     committed batch (stream mode) or once post-replay (pipelined mode —
     batches commit out of order there, so the only safe refresh point
     is the quiesced end).
@@ -77,6 +78,12 @@ def _derived_views(spark, sink) -> list:
 
         views.append(
             NearDupView(spark, sink, os.path.join(root, "_views", "neardup"))
+        )
+    if os.environ.get("REPLAY_HISTORY"):
+        from beehive_data_etl_spark.sinks.history import HistoryView
+
+        views.append(
+            HistoryView(spark, sink, os.path.join(root, "_views", "history"))
         )
     shards_k = os.environ.get("REPLAY_SHARDS")
     if shards_k:
