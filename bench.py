@@ -150,6 +150,13 @@ def _run_serving() -> dict:
 
     out = {
         "table_rows": final.count(),
+        # files each plan READS — the metric that scales: latency on a
+        # 26k-row sandbox table is constant-dominated (a full scan of
+        # 64 small files is sub-second), but files-touched is invariant
+        # in table size for the pruned paths and O(table) for the scan
+        "full_scan_files": len(final.inputFiles()),
+        "lookup_files": len(sink.lookup([k0]).inputFiles()),
+        "scan_range_files": len(sink.scan_range(k0, k1).inputFiles()),
         "full_scan_point_s": _best(
             lambda: final.filter(F.col("doc_id") == k0).count()
         ),
@@ -865,23 +872,30 @@ def _write_bench_md(result: dict) -> None:
             "## Serving paths (stats-pruned reads vs full-state scan, "
             f"{srv['table_rows']} live rows)",
             "",
-            "| read | pruned API (s) | full scan+filter (s) | speedup |",
+            "| read | pruned API (s) | full scan+filter (s) | "
+            "files read (pruned vs scan) |",
             "| --- | --- | --- | --- |",
             f"| point lookup | {srv['lookup_point_s']} | "
-            f"{srv['full_scan_point_s']} | {srv['lookup_speedup']}× |",
+            f"{srv['full_scan_point_s']} | {srv['lookup_files']} vs "
+            f"{srv['full_scan_files']} |",
             f"| narrow key range | {srv['scan_range_s']} | "
-            f"{srv['full_scan_range_s']} | {srv['scan_range_speedup']}× |",
+            f"{srv['full_scan_range_s']} | {srv['scan_range_files']} vs "
+            f"{srv['full_scan_files']} |",
             f"| scan_where n_tok>=p99 | {srv['scan_where_s']} | "
             f"{srv['full_scan_filter_s']} | plan: "
             f"{srv['scan_where_plan']} |",
             "",
-            "Point/range reads prune at plan time from the commit "
-            "entries' key stats (a compacted table touches ~one file); "
-            "scan_where's bucket-granular column-stats pruning depends "
-            "on value locality — uniform synthetic data rarely "
-            "eliminates buckets (the plan counts above say how many), "
-            "the win there is the cluster_by row-group layout on real "
-            "skewed corpora.",
+            "Files-read is the column that scales: the pruned paths "
+            "touch O(probe) files at ANY table size (plan-time prune "
+            "from the commit entries' key stats), the baseline touches "
+            "O(table). Wall seconds on this sandbox table are "
+            "constant-dominated — a full scan of ~26k rows is "
+            "sub-second, so latency parity here just says the floor is "
+            "driver/scheduler overhead, not bytes. scan_where's "
+            "bucket-granular column-stats pruning depends on value "
+            "locality — uniform synthetic data rarely eliminates "
+            "buckets (the plan counts say how many); the win there is "
+            "the cluster_by row-group layout on real skewed corpora.",
         ]
     smoke = result.get("submit_smoke")
     if smoke and smoke.get("rc") == 0:
@@ -959,8 +973,8 @@ def main() -> None:
         "executor_model_weak_scaling_efficiency_4x": sharded["weak_scaling_efficiency_4x"],
         "pipeline_speedup_8_to_32": cdc["pipeline_speedup"],
         "serving": {
-            "lookup_speedup": serving["lookup_speedup"],
-            "scan_range_speedup": serving["scan_range_speedup"],
+            "lookup_files_read": serving["lookup_files"],
+            "full_scan_files_read": serving["full_scan_files"],
             "lookup_point_s": serving["lookup_point_s"],
             "scan_where_s": serving["scan_where_s"],
         },
