@@ -614,23 +614,67 @@ class SnapshotSink:
                 ) from None
             raise
 
+    def _projection_target(
+        self, snap: dict, columns: list[str] | None, extra: set[str] = frozenset()
+    ) -> T.StructType:
+        """Projection pushed BELOW the merge-on-read fold: the narrowed
+        read schema for a caller that wants only some payload columns.
+
+        Sound for both folds because each treats payload columns
+        independently — row-LWW packs whatever columns are present into
+        the per-key max-struct, and the per-cell fold runs one
+        ``max_by`` per present column off its own ``_cell_seq`` entry —
+        so folding a column subset yields exactly the full fold's values
+        for those columns. What can never be pruned: the key, the
+        sequence, the ``deleted`` existence marker (live-row filter),
+        and in patch mode the ``_cell_seq`` map. At 10^10 rows this is
+        the difference between scanning 2 columns and scanning 50 —
+        the narrowed target reaches the parquet scan's ReadSchema via
+        ``align_to_schema``'s select (plan-tested).
+
+        ``extra``: internal-use columns that must survive the fold but
+        are NOT part of the caller's requested output (e.g. scan_where
+        predicate columns)."""
+        full = T.StructType.fromDDL(snap["schema"])
+        if columns is None:
+            return full
+        names = {f.name for f in full.fields}
+        internal = set(_INTERNAL) | {KEY}
+        bad = [c for c in columns if c not in names or c in internal - {KEY}]
+        if bad:
+            payload = sorted(names - internal)
+            raise ValueError(
+                f"no such payload column(s) {bad!r}; available: {payload}"
+            )
+        keep = set(columns) | extra | {KEY, SEQ, "deleted"}
+        if any(f.name == CELL for f in full.fields):
+            keep.add(CELL)
+        return T.StructType([f for f in full.fields if f.name in keep])
+
     def read_state(
-        self, buckets: list[int] | None = None, version: int | str | None = None
+        self,
+        buckets: list[int] | None = None,
+        version: int | str | None = None,
+        columns: list[str] | None = None,
     ) -> DataFrame:
         """State at CURRENT (default) or a time-travel ``version``, one
         row per key (payload + op_sequence + deleted tombstones):
         LWW-merges any un-compacted deltas at read time — the
-        merge-on-read contract."""
+        merge-on-read contract.
+
+        ``columns``: optional payload-column projection, pushed below
+        the fold into the parquet scan (see _projection_target)."""
         snap = self.current_snapshot() if version is None else self.snapshot(version)
         if snap is None:
             raise ValueError("no snapshot yet")
+        target = self._projection_target(snap, columns)
         # the SNAPSHOT's bucket count, not the sink's: a time-travel
         # read of a pre-rebucket version must iterate that version's
         # bucket space
         buckets = buckets if buckets is not None else list(range(snap["n_buckets"]))
-        df = self._read_buckets(snap, buckets)
+        df = self._read_buckets(snap, buckets, target=target)
         if df is None:
-            return self.spark.createDataFrame([], T.StructType.fromDDL(snap["schema"]))
+            return self.spark.createDataFrame([], target)
         return self._fold(df, KEY, SEQ)
 
     def _window_name_bridge(
@@ -1003,13 +1047,24 @@ class SnapshotSink:
         )
         return out.select(*keep)
 
-    def read_final(self) -> DataFrame:
-        """The user-facing table: live rows only, internal columns dropped."""
-        state = self.read_state()
+    def read_final(self, columns: list[str] | None = None) -> DataFrame:
+        """The user-facing table: live rows only, internal columns
+        dropped. ``columns`` selects a payload subset, pruned all the
+        way into the parquet scan (narrow reads of a wide table cost
+        bytes ∝ the columns asked for, not the table width)."""
+        state = self.read_state(columns=columns)
+        if columns is not None:
+            ordered = [c for c in dict.fromkeys(columns) if c != KEY]
+            return state.filter(~F.col("deleted")).select(KEY, *ordered)
         payload = [c for c in state.columns if c not in _INTERNAL]
         return state.filter(~F.col("deleted")).select(KEY, *[c for c in payload if c != KEY])
 
-    def lookup(self, ids: list, version: int | str | None = None) -> DataFrame:
+    def lookup(
+        self,
+        ids: list,
+        version: int | str | None = None,
+        columns: list[str] | None = None,
+    ) -> DataFrame:
         """Point read: current live rows for the given keys, touching
         the minimum of the table.
 
@@ -1042,6 +1097,7 @@ class SnapshotSink:
             raise ValueError("no snapshot yet")
         table_schema = T.StructType.fromDDL(snap["schema"])
         key_field = next(f for f in table_schema.fields if f.name == KEY)
+        target = self._projection_target(snap, columns)
         rows = _probe_buckets(
             self.spark, ids, key_field, snap["n_buckets"]
         )
@@ -1051,7 +1107,7 @@ class SnapshotSink:
         df = self._read_buckets(
             snap,
             buckets,
-            target=table_schema,
+            target=target,
             # 4th prune: key_range stats (the Iceberg manifest-
             # column-stats analogue) drop whole delta entries — and,
             # on a target-file-sized sorted rewrite, single files
@@ -1061,8 +1117,17 @@ class SnapshotSink:
             range_pred=lambda rng: _range_may_contain(rng, keys_sorted),
         )
         if df is None:
-            return self.spark.createDataFrame([], table_schema).drop(*_INTERNAL)
+            empty = self.spark.createDataFrame([], target).drop(
+                *[c for c in _INTERNAL if c in target.fieldNames()]
+            )
+            if columns is not None:
+                ordered = [c for c in dict.fromkeys(columns) if c != KEY]
+                return empty.select(KEY, *ordered)
+            return empty
         state = self._fold(df.filter(F.col(KEY).isin(keys)), KEY, SEQ)
+        if columns is not None:
+            ordered = [c for c in dict.fromkeys(columns) if c != KEY]
+            return state.filter(~F.col("deleted")).select(KEY, *ordered)
         payload = [c for c in state.columns if c not in _INTERNAL and c != KEY]
         return state.filter(~F.col("deleted")).select(KEY, *payload)
 
@@ -1071,6 +1136,7 @@ class SnapshotSink:
         lo: str | None = None,
         hi: str | None = None,
         version: int | str | None = None,
+        columns: list[str] | None = None,
     ) -> DataFrame:
         """Live rows with ``lo <= doc_id <= hi`` (either bound may be
         None = unbounded). Keys hash across ALL buckets, so bucket
@@ -1091,21 +1157,30 @@ class SnapshotSink:
         snap = self.current_snapshot() if version is None else self.snapshot(version)
         if snap is None:
             raise ValueError("no snapshot yet")
-        table_schema = T.StructType.fromDDL(snap["schema"])
+        target = self._projection_target(snap, columns)
         df = self._read_buckets(
             snap,
             list(range(snap["n_buckets"])),
-            target=table_schema,
+            target=target,
             range_pred=lambda rng: _range_intersects(rng, lo, hi),
         )
         if df is None:
-            return self.spark.createDataFrame([], table_schema).drop(*_INTERNAL)
+            empty = self.spark.createDataFrame([], target).drop(
+                *[c for c in _INTERNAL if c in target.fieldNames()]
+            )
+            if columns is not None:
+                ordered = [c for c in dict.fromkeys(columns) if c != KEY]
+                return empty.select(KEY, *ordered)
+            return empty
         pred = F.lit(True)
         if lo is not None:
             pred = pred & (F.col(KEY) >= F.lit(lo))
         if hi is not None:
             pred = pred & (F.col(KEY) <= F.lit(hi))
         state = self._fold(df.filter(pred), KEY, SEQ)
+        if columns is not None:
+            ordered = [c for c in dict.fromkeys(columns) if c != KEY]
+            return state.filter(~F.col("deleted")).select(KEY, *ordered)
         payload = [c for c in state.columns if c not in _INTERNAL and c != KEY]
         return state.filter(~F.col("deleted")).select(KEY, *payload)
 
@@ -1181,7 +1256,10 @@ class SnapshotSink:
         }
 
     def scan_where(
-        self, predicates: list[tuple], version: int | str | None = None
+        self,
+        predicates: list[tuple],
+        version: int | str | None = None,
+        columns: list[str] | None = None,
     ) -> DataFrame:
         """Live rows whose CURRENT (post-LWW) values satisfy every
         conjunct — ``predicates`` is a conjunctive list of
@@ -1209,18 +1287,35 @@ class SnapshotSink:
         # pointer fetch here could see a concurrent commit and apply
         # vN pruning decisions to vN+1 data (review-found TOCTOU)
         snap = self.snapshot(plan["version"])
-        table_schema = T.StructType.fromDDL(snap["schema"])
+        # predicate columns must survive the fold even when the caller
+        # didn't ask for them back — the filter applies to POST-fold
+        # values (see the stale-winner argument above), so they ride in
+        # the read target and drop only at the final select
+        target = self._projection_target(
+            snap, columns, extra={c for c, _, _ in preds}
+        )
         df = (
-            self._read_buckets(snap, plan["buckets_read"], target=table_schema)
+            self._read_buckets(snap, plan["buckets_read"], target=target)
             if plan["buckets_read"]
             else None
         )
         if df is None:
-            return self.spark.createDataFrame([], table_schema).drop(*_INTERNAL)
+            empty = self.spark.createDataFrame([], target).drop(
+                *[c for c in _INTERNAL if c in target.fieldNames()]
+            )
+            if columns is not None:
+                ordered = [c for c in dict.fromkeys(columns) if c != KEY]
+                return empty.select(KEY, *ordered)
+            return empty
         state = self._fold(df, KEY, SEQ)
         pred = F.lit(True)
         for c, op, v in preds:
             pred = pred & _conjunct_expr(c, op, v)
+        if columns is not None:
+            ordered = [c for c in dict.fromkeys(columns) if c != KEY]
+            return (
+                state.filter(~F.col("deleted")).filter(pred).select(KEY, *ordered)
+            )
         payload = [c for c in state.columns if c not in _INTERNAL and c != KEY]
         return (
             state.filter(~F.col("deleted")).filter(pred).select(KEY, *payload)
