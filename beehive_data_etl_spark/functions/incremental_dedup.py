@@ -587,12 +587,14 @@ class NearDupView:
         committed = cur["version"] if cur is not None else -1
         self._reap_crash_artifacts(committed)
         if cur is None:
-            batch = self.sink.read_state(version=v_new)
+            batch = self.sink.read_state(version=v_new, columns=["tokens"])
             mode = "full"
         else:
-            batch = self.sink.read_changes_pruned(cur["version"], v_new).drop(
-                "change_type"
-            )
+            # process_batch reads (doc_id, op_sequence, tokens,
+            # deleted) — project the changelog scan down to tokens
+            batch = self.sink.read_changes_pruned(
+                cur["version"], v_new, columns=["tokens"]
+            ).drop("change_type")
             mode = "incremental"
         pairs = self.nd.process_batch(batch, batch_id=f"cdc-v{v_new:06d}")
         name = f"pairs-v{v_new:06d}"

@@ -182,7 +182,17 @@ class ShardExport:
             }
             self._swap(ptr)
             return {"mode": "full", "version": v_new, "rewritten": len(shards)}
-        changes = self.sink.read_changes_pruned(cur["version"], v_new)
+        # dirty shards derive from the KEY alone (shard = bucket range
+        # of doc_id) — project every payload column out of the scan.
+        # NOT on patch tables: there projection also scopes change
+        # DETECTION to the projected cells, and a shard is dirtied by
+        # a change to ANY column (a late out-of-order patch confined
+        # to one column must still re-export its shard)
+        changes = self.sink.read_changes_pruned(
+            cur["version"],
+            v_new,
+            columns=None if getattr(self.sink, "patch", False) else [],
+        )
         dirty = sorted(
             r[0]
             for r in changes.select(

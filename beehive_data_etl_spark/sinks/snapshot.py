@@ -732,6 +732,7 @@ class SnapshotSink:
         to_version: int,
         include_cells: bool = False,
         include_old: bool = False,
+        columns: list[str] | None = None,
     ) -> DataFrame:
         """Row-level changelog between two committed snapshots — the
         incremental read a downstream consumer tails instead of
@@ -761,10 +762,25 @@ class SnapshotSink:
         ``include_old=True`` adds the pre-image payload as
         ``_old_<col>`` columns (NULL for inserts) — the same contract
         as ``read_changes_pruned(include_old=True)``; both sides are
-        aligned to the TO-version schema so evolved columns compare."""
+        aligned to the TO-version schema so evolved columns compare.
+
+        ``columns``: payload projection pushed into both sides' scans
+        (see _projection_target). Row-LWW tables emit the SAME ROWS as
+        the full reader (detection is op_sequence-based, and the seq
+        always rides) with narrower columns — a view over two columns
+        of a 50-column table pays 2 columns of changelog bytes. On
+        per-cell PATCH tables projection also SCOPES DETECTION: the
+        narrowed fold rebuilds the cell map from the projected columns
+        only, so emitted rows are those whose row clock advanced,
+        liveness flipped, or a PROJECTED cell changed — a late
+        out-of-order patch confined to unprojected columns is (by
+        design) not emitted. That is exactly what a column-scoped view
+        wants; a consumer that must see EVERY changed row of a patch
+        table (full-row replication, shard dirtiness) must read
+        unprojected (``columns=None``)."""
         old_snap = self.snapshot(from_version)
         new_snap = self.snapshot(to_version)
-        target = T.StructType.fromDDL(new_snap["schema"])
+        target = self._projection_target(new_snap, columns)
         # mirror read_changes_pruned's column construction exactly so
         # the two readers interchange (and pruned can delegate here)
         payload = [
@@ -840,6 +856,7 @@ class SnapshotSink:
         to_version: int,
         include_old: bool = False,
         include_cells: bool = False,
+        columns: list[str] | None = None,
     ) -> DataFrame:
         """``read_changes`` computed from the DELTA FILES committed
         between the two snapshots instead of a full-outer join of the
@@ -850,7 +867,13 @@ class SnapshotSink:
         ``read_changes``; with ``include_old=True`` every row also
         carries the pre-image payload as ``_old_<col>`` columns (NULL
         for inserts) — what incremental aggregate maintenance
-        (``sinks.aggregates``) subtracts.
+        (``sinks.aggregates``) subtracts. ``columns``: payload
+        projection pushed into every scan — what the derived views
+        pass so a per-batch refresh reads only the columns it
+        maintains. Row-LWW: same rows as the full reader. Patch
+        tables: detection scopes to the projected cells (+ row clock
+        + liveness) — see ``read_changes`` for the contract and the
+        full-row-consumer caveat.
 
         Correctness under rewrites: a compaction or tombstone-GC that
         landed in the window re-surfaces OLD rows in the path diff, but
@@ -894,10 +917,11 @@ class SnapshotSink:
                     to_version,
                     include_cells=include_cells,
                     include_old=include_old,
+                    columns=columns,
                 )
         old_snap = self.snapshot(from_version)
         new_snap = self.snapshot(to_version)
-        target = T.StructType.fromDDL(new_snap["schema"])
+        target = self._projection_target(new_snap, columns)
         # a rebucket() in the window renumbers the bucket space: a NEW
         # bucket number does not address the same keys in the OLD
         # snapshot, so per-bucket old-image pruning is meaningless —
@@ -972,7 +996,9 @@ class SnapshotSink:
             )
         old_state = None if o is None else self._fold(o, KEY, SEQ)
         fresh_raw = self._read_buckets(
-            {"schema": new_snap["schema"], "buckets": fresh_buckets}, touched
+            {"schema": new_snap["schema"], "buckets": fresh_buckets},
+            touched,
+            target=target,
         )
         if self.patch and old_state is not None:
             # per-cell mode: a fresh PATCH delta alone is NOT the new

@@ -207,7 +207,9 @@ class TokenIndex:
             cur = None
         tokens = F.col(self.token_col)
         if cur is None:
-            live = self.sink.read_state(version=v_new).filter(~F.col("deleted"))
+            live = self.sink.read_state(
+                version=v_new, columns=[self.token_col]
+            ).filter(~F.col("deleted"))
             pairs = live.select(
                 F.explode(self._value_set(tokens)).alias("token"),
                 F.col(KEY),
@@ -225,7 +227,14 @@ class TokenIndex:
                 return {"mode": "full-empty", "version": v_new}
             self._swap(v_new, [out])
             return {"mode": "full", "version": v_new}
-        ch = self.sink.read_changes_pruned(cur["version"], v_new, include_old=True)
+        ch = self.sink.read_changes_pruned(
+            cur["version"],
+            v_new,
+            include_old=True,
+            # postings diff only against the indexed column — project
+            # the changelog scan down to it
+            columns=[self.token_col],
+        )
         elem = self._elem_type()
         empty = F.array().cast(T.ArrayType(elem))
         new_set = F.when(
@@ -397,9 +406,9 @@ class TokenIndex:
         cur = self.current()
         if cur is None:
             raise ValueError("index never refreshed")
-        live = self.sink.read_state(version=cur["version"]).filter(
-            ~F.col("deleted")
-        )
+        live = self.sink.read_state(
+            version=cur["version"], columns=[self.token_col]
+        ).filter(~F.col("deleted"))
         want = live.select(
             F.explode(self._value_set(F.col(self.token_col))).alias("token"),
             F.col(KEY),

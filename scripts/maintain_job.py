@@ -35,6 +35,15 @@ is therefore opt-in and last):
   7. report (opt-in)    — advisory health report (sinks.health):
                           per-bucket delta/skew/small-file state and
                           the concrete maintenance calls needed next
+  8. retention (opt-in) — predicate-scoped soft-delete sweep
+                          (operators.retention.delete_where):
+                          MAINTAIN_DELETE_WHERE holds JSON conjuncts
+                          in scan_where grammar; matched live rows
+                          tombstone as ONE ordinary change batch —
+                          changelog-visible, replicable, and aged out
+                          by the compact/vacuum passes above (list
+                          retention BEFORE compact so one run sweeps
+                          and folds)
 
 MAINTAIN_SECTIONS (comma list, default "compact,tombstones,vacuum")
 selects passes AND their order — sections run in list order, so
@@ -73,7 +82,15 @@ def main() -> None:
         n_buckets = json.load(fh)["n_buckets"]
     sink = SnapshotSink(spark, root, n_buckets=n_buckets)
 
-    known = {"compact", "tombstones", "vacuum", "fsck", "expire", "report"}
+    known = {
+        "compact",
+        "tombstones",
+        "vacuum",
+        "fsck",
+        "expire",
+        "report",
+        "retention",
+    }
     sections = [
         s.strip()
         for s in os.environ.get(
@@ -147,6 +164,15 @@ def main() -> None:
             raise RuntimeError(f"fsck failed: {report['errors']}")
         return res
 
+    def _run_retention():
+        where_env = os.environ.get("MAINTAIN_DELETE_WHERE")
+        if not where_env:
+            return {"skipped": "MAINTAIN_DELETE_WHERE unset"}
+        from beehive_data_etl_spark.operators.retention import delete_where
+
+        preds = [tuple(p) for p in json.loads(where_env)]
+        return delete_where(sink, preds)
+
     runners = {
         "compact": _run_compact,
         "tombstones": _run_tombstones,
@@ -154,6 +180,7 @@ def main() -> None:
         "report": _run_report,
         "expire": _run_expire,
         "fsck": _run_fsck,
+        "retention": _run_retention,
     }
     # sections run IN LIST ORDER — "report,compact,..." sees the
     # pre-maintenance state, "...,report" the residue (review-found:

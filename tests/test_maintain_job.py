@@ -113,3 +113,48 @@ def test_maintain_sections_run_in_list_order(
     )
     # ...and the same run then compacted them
     assert metrics["compact"]["compacted"]
+
+
+def test_maintain_retention_section(spark, tmp_path, monkeypatch, capsys):
+    """'retention' sweeps MAINTAIN_DELETE_WHERE (scan_where-grammar
+    JSON conjuncts) as an ordinary tombstone batch, then the same run's
+    compact folds it — one cron cadence for TTL + layout."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    import maintain_job
+
+    root = str(tmp_path / "t")
+    sink = SnapshotSink(spark, root, n_buckets=4, compact_threshold=100)
+    sink.apply_batch(
+        spark.createDataFrame(
+            [
+                ("I", 100 + i, f"d-{i}", [i], i, "old" if i < 4 else "new")
+                for i in range(10)
+            ],
+            "op string, op_sequence long, doc_id string, tokens array<int>, "
+            "n_tok int, source string",
+        ),
+        "b1",
+    )
+    monkeypatch.setattr(sys, "argv", ["maintain_job.py", root])
+    monkeypatch.setenv("MAINTAIN_SECTIONS", "retention,compact")
+    monkeypatch.setenv(
+        "MAINTAIN_DELETE_WHERE", json.dumps([["source", "=", "old"]])
+    )
+    maintain_job.main()
+    line = next(
+        ln for ln in capsys.readouterr().out.splitlines()
+        if ln.startswith("MAINTAIN_METRICS ")
+    )
+    metrics = json.loads(line.split(" ", 1)[1])
+    assert metrics["retention"]["deleted"] == 4
+    live = {r["doc_id"] for r in sink.read_final().collect()}
+    assert live == {f"d-{i}" for i in range(4, 10)}
+    # unset env -> section is an explicit skip, not an error
+    monkeypatch.delenv("MAINTAIN_DELETE_WHERE")
+    monkeypatch.setenv("MAINTAIN_SECTIONS", "retention")
+    maintain_job.main()
+    line = next(
+        ln for ln in capsys.readouterr().out.splitlines()
+        if ln.startswith("MAINTAIN_METRICS ")
+    )
+    assert "skipped" in json.loads(line.split(" ", 1)[1])["retention"]

@@ -1,0 +1,117 @@
+"""delete_where: predicate-scoped soft deletes as ordinary change
+events — the replicable/changelog-visible complement to purge_keys.
+
+Pins:
+- matched live rows tombstone, others untouched; the tombstones are
+  REAL rows (read_state keeps them) at one shared fresh op_sequence;
+- the changelog window carries them as D rows — every derived
+  consumer sees the sweep like any other batch (unlike purge);
+- idempotent: a re-run matches zero rows and commits nothing;
+- LWW revive: a later higher-seq write of a deleted key wins;
+- patch-mode tables sweep the same way (cells nulled via the normal
+  D normalization);
+- dry_run counts without applying; empty match is a no-op."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from beehive_data_etl_spark.operators.retention import delete_where
+from beehive_data_etl_spark.sinks.snapshot import SnapshotSink
+
+SCHEMA = (
+    "op string, op_sequence long, doc_id string, tokens array<int>, "
+    "n_tok int, source string"
+)
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+@pytest.fixture()
+def sink(spark, tmp_path):
+    s = SnapshotSink(spark, str(tmp_path / "t"), n_buckets=4)
+    s.apply_batch(
+        _batch(
+            spark,
+            [
+                ("I", 100 + i, f"d-{i}", [i], i, "old" if i < 5 else "new")
+                for i in range(10)
+            ],
+        ),
+        "b1",
+    )
+    return s
+
+
+def test_delete_where_tombstones_matches(sink):
+    v0 = sink.current_snapshot()["version"]
+    out = delete_where(sink, [("source", "=", "old")])
+    assert out["deleted"] == 5
+    assert out["version"] > v0
+    live = {r["doc_id"] for r in sink.read_final().collect()}
+    assert live == {f"d-{i}" for i in range(5, 10)}
+    # tombstones are REAL rows at the shared fresh sequence
+    dead = sink.read_state().filter(F.col("deleted"))
+    rows = dead.collect()
+    assert {r["doc_id"] for r in rows} == {f"d-{i}" for i in range(5)}
+    assert {r["op_sequence"] for r in rows} == {out["op_sequence"]}
+    # changelog-visible: the window ships plain D events (replicable)
+    ch = sink.read_changes_pruned(v0, out["version"])
+    d_rows = [r for r in ch.collect() if r["change_type"] == "D"]
+    assert {r["doc_id"] for r in d_rows} == {f"d-{i}" for i in range(5)}
+
+
+def test_delete_where_idempotent_and_dry_run(sink):
+    probe = delete_where(sink, [("n_tok", "<", 3)], dry_run=True)
+    assert probe["deleted"] == 3 and probe["dry_run"]
+    v_probe = sink.current_snapshot()["version"]
+    assert v_probe == probe["version"]  # dry run committed nothing
+    out = delete_where(sink, [("n_tok", "<", 3)])
+    assert out["deleted"] == 3
+    again = delete_where(sink, [("n_tok", "<", 3)])
+    assert again["deleted"] == 0
+    assert again["version"] == out["version"]  # no empty commit
+
+
+def test_delete_where_lww_revive(sink, spark):
+    out = delete_where(sink, [("source", "=", "old")])
+    # a later, higher-seq image of a swept key wins LWW — correct for
+    # a retention sweep (the next scheduled run re-evaluates)
+    sink.apply_batch(
+        _batch(spark, [("U", out["op_sequence"] + 50, "d-0", [9], 9, "new")]),
+        "b-revive",
+    )
+    live = {r["doc_id"] for r in sink.read_final().collect()}
+    assert "d-0" in live
+
+
+def test_delete_where_patch_table(spark, tmp_path):
+    from patch_model import SCHEMA as PSCHEMA
+
+    s = SnapshotSink(spark, str(tmp_path / "p"), n_buckets=4, patch=True)
+    s.apply_batch(
+        spark.createDataFrame(
+            pd.DataFrame(
+                [
+                    {"op": "I", "op_sequence": 10, "doc_id": "d1",
+                     "a": 1.0, "b": "x", "c": 5, "patch_cols": None},
+                    {"op": "I", "op_sequence": 11, "doc_id": "d2",
+                     "a": 2.0, "b": "y", "c": 50, "patch_cols": None},
+                ]
+            ),
+            schema=PSCHEMA,
+        ),
+        "b1",
+    )
+    out = delete_where(s, [("c", ">=", 50)])
+    assert out["deleted"] == 1
+    by_id = {r["doc_id"]: r.asDict() for r in s.read_state().collect()}
+    assert by_id["d2"]["deleted"] and by_id["d2"]["a"] is None
+    assert not by_id["d1"]["deleted"]
+
+
+def test_delete_where_validation(sink):
+    with pytest.raises(ValueError):
+        delete_where(sink, [("nope", "=", 1)])
