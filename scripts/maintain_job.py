@@ -116,7 +116,11 @@ def main() -> None:
             for c in os.environ.get("MAINTAIN_CLUSTER_BY", "").split(",")
             if c.strip()
         ]
-        return sink.compact(cluster_by=cluster or None)
+        # MAINTAIN_ZORDER=1: Morton-interleave the cluster columns
+        # instead of sorting lexicographically (2-4 columns) — row
+        # groups then prune on EVERY clustered column, not the first
+        zorder = os.environ.get("MAINTAIN_ZORDER", "") in ("1", "true")
+        return sink.compact(cluster_by=cluster or None, zorder=zorder)
 
     def _run_tombstones():
         floor = int(os.environ.get("MAINTAIN_TOMBSTONE_FLOOR", "0"))
