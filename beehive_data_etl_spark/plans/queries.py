@@ -1359,6 +1359,74 @@ def q_agg_ivm(spark, sf):
     )
 
 
+# ------------------------------------------- incremental min/max (IVM)
+def _minmax_ivm_oracle() -> str:
+    from beehive_data_etl_spark.functions.hashing import portable_hash32_sql
+
+    split = portable_hash32_sql("CAST(event_id AS VARCHAR)")
+    return f"""
+    SELECT user_id % 97 AS grp,
+           count(*) AS n_rows,
+           min(value) AS min_value,
+           max(value) AS max_value
+    FROM events
+    WHERE NOT ({split} % 10 = 0)
+    GROUP BY user_id % 97
+    """
+
+
+@query("q_minmax_ivm", _minmax_ivm_oracle())
+def q_minmax_ivm(spark, sf):
+    """Non-invertible IVM arithmetic (sinks/minmax.py) as a
+    driver-checked static query — the defining equation with the
+    DIRTY-GROUP path forced: the min/max aggregate over ALL events,
+    merged with the removal summary of a deterministic 10% hash slice
+    (the stand-in for a deleted micro-batch), with the groups whose
+    extremes the removals hit rescanned against the remaining 90%,
+    must land exactly on a recompute over that 90%. Runs the
+    production minmax_delta / minmax_merge / rescan composition; 97
+    groups guarantee some slice row holds a group extreme at sf0.01,
+    so the rescan branch is genuinely exercised (a clean-only pass
+    would vacuously match). The live changelog-fed path over a real
+    sink is exercised by tests/test_minmax_view.py."""
+    from beehive_data_etl_spark.functions.hashing import portable_hash32
+    from beehive_data_etl_spark.sinks.minmax import (
+        _DIRTY,
+        minmax_delta,
+        minmax_full,
+        minmax_merge,
+    )
+
+    ev = t(spark, sf, "events").select(
+        "event_id", (F.col("user_id") % 97).alias("grp"), "value"
+    )
+    is_cut = portable_hash32(F.col("event_id").cast("string")) % 10 == 0
+    total = minmax_full(ev, ["grp"], ["value"], ["value"])
+    # the 10% slice as a pre-image changelog of pure deletes
+    changes = ev.filter(is_cut).select(
+        F.lit("D").alias("change_type"),
+        F.lit(True).alias("deleted"),
+        F.lit(None).cast("bigint").alias("grp"),
+        F.lit(None).cast("double").alias("value"),
+        F.col("grp").alias("_old_grp"),
+        F.col("value").alias("_old_value"),
+    )
+    delta = minmax_delta(changes, ["grp"], ["value"], ["value"])
+    merged = minmax_merge(total, delta, ["grp"], ["value"], ["value"])
+    clean = merged.filter(~F.col(_DIRTY)).drop(_DIRTY)
+    dirty = merged.filter(F.col(_DIRTY)).select("grp")
+    base = ev.filter(~is_cut).alias("b")
+    src = base.join(
+        dirty.alias("g"),
+        F.col("b.grp").eqNullSafe(F.col("g.grp")),
+        "left_semi",
+    )
+    rescanned = minmax_full(src, ["grp"], ["value"], ["value"])
+    return clean.unionByName(rescanned).select(
+        "grp", "n_rows", "min_value", "max_value"
+    )
+
+
 # --------------------------------------------------------------- simhash
 def _simhash_oracle() -> str:
     from beehive_data_etl_spark.functions.dedup import simhash_sql
@@ -3135,10 +3203,15 @@ _DRIVER_FIRST = [
     # in r1 AND r2, untouched since; LWW stays repped by q_patch_fold +
     # the whole CDC suite, vectorized UDFs by q_multimodal_features and
     # q_grouped_map's pytest coverage)
+    # round-3 session 10: q_minmax_ivm is NEW (non-invertible IVM:
+    # delta/merge/dirty-rescan arithmetic of sinks/minmax.py) — it
+    # takes the slot of q_sql_not_exists (anti-join/NOT-EXISTS
+    # semantics stay repped by the de-vacuized q_join_anti in this
+    # same window)
     "q_neardup_cosine", "q_neardup_lsh", "q_dedup_minhash",
     "q_dedup_cluster", "q_join_anti", "q_txn_consistent",
     "q_dup_span", "q_decontaminate",
-    "q_dup_ngram_fraction", "q_sql_not_exists",
+    "q_dup_ngram_fraction", "q_minmax_ivm",
     # round-3 session 6 (cont.): q_multimaster is NEW (multi-master
     # composite-clock LWW) — it takes the slot of q_stream_session
     # (driver-green in r1 AND r2, untouched since; streaming windows

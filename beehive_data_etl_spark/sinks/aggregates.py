@@ -239,18 +239,22 @@ class AggregateView:
             if d.startswith("agg-v") and full not in keep:
                 shutil.rmtree(full, ignore_errors=True)
 
-    # ------------------------------------------------------------ refresh
-    def refresh(self) -> dict:
-        """Advance the view to the sink's CURRENT snapshot. Full build
-        on first call; O(changed rows) incremental merge afterwards;
-        no-op when already current."""
-        snap = self.sink.current_snapshot()
-        if snap is None:
-            return {"mode": "noop", "reason": "sink has no snapshot"}
+    def _maintained_cols(self) -> list[str]:
+        """The payload columns this view stores aggregates of — the
+        guard preamble (column-existence, alter-window) protects
+        exactly these. Subclasses (MinMaxView) override."""
+        return self.sum_cols
+
+    def _refresh_window(self, snap: dict):
+        """The IVM refresh preamble every view shares: no-op detection,
+        the expired-incremental-window -> full-rebuild fallback, the
+        dropped/renamed-column refusals. Returns ``(v_new, cur)`` where
+        ``cur`` is None when a FULL build is required, or the string
+        ``"noop"`` in place of the tuple when already current."""
         v_new = snap["version"]
         cur = self.current()
         if cur is not None and cur["version"] == v_new:
-            return {"mode": "noop", "version": v_new}
+            return "noop"
         if cur is not None and cur["version"] < snap.get("snapshot_floor", 1):
             # expire_snapshots retired the incremental window out from
             # under a lagging view (only replication cursors clamp the
@@ -261,7 +265,8 @@ class AggregateView:
         table_cols = {
             f.name for f in T.StructType.fromDDL(snap["schema"]).fields
         }
-        gone = [c for c in self.group_cols + self.sum_cols if c not in table_cols]
+        mine = self.group_cols + self._maintained_cols()
+        gone = [c for c in mine if c not in table_cols]
         if gone:
             # a drop_column/rename_column removed a column this view is
             # keyed on — the stored aggregate cannot be bridged (its
@@ -281,7 +286,7 @@ class AggregateView:
             # there were none (every alter bumps it).
             from_snap = self.sink.snapshot(cur["version"])
             if from_snap.get("schema_version", 0) != snap.get("schema_version", 0):
-                mine = set(self.group_cols + self.sum_cols)
+                mine = set(mine)
                 for v in range(cur["version"] + 1, v_new + 1):
                     m = self.sink.snapshot(v).get("metrics", {})
                     touched = set()
@@ -298,6 +303,20 @@ class AggregateView:
                             "aggregate references their old identity — "
                             "delete the view directory and rebuild"
                         )
+        return (v_new, cur)
+
+    # ------------------------------------------------------------ refresh
+    def refresh(self) -> dict:
+        """Advance the view to the sink's CURRENT snapshot. Full build
+        on first call; O(changed rows) incremental merge afterwards;
+        no-op when already current."""
+        snap = self.sink.current_snapshot()
+        if snap is None:
+            return {"mode": "noop", "reason": "sink has no snapshot"}
+        win = self._refresh_window(snap)
+        if win == "noop":
+            return {"mode": "noop", "version": snap["version"]}
+        v_new, cur = win
         if cur is None:
             live = self.sink.read_state(
                 version=v_new, columns=sorted({*self.group_cols, *self.sum_cols})

@@ -60,7 +60,11 @@ def test_driver_snapshot_order():
                # de-vacuizations
                "q_decontaminate", "q_dup_ngram_fraction",
                "q_mixture_weights", "q_global_shuffle",
-               "q_dup_span", "q_sql_not_exists",
+               # q_sql_not_exists (de-vacuized, session 2) gave up its
+               # slot to session-10's q_minmax_ivm: NOT-EXISTS/anti-join
+               # semantics stay repped in-window by q_join_anti, itself
+               # de-vacuized the same session
+               "q_dup_span", "q_minmax_ivm",
                # round-3 session-3 additions (never driver-checked)
                "q_tfidf", "q_cooccur",
                # round-3 session-6 additions (never driver-checked)
