@@ -72,8 +72,16 @@ def delete_where(
             "dry_run": dry_run,
         }
     # one clock tick for the whole sweep; recomputes identically on a
-    # crash-retry (nothing committed yet), so the deterministic
-    # batch_id below re-enters the sink's crash-replay path
+    # crash-retry (nothing committed yet — same snapshot, same raw
+    # max), so the deterministic batch_id below re-enters the sink's
+    # crash-replay path. The batch id carries the PLANNED VERSION, not
+    # just the sequence: after a tombstone GC physically removes a
+    # prior sweep's rows, the raw max regresses and a later sweep can
+    # re-allocate the same seq — a seq-only id would collide with the
+    # committed earlier batch and be skipped as a re-delivery forever
+    # (review-found). The version always advanced past the earlier
+    # sweep's commit, so (version, seq) is unique per logical sweep
+    # while staying stable across crash-retries.
     seq = next_op_sequence(sink)
     schema = T.StructType.fromDDL(snap["schema"])
     payload = [
@@ -87,8 +95,22 @@ def delete_where(
         F.col(KEY),
         *[F.lit(None).cast(f.dataType).alias(f.name) for f in payload],
     )
-    bid = batch_id or f"delete-where-{seq}"
-    sink.apply_batch(events, bid)
+    bid = batch_id or f"delete-where-v{snap['version']}-{seq}"
+    metrics = sink.apply_batch(events, bid)
+    if metrics.get("skipped"):
+        # a committed batch already carries this id. With the default
+        # (version, seq) id that means THIS sweep already applied (a
+        # crash-retry after commit) — report honestly instead of
+        # claiming a fresh delete; with a caller-supplied id it means
+        # the caller reused one, which must not pass silently either.
+        return {
+            "deleted": 0,
+            "op_sequence": seq,
+            "batch_id": bid,
+            "version": sink.current_snapshot()["version"],
+            "dry_run": False,
+            "skipped": metrics.get("reason", "batch id already committed"),
+        }
     return {
         "deleted": n,
         "op_sequence": seq,

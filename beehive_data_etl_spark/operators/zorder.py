@@ -26,9 +26,11 @@ Quantization:
 - string columns take their leading two bytes as the code — prefix
   locality survives, so range predicates on prefixes keep pruning.
 
-16 bits per column, so up to 4 columns interleave into one BIGINT
-sort key. Beyond ~4 columns Z-order stops helping (each column gets
-too few bits) — refused rather than silently degraded."""
+16 bits per column at 2-3 columns, 15 at 4 (the interleaved code must
+stay inside the BIGINT's 63 value bits — a bit at position 63 would
+flip the sign and sort half the 4th column's range FIRST). Beyond 4
+columns Z-order stops helping (each column gets too few bits) —
+refused rather than silently degraded."""
 
 from __future__ import annotations
 
@@ -36,9 +38,17 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-_Z_BITS = 16
-_MAX_CODE = (1 << _Z_BITS) - 1
 MAX_ZORDER_COLS = 4
+
+
+def _bits_per_col(n: int) -> int:
+    """16 bits per column, reduced so the interleaved code never
+    touches the BIGINT sign bit: at 4 columns 16*4 = 64 would place a
+    code bit at position 63, making half of the 4th column's range
+    sort NEGATIVE — first instead of last, inverting the curve's most
+    significant bit (review-found). 63 // n keeps every bit in
+    [0, 62]: 2 cols -> 16, 3 -> 16, 4 -> 15."""
+    return min(16, 63 // n)
 
 _NUMERIC = (
     T.ByteType, T.ShortType, T.IntegerType, T.LongType,
@@ -50,13 +60,16 @@ def zorder_supported(dtype: T.DataType) -> bool:
     return isinstance(dtype, (T.StringType, *_NUMERIC))
 
 
-def _code16(col: Column, dtype: T.DataType, rng) -> Column:
-    """The column's 16-bit quantized code as a non-null LONG in
-    [0, 65535]."""
+def _code16(col: Column, dtype: T.DataType, rng, bits: int) -> Column:
+    """The column's ``bits``-bit quantized code as a non-null LONG in
+    [0, 2^bits - 1]."""
+    max_code = (1 << bits) - 1
     if isinstance(dtype, T.StringType):
         b1 = F.coalesce(F.ascii(F.substring(col, 1, 1)), F.lit(0)) % 256
         b2 = F.coalesce(F.ascii(F.substring(col, 2, 1)), F.lit(0)) % 256
-        return (b1 * 256 + b2).cast("long")
+        # 16-bit prefix code narrowed to the bit budget (drop the
+        # LEAST significant bits — prefix locality survives)
+        return F.shiftright((b1 * 256 + b2).cast("long"), 16 - bits)
     if isinstance(dtype, T.DateType):
         col = col.cast("int")
     lo, hi = float(rng[0]), float(rng[1])
@@ -66,7 +79,7 @@ def _code16(col: Column, dtype: T.DataType, rng) -> Column:
         # the other columns' bits order the data)
         return F.lit(0).cast("long")
     scaled = (col.cast("double") - F.lit(lo)) / F.lit(span) * F.lit(
-        float(_MAX_CODE)
+        float(max_code)
     )
     code = F.floor(scaled).cast("long")
     # NOT greatest/least: those SKIP nulls (a NULL value would clamp
@@ -74,7 +87,7 @@ def _code16(col: Column, dtype: T.DataType, rng) -> Column:
     # the coalesce.
     clamped = (
         F.when(code < 0, F.lit(0))
-        .when(code > _MAX_CODE, F.lit(_MAX_CODE))
+        .when(code > max_code, F.lit(max_code))
         .otherwise(code)
     )
     return F.coalesce(clamped, F.lit(0)).cast("long")
@@ -86,8 +99,10 @@ def zorder_expr(
     """The interleaved Morton code over ``cols`` as one BIGINT sort
     key. ``ranges``: column -> [min, max] for every non-string column
     (callers pass the snapshot's recorded ``col_ranges`` or a measured
-    fallback). MSB-aligned: bit 15 of every code lands in the z-value's
-    top bit group, so the curve orders coarse-to-fine."""
+    fallback). MSB-aligned: every code's top bit lands in the
+    z-value's top bit group, so the curve orders coarse-to-fine; the
+    per-column bit budget (_bits_per_col) keeps the whole code in
+    bits [0, 62] — never the sign bit."""
     if not 2 <= len(cols) <= MAX_ZORDER_COLS:
         raise ValueError(
             f"zorder wants 2..{MAX_ZORDER_COLS} columns, got {len(cols)} "
@@ -110,11 +125,13 @@ def zorder_expr(
                 raise ValueError(
                     f"zorder: no usable [min, max] for column {c!r}"
                 )
-        codes.append(_code16(F.col(c), dtype, rng))
+        codes.append((c, dtype, rng))
     n = len(codes)
+    bits = _bits_per_col(n)
+    built = [_code16(F.col(c), dtype, rng, bits) for c, dtype, rng in codes]
     z = F.lit(0).cast("long")
-    for bit in range(_Z_BITS):
-        for j, code in enumerate(codes):
+    for bit in range(bits):
+        for j, code in enumerate(built):
             bitval = F.shiftright(code, bit).bitwiseAND(F.lit(1))
             z = z.bitwiseOR(F.shiftleft(bitval, bit * n + j))
     return z

@@ -275,10 +275,13 @@ class MinMaxView(AggregateView):
         snap = self.sink.current_snapshot()
         if snap is None:
             return {"mode": "noop", "reason": "sink has no snapshot"}
-        self._check_orderable(snap)
+        # window guard FIRST: a dropped/renamed maintained column must
+        # raise its guidance ValueError, not _check_orderable's
+        # KeyError on the missing schema entry (review-found)
         win = self._refresh_window(snap)
         if win == "noop":
             return {"mode": "noop", "version": snap["version"]}
+        self._check_orderable(snap)
         v_new, cur = win
         if cur is None:
             live = self.sink.read_state(

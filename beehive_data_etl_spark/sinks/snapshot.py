@@ -2084,8 +2084,13 @@ class SnapshotSink:
             else:
                 missing.append(c)
         if missing:
+            # narrow the fallback scan to the missing columns (plus
+            # the fold internals) — min/max over 2 columns must not
+            # pay a 50-column read (review-found)
             raw = self._read_buckets(
-                snap, [int(b) for b in snap["buckets"]], target=schema
+                snap,
+                [int(b) for b in snap["buckets"]],
+                target=self._projection_target(snap, missing),
             )
             row = None
             if raw is not None:

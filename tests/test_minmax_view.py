@@ -150,3 +150,24 @@ def test_minmax_refusals(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="orderable"):
         v.refresh()
+
+
+def test_minmax_dropped_column_gives_guidance(spark, tmp_path):
+    """Review-found: the orderable-type check ran before the window
+    guard, so a dropped maintained column raised a bare KeyError
+    instead of the preamble's delete-and-rebuild ValueError."""
+    sink = SnapshotSink(spark, str(tmp_path / "t"), n_buckets=2)
+    sink.apply_batch(
+        spark.createDataFrame(
+            [("I", 1, "d1", "g", 5)],
+            "op string, op_sequence long, doc_id string, grp string, v long",
+        ),
+        "b1",
+    )
+    view = MinMaxView(
+        spark, sink, str(tmp_path / "v"), ["grp"], max_cols=["v"]
+    )
+    view.refresh()
+    sink.drop_column("v")
+    with pytest.raises(ValueError, match="no longer exist"):
+        view.refresh()

@@ -115,3 +115,29 @@ def test_delete_where_patch_table(spark, tmp_path):
 def test_delete_where_validation(sink):
     with pytest.raises(ValueError):
         delete_where(sink, [("nope", "=", 1)])
+
+
+def test_sweep_after_tombstone_gc_does_not_collide(spark, sink):
+    """Review-found: a seq-only batch id collides after tombstone GC.
+    Sweep 1 allocates seq S; expire_tombstones physically removes the
+    swept rows, regressing the raw max below S; a later sweep then
+    re-allocates S — the (version, seq) batch id keeps it a NEW batch
+    so the sweep actually applies (a seq-only id would be skipped as a
+    re-delivery forever while reporting success)."""
+    r1 = delete_where(sink, [("source", "=", "old")])
+    assert r1["deleted"] == 5
+    # GC every tombstone the sweep wrote (floor above the sweep's seq)
+    sink.expire_tombstones(r1["op_sequence"] + 1)
+    assert sink.read_state().filter(F.col("deleted")).count() == 0
+    # rows age into the predicate after the GC
+    sink.apply_batch(
+        _batch(spark, [("U", 300 + i, f"d-{i}", [i], i, "old")
+                       for i in range(5, 8)]),
+        "age-out",
+    )
+    r2 = delete_where(sink, [("source", "=", "old")])
+    assert "skipped" not in r2
+    assert r2["deleted"] == 3
+    assert r2["batch_id"] != r1["batch_id"]
+    live = {r["doc_id"] for r in sink.read_final().collect()}
+    assert live == {"d-8", "d-9"}

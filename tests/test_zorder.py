@@ -53,6 +53,28 @@ def test_zorder_expr_matches_reference(spark):
     assert r == _morton((0, 4), 2)
 
 
+def test_zorder_four_columns_never_negative(spark):
+    """At 4 columns the naive 16-bit interleave would write a code bit
+    into bit 63 — the BIGINT sign bit — making half the 4th column's
+    range sort FIRST (review-found). The per-column bit budget drops
+    to 15 there: z stays in [0, 2^60)."""
+    schema = T.StructType(
+        [T.StructField(c, T.LongType()) for c in ("w", "x", "y", "v")]
+    )
+    rngs = {c: [0, 32767] for c in ("w", "x", "y", "v")}
+    top = 32767
+    rows = [(0, 0, 0, 0), (top, top, top, top), (top, 0, 0, 0),
+            (0, 0, 0, top), (123, 456, 789, 1011)]
+    got = [
+        r.z
+        for r in spark.createDataFrame(rows, schema)
+        .select(zorder_expr(schema, ["w", "x", "y", "v"], rngs).alias("z"))
+        .collect()
+    ]
+    assert all(0 <= z < (1 << 60) for z in got), got
+    assert got[0] == 0 and got[1] == (1 << 60) - 1
+
+
 def _batch(spark, n):
     # two independent deterministic uniform-ish columns in [0, 4096)
     return spark.createDataFrame(
@@ -131,6 +153,9 @@ def test_zorder_layout_prunes_second_column(spark, zsink):
 
 def test_zorder_cron_idempotence(spark, zsink):
     s = zsink
+    # establish the z layout ourselves (order-independent: this is a
+    # rewrite or a no-op depending on what ran before)
+    s.compact(cluster_by=["a", "b"], zorder=True)
     # same columns + same zorder flag -> single-entry buckets skip
     assert s.compact(cluster_by=["a", "b"], zorder=True)["compacted"] == []
     # switching BACK to linear is a real layout change, not a no-op
