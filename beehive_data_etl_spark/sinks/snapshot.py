@@ -359,6 +359,65 @@ class SnapshotSink:
             return tags[ref]
         return int(ref)
 
+    def as_of_version(self, ts: float | str) -> int:
+        """Timestamp time travel (Iceberg's ``as-of-timestamp``): the
+        LATEST committed version whose commit time <= ``ts``. Pass the
+        result to any time-travel entry point (``read_state``,
+        ``lookup``, ``read_changes*``, ``scan_where``).
+
+        ``ts``: epoch seconds, or an ISO-8601 string (a naive string is
+        taken as UTC — commit times are wall-clock UTC epochs).
+
+        O(log versions) binary search over the contiguous version
+        range, reading one snapshot JSON per probe — never a directory
+        scan (a 10^10-event replay has millions of snapshots). Commit
+        timestamps are assumed non-decreasing across versions (same
+        assumption Iceberg's history table makes); a clock regression
+        between commits can off-by-one the boundary within the skewed
+        interval, never outside it. Each version's time is its recorded
+        ``metrics.commit_ts``, falling back to the snapshot JSON's
+        mtime for writer paths that predate the field.
+
+        Raises if ``ts`` predates the oldest readable version —
+        including when the true answer was retired by
+        ``expire_snapshots`` (the floor is named)."""
+        if isinstance(ts, str):
+            from datetime import datetime, timezone
+
+            dt = datetime.fromisoformat(ts)
+            if dt.tzinfo is None:
+                dt = dt.replace(tzinfo=timezone.utc)
+            ts = dt.timestamp()
+        head = self.current_snapshot()
+        if head is None:
+            raise ValueError("no snapshot yet")
+        floor = head.get("snapshot_floor", 1)
+
+        def ctime(v: int) -> float:
+            snap = self.snapshot(v)
+            ct = snap.get("metrics", {}).get("commit_ts")
+            if ct is not None:
+                return float(ct)
+            return os.path.getmtime(
+                os.path.join(self.root, "_snapshots", f"v{v:06d}.json")
+            )
+
+        lo, hi = floor, head["version"]
+        if ts < ctime(lo):
+            raise ValueError(
+                f"no committed version at or before ts={ts}: the oldest "
+                f"readable snapshot is v{lo} "
+                f"(snapshot_floor={floor}; earlier history may have been "
+                "retired by expire_snapshots)"
+            )
+        while lo < hi:  # invariant: ctime(lo) <= ts
+            mid = (lo + hi + 1) // 2
+            if ctime(mid) <= ts:
+                lo = mid
+            else:
+                hi = mid - 1
+        return lo
+
     def rollback_to(self, version: int | str) -> dict:
         """Reset the table to an earlier committed snapshot — Iceberg's
         ``rollback_to_snapshot``. Published as a NEW commit (the version

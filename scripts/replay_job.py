@@ -37,7 +37,10 @@ from beehive_data_etl_spark.streaming.replay import replay_incremental, replay_s
 def _derived_views(spark, sink) -> list:
     """Optional downstream incremental consumers, enabled by env:
     REPLAY_AGG_GROUP[,col..] (+ optional REPLAY_AGG_SUM[,col..]) adds an
-    AggregateView; REPLAY_INDEX_COL=<array col> adds a TokenIndex;
+    AggregateView; REPLAY_MINMAX_GROUP[,col..] (+ REPLAY_MINMAX_MIN /
+    REPLAY_MINMAX_MAX column lists) adds a MinMaxView (non-invertible
+    IVM with dirty-group rescan); REPLAY_INDEX_COL=<array col> adds a
+    TokenIndex;
     REPLAY_NEARDUP=1 adds changelog-driven near-dup detection
     (NearDupView); REPLAY_SHARDS=<k> maintains a k-shard training
     export (ShardExport); REPLAY_HISTORY=1 maintains an SCD2 audit
@@ -61,6 +64,24 @@ def _derived_views(spark, sink) -> list:
             AggregateView(
                 spark, sink, os.path.join(root, "_views", "agg"),
                 group.split(","), sums,
+            )
+        )
+    mm_group = os.environ.get("REPLAY_MINMAX_GROUP")
+    if mm_group:
+        from beehive_data_etl_spark.sinks.minmax import MinMaxView
+
+        views.append(
+            MinMaxView(
+                spark, sink, os.path.join(root, "_views", "minmax"),
+                mm_group.split(","),
+                min_cols=[
+                    c for c in os.environ.get("REPLAY_MINMAX_MIN", "").split(",")
+                    if c
+                ],
+                max_cols=[
+                    c for c in os.environ.get("REPLAY_MINMAX_MAX", "").split(",")
+                    if c
+                ],
             )
         )
     index_col = os.environ.get("REPLAY_INDEX_COL")

@@ -56,6 +56,9 @@ def test_replay_job_env_wiring(spark, smoke_log, tmp_path, monkeypatch, mode):
     monkeypatch.setenv("REPLAY_N_BUCKETS", "8")
     monkeypatch.setenv("REPLAY_AGG_GROUP", "source")
     monkeypatch.setenv("REPLAY_AGG_SUM", "n_tok")
+    monkeypatch.setenv("REPLAY_MINMAX_GROUP", "source")
+    monkeypatch.setenv("REPLAY_MINMAX_MIN", "n_tok")
+    monkeypatch.setenv("REPLAY_MINMAX_MAX", "n_tok")
     monkeypatch.setenv("REPLAY_INDEX_COL", "tokens")
     monkeypatch.setenv("REPLAY_SHARDS", "4")
     if mode == "pipelined":
@@ -63,18 +66,23 @@ def test_replay_job_env_wiring(spark, smoke_log, tmp_path, monkeypatch, mode):
         monkeypatch.setenv("REPLAY_INFLIGHT", "2")
     replay_job.main()
 
+    from beehive_data_etl_spark.sinks.minmax import MinMaxView
     from beehive_data_etl_spark.sinks.shards import ShardExport
 
     sink = SnapshotSink(spark, target, n_buckets=8)
     agg = AggregateView(spark, sink, os.path.join(target, "_views", "agg"),
                         ["source"], ["n_tok"])
+    mm = MinMaxView(spark, sink, os.path.join(target, "_views", "minmax"),
+                    ["source"], min_cols=["n_tok"], max_cols=["n_tok"])
     ix = TokenIndex(spark, sink, os.path.join(target, "_views", "token_index"))
     exp = ShardExport(spark, sink, os.path.join(target, "_views", "shards"), k=4)
     v = sink.current_snapshot()["version"]
     assert agg.current()["version"] == v
+    assert mm.current()["version"] == v
     assert ix.current()["version"] == v
     assert exp.current()["version"] == v
     assert agg.verify()["ok"]
+    assert mm.verify()["ok"]
     assert ix.verify()["ok"]
     assert exp.verify()["ok"]
     # the aggregate actually aggregates the replayed corpus
