@@ -53,6 +53,9 @@ def get_spark(
         # token-array rows are ~1 KB; 32 MB input splits keep wide-array
         # scans parallel (the parquet row group is the split floor)
         .config("spark.sql.files.maxPartitionBytes", "33554432")
+        # Python Data Source filter pushdown (sources/spark_datasource.py
+        # prunes buckets from pushed key filters)
+        .config("spark.sql.python.filterPushdown.enabled", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

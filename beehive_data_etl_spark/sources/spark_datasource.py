@@ -1,0 +1,665 @@
+"""Spark Python Data Sources over SnapshotSink tables (Spark 4 API).
+
+The interop surface: any Spark job — not just code importing this
+package — can read an engine table with plain ``spark.read`` /
+``spark.readStream`` once the two sources are registered:
+
+    from beehive_data_etl_spark.sources.spark_datasource import register
+    register(spark)
+
+    # batch state (read_final parity), with time travel
+    df = spark.read.format("beehive").option("version", "audit-v3") \
+             .load("/lake/tokens")
+
+    # the table AS A STREAM: changelog micro-batches, offsets = table
+    # versions, resumable exactly-once via Spark's own offset log
+    st = spark.readStream.format("beehive_changes") \
+             .option("pin", "train").load("/lake/tokens")
+
+Why this design is Spark-first rather than a wrapper API:
+
+- **Offsets are table versions.** The streaming reader's offset json is
+  ``{"version": N}``; Spark's checkpoint offset log — not any state of
+  ours — is the resume cursor, and ``partitions(start, end)`` is a pure
+  deterministic function of two committed snapshots, so a crashed batch
+  replans bit-identically: exactly-once by deterministic replay, the
+  same argument as ``sinks/snapshot.py``'s manifest protocol.
+- **Planning is metadata-only.** ``DataSource.schema()`` and
+  ``partitions()`` run in Python workers with no JVM; everything they
+  touch is the table's ``_snapshots/*.json`` via ``table_meta`` — no
+  Spark job, O(entries) driver-side work, same as the sink's own
+  ``plan_scan_where``.
+- **Parallelism is the table's bucket layout.** One input partition per
+  bucket holding window work (streaming prunes buckets with no new
+  entries — rewrite-only buckets contribute zero partitions), so a
+  1000-executor cluster reading a 4096-bucket table gets full fan-out
+  with zero shuffle: the merge-on-read LWW fold happens inside each
+  partition, exactly where the sink's bucketing already co-located
+  every version of a key.
+- **The executor path is Arrow.** ``read()`` yields
+  ``pyarrow.RecordBatch`` — files are read with pyarrow, the fold is a
+  vectorized two-pass (pass 1 reads only (key, seq, deleted) columns
+  and picks per-key winners with a pandas groupby-idxmax; pass 2
+  ``take``s exactly the winning rows with the full projection), so
+  loser versions never materialize their token arrays.
+
+Semantics parity (pinned by tests/test_spark_datasource.py):
+
+- ``beehive`` batch read  == ``SnapshotSink.read_final()`` at the
+  requested version (live rows, internal columns dropped), or
+  ``read_state`` with ``option("internal", "true")``.
+- ``beehive_changes`` == ``SnapshotSink.read_changes(from, to)`` —
+  streaming consumes successive windows of it; a batch read with
+  ``fromVersion``/``toVersion`` runs one window.  ``startingVersion=0``
+  (default) bootstraps: the first micro-batch is the full live state as
+  ``I`` rows (read_changes against an empty FROM state).
+- Windows spanning rollback / backfill / purge / column alters are
+  REFUSED with recovery guidance (``table_meta.refuse_unstreamable_
+  window`` — the Replicator's argument, sinks/replicate.py), as are
+  rebucket-crossing windows and per-cell patch tables (the flat
+  changelog row cannot carry cell clocks; use a patch-mode Replicator).
+- ``option("pin", name)`` makes ``commit(end)`` advance retention tag
+  ``stream-<name>`` — the vacuum/expire_snapshots pin that keeps each
+  next window's FROM-state files alive, crash-safe because the pin
+  only moves AFTER Spark commits the batch.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import pyarrow as pa
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    EqualTo,
+    In,
+    InputPartition,
+)
+
+from . import table_meta as tm
+
+KEY, SEQ, DELETED, CELL = tm.KEY, tm.SEQ, tm.DELETED, tm.CELL
+CHANGE = "change_type"
+
+
+def register(spark) -> None:
+    """Register both sources on a session.  Also registers this module
+    (and table_meta) for cloudpickle by-value serialization, so Spark's
+    Python planner/executor workers never need the package importable
+    on their own sys.path — the classes travel inside the pickle."""
+    try:  # best-effort: falls back to by-reference (import) pickling
+        from pyspark import cloudpickle
+
+        import beehive_data_etl_spark.sources.spark_datasource as _self
+        import beehive_data_etl_spark.sources.table_meta as _meta
+
+        cloudpickle.register_pickle_by_value(_self)
+        cloudpickle.register_pickle_by_value(_meta)
+    except Exception:
+        pass
+    # required for pushFilters (bucket pruning); plain SQL conf,
+    # runtime-settable
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(BeehiveTableDataSource)
+    spark.dataSource.register(BeehiveChangesDataSource)
+
+
+# ----------------------------------------------------------------- planning
+def _schema_fields(snap: dict) -> list[str]:
+    """The stored table schema as '<name> <type>' items."""
+    return tm._split_top(snap["schema"])
+
+
+def _subset_ddl(snap: dict, columns: list[str] | None, internal: bool) -> str:
+    """Project the snapshot schema DDL down to the batch-read surface:
+    doc_id + payload (read_final contract), or + op_sequence/deleted
+    when ``internal``.  Raises on unknown/internal column requests with
+    the sink's own wording style."""
+    items = {f.split(" ", 1)[0]: f for f in _schema_fields(snap)}
+    payload = [n for n in items if n not in (KEY, SEQ, DELETED, CELL)]
+    if columns is None:
+        names = payload
+    else:
+        bad = [c for c in columns if c not in payload]
+        if bad:
+            raise ValueError(
+                f"no such payload column(s) {bad!r}; available: {payload}"
+            )
+        names = list(dict.fromkeys(columns))
+    head = [items[KEY]] + ([items[SEQ], items[DELETED]] if internal else [])
+    return ", ".join(head + [items[n] for n in names])
+
+
+def _changes_ddl(snap: dict) -> str:
+    """read_changes column contract: key, op_sequence, payload (which
+    includes the ``deleted`` liveness flag), change_type — same order
+    as ``SnapshotSink.read_changes`` emits."""
+    items = {f.split(" ", 1)[0]: f for f in _schema_fields(snap)}
+    payload = [n for n in items if n not in (KEY, SEQ, CELL)]
+    return ", ".join(
+        [items[KEY], items[SEQ]]
+        + [items[n] for n in payload]
+        + [f"{CHANGE} string"]
+    )
+
+
+def _resolve_version(root: str, ref) -> int:
+    """Option value (version number / tag / None=head) → version."""
+    if ref is not None:
+        return tm.resolve_ref(root, ref)
+    head = tm.current_snapshot(root)
+    if head is None:
+        raise ValueError(f"no snapshot yet at {root} — is this a table root?")
+    return head["version"]
+
+
+def _refuse_patch(snap: dict, root: str) -> None:
+    if snap.get("patch"):
+        raise RuntimeError(
+            f"table at {root} is per-cell (patch=True): the flat "
+            "data-source row cannot carry cell clocks, so a consumer "
+            "would silently diverge on late out-of-order patches. Read "
+            "it through SnapshotSink.read_final/read_changes "
+            "(include_cells=True) or replicate with a patch-mode "
+            "Replicator instead."
+        )
+
+
+@dataclass
+class BucketPartition(InputPartition):
+    """One table bucket's work: absolute delta-file paths in commit
+    order (new state), plus — for changelog windows — the FROM-version
+    file list and the window's newly added files (candidate keys)."""
+
+    bucket: int
+    new_files: list[str] = field(default_factory=list)
+    old_files: list[str] = field(default_factory=list)
+    added_files: list[str] = field(default_factory=list)
+
+
+def _bucket_files(root: str, snap: dict, bucket: int) -> list[str]:
+    """Entry paths expanded to concrete parquet part files (an entry is
+    a directory of part files — one per write task, or several when
+    target_file_rows split a sorted rewrite)."""
+    import os
+
+    paths: list[str] = []
+    for ent in snap["buckets"].get(str(bucket), []):
+        p = os.path.join(root, ent["path"])
+        if os.path.isdir(p):
+            for dirpath, _, names in sorted(os.walk(p)):
+                paths.extend(
+                    os.path.join(dirpath, n)
+                    for n in sorted(names)
+                    if n.endswith(".parquet")
+                )
+        else:
+            paths.append(p)
+    return paths
+
+
+def plan_state_partitions(
+    root: str, snap: dict, filters: list | None = None
+) -> list[BucketPartition]:
+    """One partition per non-empty bucket.  ``filters`` (Spark pushed
+    filters on the KEY column) prune buckets: an EqualTo/In on doc_id
+    maps each key to its bucket via the same xxhash64 the sink's
+    ``_bucket_expr`` uses (parity pinned in tests) — a point lookup
+    through the data source then scans ONE bucket.  Pruning is
+    bucket-granular only: payload-predicate entry skipping would hit
+    the stale-winner trap the sink's scan_where documents."""
+    wanted = _buckets_for_filters(filters, snap["n_buckets"])
+    parts = []
+    for b in range(snap["n_buckets"]):
+        if wanted is not None and b not in wanted:
+            continue
+        files = _bucket_files(root, snap, b)
+        if files:
+            parts.append(BucketPartition(bucket=b, new_files=files))
+    return parts
+
+
+def plan_window_partitions(
+    root: str, frm: int, to: int
+) -> list[BucketPartition]:
+    """Changelog window (frm, to]: per bucket, the FROM and TO file
+    lists plus the window-added files.  Buckets with no added files are
+    pruned (rewrite-only buckets change no state — compaction replaces
+    paths but every key's winning (seq, value) is unchanged, and
+    candidate keys from a rewrite-added file fold to zero diff rows)."""
+    if to <= frm:
+        return []
+    tm.refuse_unstreamable_window(root, frm, to)
+    new_snap = tm.load_snapshot(root, to)
+    _refuse_patch(new_snap, root)
+    old_snap = tm.load_snapshot(root, frm) if frm > 0 else None
+    if old_snap is not None and old_snap["n_buckets"] != new_snap["n_buckets"]:
+        raise RuntimeError(
+            f"rebucket inside stream window ({frm}, {to}]: bucket "
+            "identities shifted, the per-bucket diff is undefined. "
+            "Restart the stream from a fresh checkpoint with "
+            f"startingVersion={to} (full re-bootstrap), or re-point the "
+            "consumer after reconciling out of band."
+        )
+    if old_snap is not None and old_snap.get("tombstone_floor", 0) != new_snap.get(
+        "tombstone_floor", 0
+    ):
+        # expire_tombstones drops tombstones at the NEXT fold; a window
+        # spanning the floor advance could contain a delete whose
+        # tombstone was created AND folded away inside it — the key
+        # vanishes from every window-added file, so the candidate-key
+        # diff would silently miss the D row read_changes emits. The
+        # sink-side readers diff whole states and don't care; here we
+        # refuse, which is cheap to honor (consume faster than the
+        # tombstone retention horizon — the same contract a compacted
+        # Kafka topic imposes).
+        raise RuntimeError(
+            f"tombstone_floor advanced inside stream window ({frm}, "
+            f"{to}] (expire_tombstones ran): a delete folded away inside "
+            "the window would be missed. Consume in windows that don't "
+            "span a floor advance, or restart from a fresh checkpoint "
+            f"with startingVersion={to} after reconciling."
+        )
+    parts = []
+    for b in range(new_snap["n_buckets"]):
+        new_files = _bucket_files(root, new_snap, b)
+        old_files = (
+            _bucket_files(root, old_snap, b) if old_snap is not None else []
+        )
+        added = [p for p in new_files if p not in set(old_files)]
+        if not added:
+            continue
+        parts.append(
+            BucketPartition(
+                bucket=b,
+                new_files=new_files,
+                old_files=old_files,
+                added_files=added,
+            )
+        )
+    return parts
+
+
+# ------------------------------------------------------- key-hash pruning
+def _xxhash64_utf8(data: bytes, seed: int = 42) -> int:
+    """XXH64 (public algorithm, xxhash.com spec) over UTF-8 bytes with
+    Spark's seed 42 — the Python twin of ``F.xxhash64(col)`` on a
+    string column, used ONLY to map key-equality filters to buckets.
+    Parity with the JVM implementation is pinned in tests; signed
+    64-bit wraparound matches Spark's Long."""
+    P1, P2, P3, P4, P5 = (
+        0x9E3779B185EBCA87,
+        0xC2B2AE3D27D4EB4F,
+        0x165667B19E3779F9,
+        0x85EBCA77C2B2AE63,
+        0x27D4EB2F165667C5,
+    )
+    M = 0xFFFFFFFFFFFFFFFF
+
+    def rotl(x: int, r: int) -> int:
+        return ((x << r) | (x >> (64 - r))) & M
+
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + P1 + P2) & M
+        v2 = (seed + P2) & M
+        v3 = seed & M
+        v4 = (seed - P1) & M
+        while i <= n - 32:
+            for j, v in enumerate((v1, v2, v3, v4)):
+                lane = int.from_bytes(data[i + 8 * j : i + 8 * j + 8], "little")
+                v = (v + lane * P2) & M
+                v = (rotl(v, 31) * P1) & M
+                if j == 0:
+                    v1 = v
+                elif j == 1:
+                    v2 = v
+                elif j == 2:
+                    v3 = v
+                else:
+                    v4 = v
+            i += 32
+        h = (rotl(v1, 1) + rotl(v2, 7) + rotl(v3, 12) + rotl(v4, 18)) & M
+        for v in (v1, v2, v3, v4):
+            h ^= (rotl((v * P2) & M, 31) * P1) & M
+            h = ((h * P1) + P4) & M
+    else:
+        h = (seed + P5) & M
+    h = (h + n) & M
+    while i <= n - 8:
+        lane = int.from_bytes(data[i : i + 8], "little")
+        h ^= (rotl((lane * P2) & M, 31) * P1) & M
+        h = ((rotl(h, 27) * P1) + P4) & M
+        i += 8
+    if i <= n - 4:
+        lane = int.from_bytes(data[i : i + 4], "little")
+        h ^= (lane * P1) & M
+        h = ((rotl(h, 23) * P2) + P3) & M
+        i += 4
+    while i < n:
+        h ^= (data[i] * P5) & M
+        h = (rotl(h, 11) * P1) & M
+        i += 1
+    h ^= h >> 33
+    h = (h * P2) & M
+    h ^= h >> 29
+    h = (h * P3) & M
+    h ^= h >> 32
+    if h >= 1 << 63:  # Spark's Long is signed
+        h -= 1 << 64
+    return h
+
+
+def bucket_of(doc_id: str, n_buckets: int) -> int:
+    """Python twin of ``snapshot._bucket_expr``: pmod(xxhash64(key), n)."""
+    return _xxhash64_utf8(doc_id.encode("utf-8")) % n_buckets
+
+
+def _buckets_for_filters(filters: list | None, n_buckets: int) -> set | None:
+    """Bucket set provably covering the pushed filters, or None for
+    'all buckets'.  Only key-equality shapes prune — everything else is
+    re-applied by Spark anyway (pushFilters reports all filters as
+    unsupported, so pruning here can only SKIP work, never change
+    results beyond what the predicate already guarantees)."""
+    if not filters:
+        return None
+    for f in filters:
+        if isinstance(f, EqualTo) and f.attribute == (KEY,):
+            if isinstance(f.value, str):
+                return {bucket_of(f.value, n_buckets)}
+        if isinstance(f, In) and f.attribute == (KEY,):
+            if all(isinstance(v, str) for v in f.value):
+                return {bucket_of(v, n_buckets) for v in f.value}
+    return None
+
+
+# ------------------------------------------------------------ executor side
+def _read_cols(path: str, columns: list[str]):
+    """Read a parquet file restricted to the columns it actually has
+    (older-schema deltas lack later columns)."""
+    import pyarrow.parquet as pq
+
+    f = pq.ParquetFile(path)
+    have = set(f.schema_arrow.names)
+    cols = [c for c in columns if c in have]
+    return f.read(columns=cols), have
+
+
+def _winners(files: list[str]):
+    """Pass 1 of the merge-on-read fold: per-key LWW winner location.
+
+    Returns a pandas frame indexed by key with columns (seq, deleted,
+    f, r) — the winning row's file ordinal and row ordinal.  Only
+    (key, seq, deleted) bytes are ever read; token arrays of loser
+    versions never leave the parquet file.  Ties keep the first-read
+    row — duplicate deliveries are byte-identical by the envelope
+    contract (operators/lww.py), so either copy is the same row."""
+    import pandas as pd
+
+    frames = []
+    for i, path in enumerate(files):
+        t, _ = _read_cols(path, [KEY, SEQ, DELETED])
+        df = t.to_pandas()
+        df["f"] = i
+        df["r"] = range(len(df))
+        frames.append(df)
+    if not frames:
+        return pd.DataFrame(columns=[KEY, SEQ, DELETED, "f", "r"]).set_index(KEY)
+    allv = pd.concat(frames, ignore_index=True)
+    win = allv.loc[allv.groupby(KEY, sort=False)[SEQ].idxmax()]
+    return win.set_index(KEY)
+
+
+def _align(table: pa.Table, target: pa.Schema) -> pa.Table:
+    """pyarrow twin of ``operators/schema_evolution.align_to_schema``:
+    missing columns become typed nulls, widened columns cast."""
+    import pyarrow.compute as pc  # noqa: F401  (cast via Table.cast)
+
+    n = table.num_rows
+    cols = []
+    for fld in target:
+        if fld.name in table.column_names:
+            col = table.column(fld.name)
+            if col.type != fld.type:
+                col = col.cast(fld.type)
+            cols.append(col)
+        else:
+            cols.append(pa.nulls(n, fld.type))
+    return pa.Table.from_arrays(cols, schema=target)
+
+
+def _take_rows(
+    files: list[str], win, keys, target: pa.Schema, extra_cols: dict | None = None
+):
+    """Pass 2: materialize the winning rows of ``keys`` (an index into
+    ``win``), aligned to ``target``, optionally appending constant-ish
+    extra columns (the changelog's change_type), yielding one
+    RecordBatch per source file."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    sel = win.loc[list(keys)] if keys is not None else win
+    read_cols = [f.name for f in target if f.name != CHANGE]
+    for i, path in enumerate(files):
+        rows = sel[sel["f"] == i]
+        if len(rows) == 0:
+            continue
+        order = np.sort(rows["r"].to_numpy())
+        f = pq.ParquetFile(path)
+        have = set(f.schema_arrow.names)
+        t = f.read(columns=[c for c in read_cols if c in have])
+        t = t.take(pa.array(order))
+        if extra_cols:
+            # map each taken row back to its key to fetch its tag
+            key_of = rows.reset_index().set_index("r").loc[order, KEY]
+            tags = pa.array([extra_cols[k] for k in key_of], pa.string())
+            t = _align(t, pa.schema([f_ for f_ in target if f_.name != CHANGE]))
+            t = t.append_column(CHANGE, tags)
+        else:
+            t = _align(t, target)
+        for batch in t.to_batches():
+            yield batch
+
+
+def read_state_partition(part: BucketPartition, target: pa.Schema, internal: bool):
+    """Executor body of the batch source: fold the bucket, emit live
+    winners (read_final parity), or all winners when ``internal``."""
+    win = _winners(part.new_files)
+    if not internal and len(win) > 0:
+        win = win[~win[DELETED].astype(bool)]
+    yield from _take_rows(part.new_files, win, None, target)
+
+
+def read_changes_partition(part: BucketPartition, target: pa.Schema):
+    """Executor body of the changelog source: diff the bucket's FROM
+    and TO states restricted to keys seen in window-added files —
+    ``read_changes``'s I/U/D contract computed inside one partition."""
+    import pyarrow.parquet as pq
+
+    new_win = _winners(part.new_files)
+    old_win = _winners(part.old_files)
+    cand: set = set()
+    for path in part.added_files:
+        t = pq.ParquetFile(path).read(columns=[KEY])
+        cand.update(t.column(KEY).to_pylist())
+    tags: dict = {}
+    old_seq = old_win[SEQ] if len(old_win) else None
+    for k in cand:
+        if k not in new_win.index:
+            continue  # unreachable without purge/rollback (refused)
+        new_live = not bool(new_win.at[k, DELETED])
+        in_old = old_seq is not None and k in old_win.index
+        old_live = in_old and not bool(old_win.at[k, DELETED])
+        if new_live and not old_live:
+            tags[k] = "I"
+        elif new_live and old_live and new_win.at[k, SEQ] > old_win.at[k, SEQ]:
+            tags[k] = "U"
+        elif not new_live and old_live:
+            tags[k] = "D"
+    if not tags:
+        return
+    yield from _take_rows(part.new_files, new_win, tags.keys(), target, tags)
+
+
+def _to_arrow_schema(schema) -> pa.Schema:
+    """Spark StructType → arrow schema, JVM-free (pyspark's own pandas
+    type mapping, the same one Arrow batch exchange uses)."""
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    return to_arrow_schema(schema)
+
+
+# ------------------------------------------------------------- batch source
+class BeehiveTableReader(DataSourceReader):
+    def __init__(self, schema, options):
+        self.root = options["path"]
+        self.internal = options.get("internal", "false").lower() == "true"
+        version = _resolve_version(self.root, options.get("version"))
+        self.snap = tm.load_snapshot(self.root, version)
+        _refuse_patch(self.snap, self.root)
+        self.target = _to_arrow_schema(schema)
+        self.filters: list = []
+
+    def pushFilters(self, filters):
+        """Record key filters for bucket pruning; report every filter
+        as unsupported so Spark re-applies all of them — pruning can
+        only skip provably irrelevant buckets, never relax a
+        predicate."""
+        self.filters = list(filters)
+        yield from filters
+
+    def partitions(self):
+        return plan_state_partitions(self.root, self.snap, self.filters)
+
+    def read(self, partition: BucketPartition):
+        yield from read_state_partition(partition, self.target, self.internal)
+
+
+class BeehiveTableDataSource(DataSource):
+    """``spark.read.format("beehive").load(root)`` — batch state reads
+    with time travel (``version`` = number or tag) and payload
+    projection (``columns`` = comma list)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "beehive"
+
+    def schema(self) -> str:
+        root = self.options["path"]
+        snap = tm.load_snapshot(
+            root, _resolve_version(root, self.options.get("version"))
+        )
+        cols = self.options.get("columns")
+        cols = [c.strip() for c in cols.split(",")] if cols else None
+        internal = self.options.get("internal", "false").lower() == "true"
+        return _subset_ddl(snap, cols, internal)
+
+    def reader(self, schema) -> BeehiveTableReader:
+        return BeehiveTableReader(schema, self.options)
+
+
+# --------------------------------------------------------- changelog source
+class BeehiveChangesBatchReader(DataSourceReader):
+    """One changelog window as a batch read: ``fromVersion`` (required)
+    to ``toVersion`` (default head) — read_changes parity."""
+
+    def __init__(self, schema, options):
+        self.root = options["path"]
+        if "fromVersion" not in options:
+            raise ValueError(
+                "beehive_changes batch read requires fromVersion "
+                "(0 = full-state bootstrap); use readStream for "
+                "continuous consumption"
+            )
+        self.frm = tm.resolve_ref(self.root, options["fromVersion"])
+        self.to = _resolve_version(self.root, options.get("toVersion"))
+        self.target = _to_arrow_schema(schema)
+
+    def partitions(self):
+        return plan_window_partitions(self.root, self.frm, self.to)
+
+    def read(self, partition: BucketPartition):
+        yield from read_changes_partition(partition, self.target)
+
+
+class BeehiveChangesStreamReader(DataSourceStreamReader):
+    def __init__(self, schema, options):
+        self.root = options["path"]
+        self.start = int(options.get("startingVersion", "0"))
+        self.max_versions = int(options.get("maxVersionsPerBatch", "0"))
+        self.pin = options.get("pin")
+        self.target = _to_arrow_schema(schema)
+        # last end this reader planned — only used to rate-limit
+        # latestOffset; correctness never depends on it (Spark's offset
+        # log is the real cursor)
+        self._cursor: int | None = None
+
+    def initialOffset(self) -> dict:
+        return {"version": self.start}
+
+    def latestOffset(self) -> dict:
+        head = tm.current_snapshot(self.root)
+        if head is None:
+            return {"version": self.start}
+        v = head["version"]
+        if self.max_versions and self._cursor is not None:
+            v = min(v, self._cursor + self.max_versions)
+        return {"version": max(v, self.start)}
+
+    def partitions(self, start: dict, end: dict):
+        s, e = start["version"], end["version"]
+        self._cursor = e
+        parts = plan_window_partitions(self.root, s, e)
+        if not parts:
+            # metadata-only window (tags, trims): one empty sentinel —
+            # the engine still records the batch and advances offsets
+            parts = [BucketPartition(bucket=-1)]
+        return parts
+
+    def read(self, partition: BucketPartition):
+        yield from read_changes_partition(partition, self.target)
+
+    def commit(self, end: dict) -> None:
+        # retention pin: once Spark has committed a batch, move the tag
+        # to its end version so vacuum/expire_snapshots keep every file
+        # the NEXT window's FROM-state needs. Spark delivers commit()
+        # lazily — typically when the next batch is constructed, and
+        # the final batch's commit only after a restart — so the pin
+        # LAGS the stream by one batch. Lagging is safe (it pins at or
+        # below every version a replayed window still reads, so
+        # retention keeps slightly more than strictly needed, never
+        # less). Version 0 is the bootstrap sentinel, not a snapshot —
+        # nothing to pin yet.
+        if self.pin and end["version"] > 0:
+            tm.pin_tag(self.root, f"stream-{self.pin}", end["version"])
+
+    def stop(self) -> None:
+        pass
+
+
+class BeehiveChangesDataSource(DataSource):
+    """``spark.readStream.format("beehive_changes").load(root)`` — the
+    table as a stream of read_changes windows; batch mode reads one
+    explicit window."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "beehive_changes"
+
+    def schema(self) -> str:
+        root = self.options["path"]
+        head = tm.current_snapshot(root)
+        if head is None:
+            raise ValueError(f"no snapshot yet at {root}")
+        _refuse_patch(head, root)
+        return _changes_ddl(head)
+
+    def reader(self, schema) -> BeehiveChangesBatchReader:
+        return BeehiveChangesBatchReader(schema, self.options)
+
+    def streamReader(self, schema) -> BeehiveChangesStreamReader:
+        return BeehiveChangesStreamReader(schema, self.options)

@@ -1,0 +1,436 @@
+"""Spark Python Data Source over SnapshotSink tables — parity with the
+sink's own readers (sources/spark_datasource.py, sources/table_meta.py).
+
+Every semantic claim the data source makes is pinned against the
+engine path that defines it: batch == read_final / read_state,
+changelog == read_changes, time travel == snapshot refs, bucket-hash
+pruning == _bucket_expr, DDL parsing == Spark's parser."""
+
+import os
+
+import pyarrow as pa
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from beehive_data_etl_spark.sinks.snapshot import SnapshotSink
+from beehive_data_etl_spark.sources import table_meta as tm
+from beehive_data_etl_spark.sources.spark_datasource import (
+    BucketPartition,
+    bucket_of,
+    plan_state_partitions,
+    plan_window_partitions,
+    register,
+)
+from beehive_data_etl_spark.streaming.replay import replay_incremental
+
+
+@pytest.fixture(scope="module")
+def ds_table(spark, smoke_log, tmp_path_factory):
+    """A real replayed table (same fixture recipe as test_cdc_replay)
+    with the data sources registered."""
+    root = str(tmp_path_factory.mktemp("ds_sink"))
+    sink = SnapshotSink(spark, root, n_buckets=8)
+    replay_incremental(spark, smoke_log, sink, files_per_batch=2)
+    register(spark)
+    return sink
+
+
+def _sorted_rows(df, cols):
+    return [tuple(r) for r in df.select(*cols).orderBy(*cols).collect()]
+
+
+# ---------------------------------------------------------------- batch read
+def test_batch_read_matches_read_final(spark, ds_table):
+    sink = ds_table
+    via_ds = spark.read.format("beehive").load(sink.root)
+    expect = sink.read_final()
+    assert via_ds.columns == expect.columns
+    cols = [c for c in expect.columns]
+    assert _sorted_rows(via_ds, cols) == _sorted_rows(expect, cols)
+
+
+def test_batch_read_internal_matches_read_state(spark, ds_table):
+    sink = ds_table
+    via_ds = (
+        spark.read.format("beehive")
+        .option("internal", "true")
+        .load(sink.root)
+    )
+    expect = sink.read_state()
+    cols = sorted(set(via_ds.columns) & set(expect.columns))
+    assert set(via_ds.columns) == set(expect.columns)
+    assert _sorted_rows(via_ds, cols) == _sorted_rows(expect, cols)
+
+
+def test_batch_time_travel_version_and_tag(spark, ds_table):
+    sink = ds_table
+    head = sink.current_snapshot()["version"]
+    v = max(1, head - 1)
+    sink.tag("ds-pin", v)
+    expect = sink.read_state(version=v).filter(~F.col("deleted"))
+    payload = [c for c in expect.columns if c not in ("op_sequence", "deleted")]
+    expect = expect.select(*payload)
+    for ref in (str(v), "ds-pin"):
+        got = spark.read.format("beehive").option("version", ref).load(sink.root)
+        assert _sorted_rows(got, payload) == _sorted_rows(expect, payload)
+
+
+def test_batch_column_projection(spark, ds_table):
+    sink = ds_table
+    got = (
+        spark.read.format("beehive")
+        .option("columns", "n_tok, source")
+        .load(sink.root)
+    )
+    assert got.columns == ["doc_id", "n_tok", "source"]
+    expect = sink.read_final(columns=["n_tok", "source"])
+    assert _sorted_rows(got, got.columns) == _sorted_rows(expect, got.columns)
+
+
+def test_batch_key_filter_correct_under_pruning(spark, ds_table):
+    sink = ds_table
+    some = sink.read_final().select("doc_id").limit(3).collect()
+    keys = [r[0] for r in some]
+    got = (
+        spark.read.format("beehive")
+        .load(sink.root)
+        .filter(F.col("doc_id") == keys[0])
+    )
+    expect = sink.read_final().filter(F.col("doc_id") == keys[0])
+    cols = expect.columns
+    assert _sorted_rows(got, cols) == _sorted_rows(expect, cols)
+    got_in = (
+        spark.read.format("beehive")
+        .load(sink.root)
+        .filter(F.col("doc_id").isin(keys))
+    )
+    expect_in = sink.read_final().filter(F.col("doc_id").isin(keys))
+    assert _sorted_rows(got_in, cols) == _sorted_rows(expect_in, cols)
+
+
+def test_xxhash64_python_twin_matches_spark(spark):
+    """bucket_of is only sound if the pure-Python XXH64 equals Spark's
+    JVM xxhash64 — pin it over adversarial lengths (0..40 bytes spans
+    every tail path; unicode spans multi-byte UTF-8)."""
+    vals = [
+        "",
+        "a",
+        "doc-000123",
+        "x" * 7,
+        "y" * 8,
+        "z" * 31,
+        "w" * 32,
+        "v" * 33,
+        "u" * 40,
+        "snake🐍",
+        "グラフ",
+    ] + [f"doc{i:05d}" for i in range(50)]
+    df = spark.createDataFrame([(v,) for v in vals], ["s"])
+    jvm = {
+        r["s"]: r["h"]
+        for r in df.select("s", F.xxhash64("s").alias("h")).collect()
+    }
+    from beehive_data_etl_spark.sources.spark_datasource import _xxhash64_utf8
+
+    for v in vals:
+        assert _xxhash64_utf8(v.encode("utf-8")) == jvm[v], v
+
+
+def test_state_partition_pruning_plans_one_bucket(ds_table):
+    """EqualTo on the key plans exactly the key's bucket."""
+    from pyspark.sql.datasource import EqualTo
+
+    sink = ds_table
+    snap = sink.current_snapshot()
+    key = "whatever-key-0042"
+    parts = plan_state_partitions(sink.root, snap, [EqualTo(("doc_id",), key)])
+    assert len(parts) <= 1
+    if parts:
+        assert parts[0].bucket == bucket_of(key, snap["n_buckets"])
+    unpruned = plan_state_partitions(sink.root, snap, [])
+    assert len(unpruned) > 1
+
+
+# ------------------------------------------------------------ changelog batch
+def test_changes_batch_matches_read_changes(spark, ds_table):
+    sink = ds_table
+    head = sink.current_snapshot()["version"]
+    frm = max(1, head - 2)
+    got = (
+        spark.read.format("beehive_changes")
+        .option("fromVersion", str(frm))
+        .option("toVersion", str(head))
+        .load(sink.root)
+    )
+    expect = sink.read_changes(frm, head)
+    assert got.columns == expect.columns
+    cols = expect.columns
+    assert _sorted_rows(got, cols) == _sorted_rows(expect, cols)
+
+
+def test_changes_bootstrap_window_is_live_state_as_inserts(spark, ds_table):
+    sink = ds_table
+    head = sink.current_snapshot()["version"]
+    got = (
+        spark.read.format("beehive_changes")
+        .option("fromVersion", "0")
+        .option("toVersion", str(head))
+        .load(sink.root)
+    )
+    assert got.filter(F.col("change_type") != "I").count() == 0
+    expect = sink.read_final()
+    assert got.count() == expect.count()
+    assert _sorted_rows(got.select("doc_id", "n_tok"), ["doc_id", "n_tok"]) == \
+        _sorted_rows(expect.select("doc_id", "n_tok"), ["doc_id", "n_tok"])
+
+
+def test_changes_window_all_types_match(spark, tmp_path):
+    """A constructed window with one I, one U, one D and one untouched
+    doc — the DS emits exactly read_changes' rows."""
+    schema = T.StructType(
+        [
+            T.StructField("op", T.StringType()),
+            T.StructField("op_sequence", T.LongType()),
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("tokens", T.ArrayType(T.IntegerType())),
+            T.StructField("n_tok", T.IntegerType()),
+            T.StructField("source", T.StringType()),
+        ]
+    )
+    sink = SnapshotSink(spark, str(tmp_path / "t"), n_buckets=4)
+    b1 = [
+        ("I", 1, "keep", [1], 1, "s"),
+        ("I", 2, "upd", [2], 1, "s"),
+        ("I", 3, "del", [3], 1, "s"),
+    ]
+    sink.apply_batch(spark.createDataFrame(b1, schema), "b1")
+    v1 = sink.current_snapshot()["version"]
+    b2 = [
+        ("U", 10, "upd", [2, 2], 2, "s"),
+        ("D", 11, "del", [], 0, "s"),
+        ("I", 12, "new", [4], 1, "s"),
+    ]
+    sink.apply_batch(spark.createDataFrame(b2, schema), "b2")
+    v2 = sink.current_snapshot()["version"]
+    register(spark)
+    got = (
+        spark.read.format("beehive_changes")
+        .option("fromVersion", str(v1))
+        .option("toVersion", str(v2))
+        .load(str(tmp_path / "t"))
+    )
+    expect = sink.read_changes(v1, v2)
+    cols = expect.columns
+    assert _sorted_rows(got, cols) == _sorted_rows(expect, cols)
+    by_key = {r["doc_id"]: r["change_type"] for r in got.collect()}
+    assert by_key == {"upd": "U", "del": "D", "new": "I"}
+
+
+def test_changes_window_prunes_untouched_buckets(spark, ds_table):
+    """Rewrite-only / untouched buckets contribute no partitions."""
+    sink = ds_table
+    head = sink.current_snapshot()["version"]
+    all_buckets = len(plan_window_partitions(sink.root, 0, head))
+    assert all_buckets > 0
+    # a window with no commits plans nothing
+    assert plan_window_partitions(sink.root, head, head) == []
+
+
+# --------------------------------------------------------------- refusals
+def test_patch_table_refused(spark, tmp_path):
+    root = str(tmp_path / "patch_t")
+    schema = T.StructType(
+        [
+            T.StructField("op", T.StringType()),
+            T.StructField("op_sequence", T.LongType()),
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("patch_cols", T.ArrayType(T.StringType())),
+            T.StructField("tokens", T.ArrayType(T.IntegerType())),
+            T.StructField("n_tok", T.IntegerType()),
+            T.StructField("source", T.StringType()),
+        ]
+    )
+    sink = SnapshotSink(spark, root, n_buckets=2, patch=True)
+    rows = [("I", 1, "a", None, [1], 1, "s")]
+    sink.apply_batch(spark.createDataFrame(rows, schema), "b1")
+    register(spark)
+    with pytest.raises(Exception, match="patch"):
+        spark.read.format("beehive").load(root).collect()
+
+
+def test_rollback_window_refused(spark, ds_table):
+    sink = ds_table
+    # simulate a rollback marker without disturbing the shared table:
+    # the guard reads metrics only, so probe the guard directly on a
+    # fake snapshot dir
+    import json
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    os.makedirs(os.path.join(d, "_snapshots"))
+    for v, m in ((1, {}), (2, {"rollback_to": 1}), (3, {})):
+        with open(os.path.join(d, "_snapshots", f"v{v:06d}.json"), "w") as fh:
+            json.dump({"version": v, "metrics": m}, fh)
+    with pytest.raises(RuntimeError, match="rollback_to"):
+        tm.refuse_unstreamable_window(d, 1, 3)
+    tm.refuse_unstreamable_window(d, 2, 3)  # window past it is fine
+
+
+def test_tombstone_floor_advance_refused(spark, tmp_path):
+    root = str(tmp_path / "floor_t")
+    schema = T.StructType(
+        [
+            T.StructField("op", T.StringType()),
+            T.StructField("op_sequence", T.LongType()),
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("tokens", T.ArrayType(T.IntegerType())),
+        ]
+    )
+    sink = SnapshotSink(spark, root, n_buckets=2)
+    sink.apply_batch(
+        spark.createDataFrame([("I", 1, "a", [1]), ("D", 2, "b", [])], schema),
+        "b1",
+    )
+    v1 = sink.current_snapshot()["version"]
+    sink.expire_tombstones(3)
+    v2 = sink.current_snapshot()["version"]
+    assert v2 > v1
+    with pytest.raises(RuntimeError, match="tombstone_floor"):
+        plan_window_partitions(root, v1, v2)
+
+
+# --------------------------------------------------------------- streaming
+def test_stream_replays_to_final_state_with_restart(spark, tmp_path):
+    """End-to-end: readStream over the changelog → foreachBatch LWW
+    apply into a second table; stop mid-stream, apply more upstream
+    batches, restart from the SAME checkpoint — the consumer converges
+    to the upstream final state with no duplicate effects (exactly-once
+    via Spark's offset log + deterministic windows)."""
+    src_root = str(tmp_path / "src")
+    dst_root = str(tmp_path / "dst")
+    ckpt = str(tmp_path / "ckpt")
+    schema = T.StructType(
+        [
+            T.StructField("op", T.StringType()),
+            T.StructField("op_sequence", T.LongType()),
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("tokens", T.ArrayType(T.IntegerType())),
+            T.StructField("n_tok", T.IntegerType()),
+            T.StructField("source", T.StringType()),
+        ]
+    )
+    src = SnapshotSink(spark, src_root, n_buckets=4)
+    dst = SnapshotSink(spark, dst_root, n_buckets=4)
+    register(spark)
+
+    def apply_window(df, epoch_id):
+        events = df.withColumn(
+            "op",
+            F.when(F.col("change_type") == "D", F.lit("D")).otherwise(
+                F.lit("U")
+            ),
+        ).drop("change_type")
+        dst.apply_batch(events, f"ds-epoch-{epoch_id}")
+
+    def run_once():
+        # Python stream sources don't implement Trigger.AvailableNow
+        # (the JVM wrapper falls back); drain with processAllAvailable
+        q = (
+            spark.readStream.format("beehive_changes")
+            .option("pin", "t1")
+            .load(src_root)
+            .writeStream.foreachBatch(apply_window)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="500 milliseconds")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination(60)
+        if q.exception() is not None:
+            raise q.exception()
+
+    n = 40
+    rows1 = [("I", i, f"d{i % 10}", [i], 1, "s") for i in range(n)]
+    src.apply_batch(spark.createDataFrame(rows1, schema), "b1")
+    run_once()
+    rows2 = [("U", 100 + i, f"d{i}", [9, i], 2, "s2") for i in range(5)] + [
+        ("D", 200, "d9", [], 0, "s")
+    ]
+    src.apply_batch(spark.createDataFrame(rows2, schema), "b2")
+    src.apply_batch(
+        spark.createDataFrame([("I", 300, "fresh", [7], 1, "s3")], schema),
+        "b3",
+    )
+    run_once()
+    # retention pin follows the stream, lagging one batch (Spark
+    # delivers commit() when the NEXT batch is constructed): after the
+    # second run it pins the FIRST run's end — at or below every
+    # version a replayed window still reads, never above
+    pin = tm.load_tags(src_root)["stream-t1"]
+    assert 1 <= pin <= src.current_snapshot()["version"]
+    want = _sorted_rows(src.read_final(), ["doc_id", "n_tok", "source"])
+    got = _sorted_rows(dst.read_final(), ["doc_id", "n_tok", "source"])
+    assert got == want
+    # tokens byte-parity
+    s = {r["doc_id"]: list(r["tokens"]) for r in src.read_final().collect()}
+    g = {r["doc_id"]: list(r["tokens"]) for r in dst.read_final().collect()}
+    assert s == g
+    # re-running with nothing new applies nothing (no-op, no dup batch)
+    before = dst.current_snapshot()["version"]
+    run_once()
+    assert dst.current_snapshot()["version"] == before
+
+
+# ------------------------------------------------------------- DDL parsing
+def test_ddl_to_arrow_matches_spark_parser(spark):
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    ddls = [
+        "doc_id string, op_sequence bigint, deleted boolean, "
+        "tokens array<int>, n_tok int, source string",
+        "a smallint, b tinyint, c float, d double, e date, f binary",
+        "m map<string,bigint>, s struct<x:int,y:array<string>>, "
+        "dec decimal(10,2), ts timestamp, tn timestamp_ntz",
+        "nested array<struct<k:string,v:map<string,array<int>>>>",
+    ]
+    for ddl in ddls:
+        ours = tm.ddl_to_arrow(ddl)
+        theirs = to_arrow_schema(T.StructType.fromDDL(ddl))
+        got = [(f.name, f.type) for f in ours]
+        want = [(f.name, f.type) for f in theirs]
+        assert got == want, ddl
+
+
+def test_schema_evolution_alignment_through_ds(spark, tmp_path):
+    """Old-schema delta files (missing a later-added column) read as
+    typed nulls through the DS — align_to_schema parity."""
+    root = str(tmp_path / "evo")
+    base = T.StructType(
+        [
+            T.StructField("op", T.StringType()),
+            T.StructField("op_sequence", T.LongType()),
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("tokens", T.ArrayType(T.IntegerType())),
+        ]
+    )
+    sink = SnapshotSink(spark, root, n_buckets=2)
+    sink.apply_batch(
+        spark.createDataFrame([("I", 1, "a", [1]), ("I", 2, "b", [2])], base),
+        "b1",
+    )
+    wider = base.add("lang", T.StringType())
+    sink.apply_batch(
+        spark.createDataFrame([("I", 10, "c", [3], "en")], wider), "b2"
+    )
+    register(spark)
+    got = spark.read.format("beehive").load(root)
+    expect = sink.read_final()
+    assert got.columns == expect.columns
+    cols = ["doc_id", "lang"]
+    assert _sorted_rows(got.select(*cols), cols) == _sorted_rows(
+        expect.select(*cols), cols
+    )
