@@ -232,7 +232,13 @@ def plan_window_partitions(
     candidate keys from a rewrite-added file fold to zero diff rows)."""
     if to <= frm:
         return []
-    tm.refuse_unstreamable_window(root, frm, to)
+    # frm == 0 is the bootstrap: a pure state copy of the TO version
+    # that never reads history, so the per-version marker walk is both
+    # unnecessary and wrong there (it would do O(history) JSON loads
+    # and crash on expired snapshots / old markers) — the same
+    # exemption Replicator.sync gives its initial full copy.
+    if frm > 0:
+        tm.refuse_unstreamable_window(root, frm, to)
     new_snap = tm.load_snapshot(root, to)
     _refuse_patch(new_snap, root)
     old_snap = tm.load_snapshot(root, frm) if frm > 0 else None
@@ -269,7 +275,8 @@ def plan_window_partitions(
         old_files = (
             _bucket_files(root, old_snap, b) if old_snap is not None else []
         )
-        added = [p for p in new_files if p not in set(old_files)]
+        old_set = set(old_files)
+        added = [p for p in new_files if p not in old_set]
         if not added:
             continue
         parts.append(
@@ -417,8 +424,6 @@ def _winners(files: list[str]):
 def _align(table: pa.Table, target: pa.Schema) -> pa.Table:
     """pyarrow twin of ``operators/schema_evolution.align_to_schema``:
     missing columns become typed nulls, widened columns cast."""
-    import pyarrow.compute as pc  # noqa: F401  (cast via Table.cast)
-
     n = table.num_rows
     cols = []
     for fld in target:
@@ -478,6 +483,7 @@ def read_changes_partition(part: BucketPartition, target: pa.Schema):
     """Executor body of the changelog source: diff the bucket's FROM
     and TO states restricted to keys seen in window-added files —
     ``read_changes``'s I/U/D contract computed inside one partition."""
+    import numpy as np
     import pyarrow.parquet as pq
 
     new_win = _winners(part.new_files)
@@ -486,20 +492,34 @@ def read_changes_partition(part: BucketPartition, target: pa.Schema):
     for path in part.added_files:
         t = pq.ParquetFile(path).read(columns=[KEY])
         cand.update(t.column(KEY).to_pylist())
-    tags: dict = {}
-    old_seq = old_win[SEQ] if len(old_win) else None
-    for k in cand:
-        if k not in new_win.index:
-            continue  # unreachable without purge/rollback (refused)
-        new_live = not bool(new_win.at[k, DELETED])
-        in_old = old_seq is not None and k in old_win.index
-        old_live = in_old and not bool(old_win.at[k, DELETED])
-        if new_live and not old_live:
-            tags[k] = "I"
-        elif new_live and old_live and new_win.at[k, SEQ] > old_win.at[k, SEQ]:
-            tags[k] = "U"
-        elif not new_live and old_live:
-            tags[k] = "D"
+    # vectorized I/U/D tagging over the candidate slice (read_changes'
+    # truth table): reindex the FROM-state winners onto the candidate
+    # keys — absent keys surface as NaN, i.e. not-old-live
+    idx = new_win.index.intersection(list(cand))
+    if len(idx) == 0:
+        return
+    nw = new_win.loc[idx]
+    old = old_win.reindex(idx)
+    new_live = ~nw[DELETED].astype(bool).to_numpy()
+    # NaN == False is False, so keys absent from the FROM state read as
+    # not-old-live without any dtype coercion
+    old_live = (old[DELETED] == False).to_numpy()  # noqa: E712
+    # reindex floats the seq column when keys are absent — float64 is
+    # exact for int seqs below 2^53, far above any real op_sequence
+    # clock (10^10-event replays sit near 2^34)
+    seq_adv = nw[SEQ].to_numpy() > old[SEQ].to_numpy(
+        dtype="float64", na_value=-(2.0**63)
+    )
+    tag = np.where(
+        new_live & ~old_live,
+        "I",
+        np.where(
+            new_live & old_live & seq_adv,
+            "U",
+            np.where(~new_live & old_live, "D", ""),
+        ),
+    )
+    tags = {k: t for k, t in zip(idx, tag) if t}
     if not tags:
         return
     yield from _take_rows(part.new_files, new_win, tags.keys(), target, tags)
@@ -518,8 +538,13 @@ class BeehiveTableReader(DataSourceReader):
     def __init__(self, schema, options):
         self.root = options["path"]
         self.internal = options.get("internal", "false").lower() == "true"
-        version = _resolve_version(self.root, options.get("version"))
-        self.snap = tm.load_snapshot(self.root, version)
+        # _pinned_version: stamped by BeehiveTableDataSource.schema() so
+        # planner and reader agree on ONE snapshot even if a concurrent
+        # commit moves the head (or a tag moves) between the two calls
+        version = options.get("_pinned_version") or _resolve_version(
+            self.root, options.get("version")
+        )
+        self.snap = tm.load_snapshot(self.root, int(version))
         _refuse_patch(self.snap, self.root)
         self.target = _to_arrow_schema(schema)
         self.filters: list = []
@@ -550,9 +575,12 @@ class BeehiveTableDataSource(DataSource):
 
     def schema(self) -> str:
         root = self.options["path"]
-        snap = tm.load_snapshot(
-            root, _resolve_version(root, self.options.get("version"))
-        )
+        version = _resolve_version(root, self.options.get("version"))
+        # pin the resolved version for reader(): head/tag may move
+        # between the planner's schema() call and reader construction,
+        # and a read must be of ONE snapshot throughout
+        self.options["_pinned_version"] = str(version)
+        snap = tm.load_snapshot(root, version)
         cols = self.options.get("columns")
         cols = [c.strip() for c in cols.split(",")] if cols else None
         internal = self.options.get("internal", "false").lower() == "true"
@@ -576,7 +604,10 @@ class BeehiveChangesBatchReader(DataSourceReader):
                 "continuous consumption"
             )
         self.frm = tm.resolve_ref(self.root, options["fromVersion"])
-        self.to = _resolve_version(self.root, options.get("toVersion"))
+        self.to = int(
+            options.get("_pinned_version")
+            or _resolve_version(self.root, options.get("toVersion"))
+        )
         self.target = _to_arrow_schema(schema)
 
     def partitions(self):
@@ -599,6 +630,14 @@ class BeehiveChangesStreamReader(DataSourceStreamReader):
         self._cursor: int | None = None
 
     def initialOffset(self) -> dict:
+        # also seeds the rate-limit cursor, so a FRESH stream's first
+        # batch honors maxVersionsPerBatch. On a checkpoint restart
+        # Spark skips initialOffset and the cursor stays None until
+        # partitions() runs — the catch-up batch is then unbounded
+        # (Spark's offset log fixes its end before we could clamp;
+        # shrinking partitions() there would silently skip data). Big
+        # catch-up batches are correct, just heavy — documented.
+        self._cursor = self.start
         return {"version": self.start}
 
     def latestOffset(self) -> dict:
@@ -613,6 +652,14 @@ class BeehiveChangesStreamReader(DataSourceStreamReader):
     def partitions(self, start: dict, end: dict):
         s, e = start["version"], end["version"]
         self._cursor = e
+        if self.pin and s > 0:
+            # eager pin of the window's FROM version BEFORE executors
+            # read: commit() lags a batch, so without this there is a
+            # window (first batch, or plan→lazy-commit gap) where no
+            # tag clamps vacuum/expire and the files this very batch
+            # reads could be reaped. Never moves the tag backward —
+            # a replanned old window after restart must not unpin.
+            tm.pin_tag(self.root, f"stream-{self.pin}", s, monotonic=True)
         parts = plan_window_partitions(self.root, s, e)
         if not parts:
             # metadata-only window (tags, trims): one empty sentinel —
@@ -635,7 +682,20 @@ class BeehiveChangesStreamReader(DataSourceStreamReader):
         # less). Version 0 is the bootstrap sentinel, not a snapshot —
         # nothing to pin yet.
         if self.pin and end["version"] > 0:
-            tm.pin_tag(self.root, f"stream-{self.pin}", end["version"])
+            try:
+                tm.pin_tag(
+                    self.root,
+                    f"stream-{self.pin}",
+                    end["version"],
+                    monotonic=True,
+                )
+            except ValueError:
+                # end's snapshot JSON already expired (lazy commit lost
+                # the race against expire_snapshots before any pin
+                # existed): leave the tag as-is — the NEXT window's
+                # partitions() raises the actionable floor-named error;
+                # failing here would mask it with a pin stack trace
+                pass
 
     def stop(self) -> None:
         pass
@@ -651,12 +711,17 @@ class BeehiveChangesDataSource(DataSource):
         return "beehive_changes"
 
     def schema(self) -> str:
+        """Changelog schema is the TO-version's (read_changes aligns
+        both window sides to it): the explicit toVersion for batch
+        window reads — a window on a later-evolved table must emit THAT
+        window's columns — or the head for streams (a stream's schema
+        is fixed at start; alter windows are refused downstream)."""
         root = self.options["path"]
-        head = tm.current_snapshot(root)
-        if head is None:
-            raise ValueError(f"no snapshot yet at {root}")
-        _refuse_patch(head, root)
-        return _changes_ddl(head)
+        version = _resolve_version(root, self.options.get("toVersion"))
+        self.options["_pinned_version"] = str(version)
+        snap = tm.load_snapshot(root, version)
+        _refuse_patch(snap, root)
+        return _changes_ddl(snap)
 
     def reader(self, schema) -> BeehiveChangesBatchReader:
         return BeehiveChangesBatchReader(schema, self.options)

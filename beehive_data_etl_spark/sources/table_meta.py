@@ -13,12 +13,11 @@ window-refusal guards) as standalone file I/O.  Behavioral parity with
 the sink is pinned by ``tests/test_spark_datasource.py`` — if the sink
 ever changes its on-disk metadata, those tests break loudly here.
 
-Also here: a parser from the engine's stored schema DDL (written by
-``snapshot._ddl`` via ``DataType.simpleString()``) to a
-``pyarrow.Schema``, so executor-side readers can align old-schema delta
-files to the table schema without Spark.  The type mapping mirrors
-Spark's own parquet writer output (verified against
-``pyspark.sql.pandas.types.to_arrow_schema`` in tests).
+Also here: ``_split_top``, the tiny DDL tokenizer the data source uses
+to project the stored schema DDL (``snapshot._ddl`` output) down to a
+read surface — full type parsing is never needed (Spark parses the DDL
+string we return from ``DataSource.schema()``, and executors read each
+parquet file with its own embedded schema).
 """
 
 from __future__ import annotations
@@ -27,8 +26,6 @@ import fcntl
 import json
 import os
 import uuid
-
-import pyarrow as pa
 
 KEY = "doc_id"
 SEQ = "op_sequence"
@@ -93,20 +90,26 @@ def resolve_ref(root: str, ref) -> int:
     return int(ref)
 
 
-def pin_tag(root: str, name: str, version: int) -> None:
+def pin_tag(root: str, name: str, version: int, monotonic: bool = False) -> None:
     """Twin of ``SnapshotSink.move_tag`` for cursor-style tags, under
     the same cross-process flock the sink's tag writers hold — so a
     streaming reader's retention pin can never interleave with a
     concurrent ``tag``/``drop_tag``/``move_tag`` through a sink object
     and silently drop either write.  One atomic tags-file replace: no
-    crash window where the pin is absent."""
+    crash window where the pin is absent.  ``monotonic=True`` makes it
+    a no-op when the tag already pins an equal-or-newer version — the
+    forward-only check runs INSIDE the lock, so two racing pinners
+    (the stream's eager partitions-time pin vs its lazy commit-time
+    pin) can never move the cursor backward."""
     lock_fd = os.open(
         os.path.join(snapshots_dir(root), "LOCK"), os.O_CREAT | os.O_RDWR
     )
     try:
         fcntl.flock(lock_fd, fcntl.LOCK_EX)
-        load_snapshot(root, version)  # must exist (raises otherwise)
         tags = load_tags(root)
+        if monotonic and tags.get(name, 0) >= int(version):
+            return
+        load_snapshot(root, version)  # must exist (raises otherwise)
         tags[name] = int(version)
         path = os.path.join(snapshots_dir(root), "TAGS.json")
         tmp = path + f".tmp-{uuid.uuid4().hex}"
@@ -151,25 +154,7 @@ def refuse_unstreamable_window(root: str, frm: int, to: int) -> None:
                 )
 
 
-# --------------------------------------------------------------- DDL → arrow
-_PRIMITIVES: dict[str, pa.DataType] = {
-    "string": pa.string(),
-    "boolean": pa.bool_(),
-    "tinyint": pa.int8(),
-    "smallint": pa.int16(),
-    "int": pa.int32(),
-    "bigint": pa.int64(),
-    "float": pa.float32(),
-    "double": pa.float64(),
-    "date": pa.date32(),
-    "binary": pa.binary(),
-    # session timezone is pinned to UTC (session.py); Spark writes
-    # parquet TIMESTAMP as int64 micros adjusted-to-UTC
-    "timestamp": pa.timestamp("us", tz="UTC"),
-    "timestamp_ntz": pa.timestamp("us"),
-}
-
-
+# ----------------------------------------------------------- DDL utilities
 def _split_top(s: str) -> list[str]:
     """Split on commas not nested inside <> or ()."""
     parts, depth, cur = [], 0, []
@@ -188,37 +173,3 @@ def _split_top(s: str) -> list[str]:
     return [p.strip() for p in parts if p.strip()]
 
 
-def type_to_arrow(t: str) -> pa.DataType:
-    """``DataType.simpleString()`` → arrow type, for every type the
-    engine stores (primitives, decimal, array/map/struct nests)."""
-    t = t.strip()
-    low = t.lower()
-    if low in _PRIMITIVES:
-        return _PRIMITIVES[low]
-    if low.startswith("decimal(") and low.endswith(")"):
-        p, s = low[len("decimal(") : -1].split(",")
-        return pa.decimal128(int(p), int(s))
-    if low.startswith("array<") and t.endswith(">"):
-        return pa.list_(type_to_arrow(t[len("array<") : -1]))
-    if low.startswith("map<") and t.endswith(">"):
-        k, v = _split_top(t[len("map<") : -1])
-        return pa.map_(type_to_arrow(k), type_to_arrow(v))
-    if low.startswith("struct<") and t.endswith(">"):
-        fields = []
-        for part in _split_top(t[len("struct<") : -1]):
-            name, _, sub = part.partition(":")
-            fields.append(pa.field(name.strip(), type_to_arrow(sub)))
-        return pa.struct(fields)
-    raise ValueError(f"unsupported DDL type {t!r}")
-
-
-def ddl_to_arrow(ddl: str) -> pa.Schema:
-    """Parse the engine's stored schema DDL (``snapshot._ddl`` output:
-    ``name type, name type, …``) into a ``pyarrow.Schema``.  Parity
-    with Spark's own parser is pinned in tests via
-    ``to_arrow_schema(StructType.fromDDL(ddl))``."""
-    fields = []
-    for part in _split_top(ddl):
-        name, _, t = part.partition(" ")
-        fields.append(pa.field(name.strip(), type_to_arrow(t)))
-    return pa.schema(fields)

@@ -4,11 +4,10 @@ sink's own readers (sources/spark_datasource.py, sources/table_meta.py).
 Every semantic claim the data source makes is pinned against the
 engine path that defines it: batch == read_final / read_state,
 changelog == read_changes, time travel == snapshot refs, bucket-hash
-pruning == _bucket_expr, DDL parsing == Spark's parser."""
+pruning == _bucket_expr."""
 
 import os
 
-import pyarrow as pa
 import pytest
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -16,7 +15,6 @@ from pyspark.sql import types as T
 from beehive_data_etl_spark.sinks.snapshot import SnapshotSink
 from beehive_data_etl_spark.sources import table_meta as tm
 from beehive_data_etl_spark.sources.spark_datasource import (
-    BucketPartition,
     bucket_of,
     plan_state_partitions,
     plan_window_partitions,
@@ -385,24 +383,96 @@ def test_stream_replays_to_final_state_with_restart(spark, tmp_path):
     assert dst.current_snapshot()["version"] == before
 
 
-# ------------------------------------------------------------- DDL parsing
-def test_ddl_to_arrow_matches_spark_parser(spark):
-    from pyspark.sql.pandas.types import to_arrow_schema
+# --------------------------------------------------- review-found regressions
+def test_bootstrap_skips_history_guard(spark, tmp_path):
+    """frm=0 is a pure state copy: markers (rollback/purge/…) or
+    expired snapshots anywhere in old history must NOT refuse it, and
+    planning must not walk O(history) JSONs (review-found — the same
+    exemption Replicator.sync gives its initial full copy)."""
+    import json
 
-    ddls = [
-        "doc_id string, op_sequence bigint, deleted boolean, "
-        "tokens array<int>, n_tok int, source string",
-        "a smallint, b tinyint, c float, d double, e date, f binary",
-        "m map<string,bigint>, s struct<x:int,y:array<string>>, "
-        "dec decimal(10,2), ts timestamp, tn timestamp_ntz",
-        "nested array<struct<k:string,v:map<string,array<int>>>>",
-    ]
-    for ddl in ddls:
-        ours = tm.ddl_to_arrow(ddl)
-        theirs = to_arrow_schema(T.StructType.fromDDL(ddl))
-        got = [(f.name, f.type) for f in ours]
-        want = [(f.name, f.type) for f in theirs]
-        assert got == want, ddl
+    schema = T.StructType(
+        [
+            T.StructField("op", T.StringType()),
+            T.StructField("op_sequence", T.LongType()),
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("tokens", T.ArrayType(T.IntegerType())),
+        ]
+    )
+    root = str(tmp_path / "boot")
+    sink = SnapshotSink(spark, root, n_buckets=2)
+    sink.apply_batch(
+        spark.createDataFrame([("I", 1, "a", [1])], schema), "b1"
+    )
+    sink.apply_batch(
+        spark.createDataFrame([("I", 2, "b", [2])], schema), "b2"
+    )
+    # forge a purge marker into v1's metrics: a guarded window (1,2]
+    # must refuse, but the bootstrap window (0,2] must not
+    p = os.path.join(root, "_snapshots", "v000002.json")
+    snap = json.load(open(p))
+    snap["metrics"]["purge"] = {"keys": ["x"]}
+    json.dump(snap, open(p, "w"))
+    with pytest.raises(RuntimeError, match="purge"):
+        plan_window_partitions(root, 1, 2)
+    head = sink.current_snapshot()["version"]
+    parts = plan_window_partitions(root, 0, head)
+    assert parts  # bootstrap planned fine
+
+
+def test_changes_batch_schema_is_to_version(spark, tmp_path):
+    """A batch window read on a later-evolved table emits the
+    TO-version's columns, not the head's (review-found)."""
+    schema = T.StructType(
+        [
+            T.StructField("op", T.StringType()),
+            T.StructField("op_sequence", T.LongType()),
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("tokens", T.ArrayType(T.IntegerType())),
+        ]
+    )
+    root = str(tmp_path / "evo_win")
+    sink = SnapshotSink(spark, root, n_buckets=2)
+    sink.apply_batch(spark.createDataFrame([("I", 1, "a", [1])], schema), "b1")
+    sink.apply_batch(spark.createDataFrame([("U", 2, "a", [2])], schema), "b2")
+    v2 = sink.current_snapshot()["version"]
+    wider = schema.add("lang", T.StringType())
+    sink.apply_batch(
+        spark.createDataFrame([("I", 3, "c", [3], "en")], wider), "b3"
+    )
+    register(spark)
+    got = (
+        spark.read.format("beehive_changes")
+        .option("fromVersion", "1")
+        .option("toVersion", str(v2))
+        .load(root)
+    )
+    expect = sink.read_changes(1, v2)
+    assert got.columns == expect.columns  # no 'lang' leak from head
+    cols = expect.columns
+    assert _sorted_rows(got, cols) == _sorted_rows(expect, cols)
+
+
+def test_pin_tag_monotonic(spark, tmp_path):
+    """The stream's retention cursor can never move backward, even
+    when a lazy commit races a newer eager pin (review-found)."""
+    schema = T.StructType(
+        [
+            T.StructField("op", T.StringType()),
+            T.StructField("op_sequence", T.LongType()),
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("tokens", T.ArrayType(T.IntegerType())),
+        ]
+    )
+    root = str(tmp_path / "pin")
+    sink = SnapshotSink(spark, root, n_buckets=2)
+    sink.apply_batch(spark.createDataFrame([("I", 1, "a", [1])], schema), "b1")
+    sink.apply_batch(spark.createDataFrame([("I", 2, "b", [2])], schema), "b2")
+    tm.pin_tag(root, "stream-x", 2, monotonic=True)
+    tm.pin_tag(root, "stream-x", 1, monotonic=True)  # late commit: no-op
+    assert tm.load_tags(root)["stream-x"] == 2
+    tm.pin_tag(root, "stream-x", 1)  # explicit non-monotonic move works
+    assert tm.load_tags(root)["stream-x"] == 1
 
 
 def test_schema_evolution_alignment_through_ds(spark, tmp_path):
