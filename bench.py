@@ -182,6 +182,53 @@ def _run_serving() -> dict:
     out["scan_range_speedup"] = round(
         out["full_scan_range_s"] / max(out["scan_range_s"], 1e-9), 1
     )
+
+    # Python Data Source interop reads (sources/spark_datasource.py):
+    # the same table through spark.read.format("beehive") — executor-
+    # side Arrow fold — vs the sink's JVM-side fold, plus one changelog
+    # window through format("beehive_changes"). Parity is asserted, not
+    # assumed; the timings quantify the interop path's overhead.
+    from beehive_data_etl_spark.sources.spark_datasource import register
+
+    register(spark)
+    assert (
+        spark.read.format("beehive").load(root).count() == out["table_rows"]
+    ), "datasource/state row-count parity"
+    out["ds_scan_count_s"] = _best(
+        lambda: spark.read.format("beehive").load(root).count()
+    )
+    out["full_scan_count_s"] = _best(lambda: sink.read_final().count())
+    out["ds_point_s"] = _best(
+        lambda: spark.read.format("beehive")
+        .load(root)
+        .filter(F.col("doc_id") == k0)
+        .count()
+    )
+    # one real change window: update 1% of keys, then capture the diff
+    v_before = sink.current_snapshot()["version"]
+    upd = (
+        final.limit(max(1, out["table_rows"] // 100))
+        .withColumn("op", F.lit("U"))
+        .withColumn("op_sequence", F.lit(10**15))
+    )
+    sink.apply_batch(upd, "bench-ds-window")
+    v_after = sink.current_snapshot()["version"]
+    n_changed = sink.read_changes(v_before, v_after).count()
+    ds_window = (
+        spark.read.format("beehive_changes")
+        .option("fromVersion", str(v_before))
+        .option("toVersion", str(v_after))
+        .load(root)
+    )
+    assert ds_window.count() == n_changed, "datasource/changelog parity"
+    out["ds_changes_window_rows"] = n_changed
+    out["ds_changes_window_s"] = _best(
+        lambda: spark.read.format("beehive_changes")
+        .option("fromVersion", str(v_before))
+        .option("toVersion", str(v_after))
+        .load(root)
+        .count()
+    )
     spark.stop()
     return out
 
@@ -885,6 +932,19 @@ def _write_bench_md(result: dict) -> None:
             f"{srv['full_scan_filter_s']} | plan: "
             f"{srv['scan_where_plan']} |",
             "",
+            "Python Data Source interop (same table via "
+            "`spark.read.format(\"beehive\")` — executor-side Arrow "
+            "fold, parity asserted in-run): full state count "
+            f"{srv['ds_scan_count_s']} s (sink JVM fold: "
+            f"{srv['full_scan_count_s']} s); point read "
+            f"{srv['ds_point_s']} s (bucket-pruned via pushed key "
+            f"filter + pure-Python xxhash64); one changelog window of "
+            f"{srv['ds_changes_window_rows']} changed rows via "
+            f"`format(\"beehive_changes\")`: {srv['ds_changes_window_s']} "
+            "s. The DS pays Python-worker startup per read — it is the "
+            "interop/consumer surface, not a replacement for the "
+            "sink's JVM read paths.",
+            "",
             "Files-read is the column that scales: the pruned paths "
             "touch O(probe) files at ANY table size (plan-time prune "
             "from the commit entries' key stats), the baseline touches "
@@ -977,6 +1037,9 @@ def main() -> None:
             "full_scan_files_read": serving["full_scan_files"],
             "lookup_point_s": serving["lookup_point_s"],
             "scan_where_s": serving["scan_where_s"],
+            "ds_scan_count_s": serving["ds_scan_count_s"],
+            "ds_point_s": serving["ds_point_s"],
+            "ds_changes_window_s": serving["ds_changes_window_s"],
         },
         "submit_smoke_events_per_sec": (smoke or {}).get(
             "replay_events_per_sec", (smoke or {}).get("events_per_sec")
