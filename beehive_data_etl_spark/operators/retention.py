@@ -118,3 +118,131 @@ def delete_where(
         "version": sink.current_snapshot()["version"],
         "dry_run": False,
     }
+
+
+def update_where(
+    sink,
+    predicates: list[tuple],
+    set_exprs: dict,
+    batch_id: str | None = None,
+    dry_run: bool = False,
+    reads: list[str] | None = None,
+) -> dict:
+    """SQL ``UPDATE … SET … WHERE`` as an ORDINARY change batch — the
+    read-modify-write complement of ``delete_where``, with the same
+    contract: every matched LIVE row (stats-pruned ``scan_where``
+    match) is re-emitted at ONE freshly allocated op_sequence, applied
+    through the exactly-once sink protocol, visible to every changelog
+    consumer (views maintain, replicas ship, outbox publishes), and
+    aged out by normal compaction/vacuum.
+
+    ``set_exprs``: ``{column: Column-or-SQL-string}`` evaluated over
+    the row's CURRENT values at the planned snapshot — so
+    ``{"n_tok": "n_tok + 1"}`` is a true read-modify-write observed at
+    one point in time. Self-referential and cross-column expressions
+    are fine on row tables (the full current row is read to rebuild the
+    replacement image anyway).
+
+    **Patch tables get the cell-level fast path**: the sweep emits
+    ``P`` events masking exactly the SET columns, so (a) the scan reads
+    only the SET columns plus ``reads`` (name any OTHER columns your
+    expressions reference — an unlisted reference fails loudly at plan
+    time, never silently), not the table width, and (b) a concurrent
+    or late out-of-order patch to a DIFFERENT column composes under
+    per-cell LWW instead of being clobbered by a full-row image.
+
+    Concurrency is plain LWW, stated not hidden: a writer that lands a
+    higher-seq image of a matched key after the plan wins — the sweep
+    raced a newer write and lost, which is what a policy sweep wants
+    (the next scheduled run re-evaluates). Unlike ``delete_where``,
+    re-RUNNING an applied update is not automatically a no-op: if the
+    SET does not falsify the predicate, a second run re-stamps the same
+    values at a new sequence (harmless but not free). Crash-RETRY of
+    one run is exactly-once as ever: same planned (version, seq) ⇒ same
+    deterministic batch id ⇒ the sink's replay path.
+
+    Scale: O(matching buckets' state) scan (width = SET∪reads columns
+    on patch tables, full payload on row tables — the replacement image
+    needs it), O(matched rows) event batch, no driver collect."""
+    snap = sink.current_snapshot()
+    if snap is None:
+        raise ValueError("no snapshot yet")
+    schema = T.StructType.fromDDL(snap["schema"])
+    payload_fields = [
+        f for f in schema.fields if f.name not in (KEY, SEQ, "deleted", CELL)
+    ]
+    payload_names = [f.name for f in payload_fields]
+    bad = sorted(set(set_exprs) - set(payload_names))
+    if bad:
+        raise ValueError(
+            f"cannot SET column(s) {bad!r}: not payload columns "
+            f"(available: {payload_names})"
+        )
+    if not set_exprs:
+        raise ValueError("set_exprs is empty — nothing to update")
+    exprs = {
+        c: (F.expr(e) if isinstance(e, str) else e)
+        for c, e in set_exprs.items()
+    }
+    patch = bool(snap.get("patch", False))
+    if patch:
+        need = sorted(set(set_exprs) | set(reads or []))
+        matching = sink.scan_where(predicates, columns=need)
+    else:
+        matching = sink.scan_where(predicates)
+    matching = matching.localCheckpoint()
+    n = matching.count()
+    if dry_run or n == 0:
+        return {
+            "updated": n,
+            "op_sequence": None,
+            "batch_id": None,
+            "version": snap["version"],
+            "dry_run": dry_run,
+        }
+    # one clock tick, (version, seq)-deterministic batch id — the same
+    # crash-retry / GC-collision argument as delete_where above
+    seq = next_op_sequence(sink)
+    if patch:
+        cols = [
+            F.lit("P").alias("op"),
+            F.lit(seq).cast("long").alias(SEQ),
+            F.col(KEY),
+            F.array(*[F.lit(c) for c in sorted(set_exprs)]).alias(
+                "patch_cols"
+            ),
+        ]
+        # unmasked columns ride as typed NULLs: the mask keeps the
+        # cell fold from ever reading them, and carrying the full
+        # payload schema means no accidental schema evolution
+        for f in payload_fields:
+            src = exprs.get(f.name, F.lit(None))
+            cols.append(src.cast(f.dataType).alias(f.name))
+    else:
+        cols = [
+            F.lit("U").alias("op"),
+            F.lit(seq).cast("long").alias(SEQ),
+            F.col(KEY),
+        ]
+        for f in payload_fields:
+            src = exprs.get(f.name, F.col(f.name))
+            cols.append(src.cast(f.dataType).alias(f.name))
+    events = matching.select(*cols)
+    bid = batch_id or f"update-where-v{snap['version']}-{seq}"
+    metrics = sink.apply_batch(events, bid)
+    if metrics.get("skipped"):
+        return {
+            "updated": 0,
+            "op_sequence": seq,
+            "batch_id": bid,
+            "version": sink.current_snapshot()["version"],
+            "dry_run": False,
+            "skipped": metrics.get("reason", "batch id already committed"),
+        }
+    return {
+        "updated": n,
+        "op_sequence": seq,
+        "batch_id": bid,
+        "version": sink.current_snapshot()["version"],
+        "dry_run": False,
+    }
