@@ -178,6 +178,12 @@ class BucketPartition(InputPartition):
     new_files: list[str] = field(default_factory=list)
     old_files: list[str] = field(default_factory=list)
     added_files: list[str] = field(default_factory=list)
+    # pushed key-equality values (point reads): executors pass these as
+    # parquet row-group filters on BOTH fold passes — sound for LWW
+    # because every version of a key carries the key (the sink's own
+    # file-level key-prune argument), unlike payload predicates which
+    # must never prune below the fold
+    key_values: list[str] | None = None
 
 
 def _bucket_files(root: str, snap: dict, bucket: int) -> list[str]:
@@ -212,13 +218,16 @@ def plan_state_partitions(
     bucket-granular only: payload-predicate entry skipping would hit
     the stale-winner trap the sink's scan_where documents."""
     wanted = _buckets_for_filters(filters, snap["n_buckets"])
+    keys = _key_values_for_filters(filters)
     parts = []
     for b in range(snap["n_buckets"]):
         if wanted is not None and b not in wanted:
             continue
         files = _bucket_files(root, snap, b)
         if files:
-            parts.append(BucketPartition(bucket=b, new_files=files))
+            parts.append(
+                BucketPartition(bucket=b, new_files=files, key_values=keys)
+            )
     return parts
 
 
@@ -366,6 +375,21 @@ def bucket_of(doc_id: str, n_buckets: int) -> int:
     return _xxhash64_utf8(doc_id.encode("utf-8")) % n_buckets
 
 
+def _key_values_for_filters(filters: list | None) -> list | None:
+    """String values of the first key-equality conjunct, or None.
+    Restricting the scan to ONE conjunct's value set is sound for a
+    conjunction (it keeps every row satisfying all of them); Spark
+    re-applies the full predicate anyway."""
+    for f in filters or ():
+        if isinstance(f, EqualTo) and f.attribute == (KEY,):
+            if isinstance(f.value, str):
+                return [f.value]
+        if isinstance(f, In) and f.attribute == (KEY,):
+            if all(isinstance(v, str) for v in f.value):
+                return list(f.value)
+    return None
+
+
 def _buckets_for_filters(filters: list | None, n_buckets: int) -> set | None:
     """Bucket set provably covering the pushed filters, or None for
     'all buckets'.  Only key-equality shapes prune — everything else is
@@ -385,18 +409,26 @@ def _buckets_for_filters(filters: list | None, n_buckets: int) -> set | None:
 
 
 # ------------------------------------------------------------ executor side
-def _read_cols(path: str, columns: list[str]):
+def _read_cols(path: str, columns: list[str], key_values: list | None = None):
     """Read a parquet file restricted to the columns it actually has
-    (older-schema deltas lack later columns)."""
+    (older-schema deltas lack later columns).  ``key_values`` (point
+    reads) becomes a parquet row-group filter on the key — the I/O win
+    on compacted key-sorted buckets, where a probe decodes one row
+    group instead of the bucket.  CRITICAL ordinal contract: both fold
+    passes of one partition must pass the SAME key_values, because row
+    ordinals index the (identically) filtered read."""
     import pyarrow.parquet as pq
 
-    f = pq.ParquetFile(path)
-    have = set(f.schema_arrow.names)
+    have = set(pq.read_schema(path).names)
     cols = [c for c in columns if c in have]
-    return f.read(columns=cols), have
+    if key_values is not None:
+        t = pq.read_table(path, columns=cols, filters=[(KEY, "in", key_values)])
+    else:
+        t = pq.ParquetFile(path).read(columns=cols)
+    return t, have
 
 
-def _winners(files: list[str]):
+def _winners(files: list[str], key_values: list | None = None):
     """Pass 1 of the merge-on-read fold: per-key LWW winner location.
 
     Returns a pandas frame indexed by key with columns (seq, deleted,
@@ -409,7 +441,7 @@ def _winners(files: list[str]):
 
     frames = []
     for i, path in enumerate(files):
-        t, _ = _read_cols(path, [KEY, SEQ, DELETED])
+        t, _ = _read_cols(path, [KEY, SEQ, DELETED], key_values)
         df = t.to_pandas()
         df["f"] = i
         df["r"] = range(len(df))
@@ -438,14 +470,18 @@ def _align(table: pa.Table, target: pa.Schema) -> pa.Table:
 
 
 def _take_rows(
-    files: list[str], win, keys, target: pa.Schema, extra_cols: dict | None = None
+    files: list[str],
+    win,
+    keys,
+    target: pa.Schema,
+    extra_cols: dict | None = None,
+    key_values: list | None = None,
 ):
     """Pass 2: materialize the winning rows of ``keys`` (an index into
     ``win``), aligned to ``target``, optionally appending constant-ish
     extra columns (the changelog's change_type), yielding one
     RecordBatch per source file."""
     import numpy as np
-    import pyarrow.parquet as pq
 
     sel = win.loc[list(keys)] if keys is not None else win
     read_cols = [f.name for f in target if f.name != CHANGE]
@@ -454,9 +490,7 @@ def _take_rows(
         if len(rows) == 0:
             continue
         order = np.sort(rows["r"].to_numpy())
-        f = pq.ParquetFile(path)
-        have = set(f.schema_arrow.names)
-        t = f.read(columns=[c for c in read_cols if c in have])
+        t, _ = _read_cols(path, read_cols, key_values)
         t = t.take(pa.array(order))
         if extra_cols:
             # map each taken row back to its key to fetch its tag
@@ -473,10 +507,12 @@ def _take_rows(
 def read_state_partition(part: BucketPartition, target: pa.Schema, internal: bool):
     """Executor body of the batch source: fold the bucket, emit live
     winners (read_final parity), or all winners when ``internal``."""
-    win = _winners(part.new_files)
+    win = _winners(part.new_files, part.key_values)
     if not internal and len(win) > 0:
         win = win[~win[DELETED].astype(bool)]
-    yield from _take_rows(part.new_files, win, None, target)
+    yield from _take_rows(
+        part.new_files, win, None, target, key_values=part.key_values
+    )
 
 
 def read_changes_partition(part: BucketPartition, target: pa.Schema):

@@ -504,3 +504,78 @@ def test_schema_evolution_alignment_through_ds(spark, tmp_path):
     assert _sorted_rows(got.select(*cols), cols) == _sorted_rows(
         expect.select(*cols), cols
     )
+
+
+def test_random_history_parity_property(spark, tmp_path):
+    """Property-style: random multi-batch histories (duplicate
+    deliveries, out-of-order seqs, deletes, re-inserts, inline
+    compaction via a low threshold) — the DS's Arrow fold and the
+    sink's Catalyst fold must byte-agree on every state AND on every
+    adjacent changelog window. Two independent implementations of the
+    same semantics are the oracle."""
+    import random
+
+    rng = random.Random(1234)
+    schema = T.StructType(
+        [
+            T.StructField("op", T.StringType()),
+            T.StructField("op_sequence", T.LongType()),
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("tokens", T.ArrayType(T.IntegerType())),
+            T.StructField("n_tok", T.IntegerType()),
+            T.StructField("source", T.StringType()),
+        ]
+    )
+    root = str(tmp_path / "prop")
+    sink = SnapshotSink(spark, root, n_buckets=4, compact_threshold=3)
+    register(spark)
+    keys = [f"k{i}" for i in range(17)]
+    seqs = list(range(1, 400))
+    rng.shuffle(seqs)
+    versions = []
+    for b in range(6):
+        rows = []
+        for _ in range(rng.randint(3, 20)):
+            k = rng.choice(keys)
+            s = seqs.pop()
+            if rng.random() < 0.15:
+                rows.append(("D", s, k, [], 0, "s"))
+            else:
+                toks = [rng.randint(0, 99) for _ in range(rng.randint(0, 5))]
+                rows.append(("U", s, k, toks, len(toks), f"src{s % 3}"))
+        if rows and rng.random() < 0.3:
+            rows.append(rows[-1])  # byte-identical duplicate delivery
+        sink.apply_batch(spark.createDataFrame(rows, schema), f"pb{b}")
+        versions.append(sink.current_snapshot()["version"])
+    cols = ["doc_id", "tokens", "n_tok", "source"]
+    for v in versions:
+        got = (
+            spark.read.format("beehive")
+            .option("version", str(v))
+            .load(root)
+        )
+        want = sink.read_state(version=v).filter(~F.col("deleted")).select(*cols)
+        assert _sorted_rows(got, cols) == _sorted_rows(want, cols), f"v{v}"
+    ch_cols = None
+    for frm, to in zip(versions, versions[1:]):
+        got = (
+            spark.read.format("beehive_changes")
+            .option("fromVersion", str(frm))
+            .option("toVersion", str(to))
+            .load(root)
+        )
+        want = sink.read_changes(frm, to)
+        ch_cols = ch_cols or want.columns
+        assert _sorted_rows(got, ch_cols) == _sorted_rows(want, ch_cols), (
+            frm,
+            to,
+        )
+    # point reads under the key row-group filter agree too
+    for k in rng.sample(keys, 5):
+        got = (
+            spark.read.format("beehive")
+            .load(root)
+            .filter(F.col("doc_id") == k)
+        )
+        want = sink.read_final().filter(F.col("doc_id") == k)
+        assert _sorted_rows(got, cols) == _sorted_rows(want, cols), k
