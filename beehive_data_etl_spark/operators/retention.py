@@ -154,12 +154,21 @@ def update_where(
     Concurrency is plain LWW, stated not hidden: a writer that lands a
     higher-seq image of a matched key after the plan wins — the sweep
     raced a newer write and lost, which is what a policy sweep wants
-    (the next scheduled run re-evaluates). Unlike ``delete_where``,
-    re-RUNNING an applied update is not automatically a no-op: if the
-    SET does not falsify the predicate, a second run re-stamps the same
-    values at a new sequence (harmless but not free). Crash-RETRY of
-    one run is exactly-once as ever: same planned (version, seq) ⇒ same
-    deterministic batch id ⇒ the sink's replay path.
+    (the next scheduled run re-evaluates).
+
+    Retry semantics — weaker than ``delete_where``'s, stated honestly:
+    a crash BEFORE commit replans identically (same snapshot → same
+    (version, seq) → same deterministic batch id → the sink's replay
+    path). A crash AFTER commit but before the caller records success
+    replans against the NEW snapshot, gets a fresh batch id, and runs
+    the sweep AGAIN — absolute SETs re-stamp the same values
+    (harmless), but a self-referential expression like ``n_tok + 1``
+    increments twice. ``delete_where`` never has this problem because a
+    delete falsifies its own match. If the sweep is read-modify-write
+    AND the caller can crash after commit, pass an explicit
+    ``batch_id`` derived from the policy's own idempotence key (the
+    cron tick, the job run id) — the second attempt then dedupes in the
+    sink and reports ``skipped``.
 
     Scale: O(matching buckets' state) scan (width = SET∪reads columns
     on patch tables, full payload on row tables — the replacement image

@@ -409,23 +409,50 @@ def _buckets_for_filters(filters: list | None, n_buckets: int) -> set | None:
 
 
 # ------------------------------------------------------------ executor side
+def _matching_row_groups(pf, key_values: list) -> list[int]:
+    """Row groups whose key statistics admit any probed value —
+    stats-missing groups are kept (never prune on absence of proof,
+    the same rule as the sink's _range_may_contain).  Deterministic
+    function of (file, key_values): both fold passes select identical
+    groups, which is what keeps their row ordinals aligned."""
+    md = pf.metadata
+    leaf = next(
+        i for i in range(len(md.schema)) if md.schema.column(i).path == KEY
+    )
+    keep = []
+    for g in range(md.num_row_groups):
+        st = md.row_group(g).column(leaf).statistics
+        if (
+            st is None
+            or not st.has_min_max
+            or any(st.min <= v <= st.max for v in key_values)
+        ):
+            keep.append(g)
+    return keep
+
+
 def _read_cols(path: str, columns: list[str], key_values: list | None = None):
     """Read a parquet file restricted to the columns it actually has
     (older-schema deltas lack later columns).  ``key_values`` (point
-    reads) becomes a parquet row-group filter on the key — the I/O win
-    on compacted key-sorted buckets, where a probe decodes one row
-    group instead of the bucket.  CRITICAL ordinal contract: both fold
-    passes of one partition must pass the SAME key_values, because row
-    ordinals index the (identically) filtered read."""
+    reads) prunes row groups by key statistics — the I/O win on
+    compacted key-sorted buckets, where a probe decodes one row group
+    instead of the bucket (surviving groups are read whole; Spark
+    re-applies the predicate row-level, see pushFilters).  One footer
+    read per file: names, stats, and data all come off the same
+    ParquetFile.  CRITICAL ordinal contract: both fold passes of one
+    partition must pass the SAME key_values, because row ordinals
+    index the (identically) pruned read."""
     import pyarrow.parquet as pq
 
-    have = set(pq.read_schema(path).names)
+    pf = pq.ParquetFile(path)
+    have = set(pf.schema_arrow.names)
     cols = [c for c in columns if c in have]
-    if key_values is not None:
-        t = pq.read_table(path, columns=cols, filters=[(KEY, "in", key_values)])
-    else:
-        t = pq.ParquetFile(path).read(columns=cols)
-    return t, have
+    if key_values is None:
+        return pf.read(columns=cols), have
+    groups = _matching_row_groups(pf, key_values)
+    if not groups:
+        return pf.schema_arrow.empty_table().select(cols), have
+    return pf.read_row_groups(groups, columns=cols), have
 
 
 def _winners(files: list[str], key_values: list | None = None):
@@ -688,14 +715,24 @@ class BeehiveChangesStreamReader(DataSourceStreamReader):
     def partitions(self, start: dict, end: dict):
         s, e = start["version"], end["version"]
         self._cursor = e
-        if self.pin and s > 0:
-            # eager pin of the window's FROM version BEFORE executors
-            # read: commit() lags a batch, so without this there is a
-            # window (first batch, or plan→lazy-commit gap) where no
-            # tag clamps vacuum/expire and the files this very batch
-            # reads could be reaped. Never moves the tag backward —
-            # a replanned old window after restart must not unpin.
-            tm.pin_tag(self.root, f"stream-{self.pin}", s, monotonic=True)
+        if self.pin and e > 0:
+            # eager pin BEFORE executors read: commit() lags a batch,
+            # so without this there is a gap (first batch, or the
+            # plan→lazy-commit window) where no tag clamps
+            # vacuum/expire and the files this very batch reads could
+            # be reaped. Pin the FROM version (its files feed the
+            # diff's old side) — except the bootstrap (s == 0, no FROM
+            # state), which pins its TO version so the full-state
+            # copy's files survive the longest batch of all
+            # (review-found: the old s > 0 guard excluded exactly the
+            # batch the comment claimed to protect). Monotonic: a
+            # replanned old window after restart never unpins.
+            tm.pin_tag(
+                self.root,
+                f"stream-{self.pin}",
+                s if s > 0 else e,
+                monotonic=True,
+            )
         parts = plan_window_partitions(self.root, s, e)
         if not parts:
             # metadata-only window (tags, trims): one empty sentinel —

@@ -57,12 +57,37 @@ import json
 import os
 import sys
 import time
+import uuid
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from beehive_data_etl_spark.sinks.snapshot import SnapshotSink
 from beehive_data_etl_spark.sources.spark_datasource import register
+
+
+def _run_id(ckpt: str) -> str:
+    """One id per CHECKPOINT LINEAGE, stored inside the checkpoint dir:
+    epoch ids restart at 0 on a fresh checkpoint, so a bare
+    'subscribe-<epoch>' batch id would collide with the ids an earlier
+    checkpoint's run already committed into the replica — every
+    replayed window silently skipped as a re-delivery (review-found).
+    Namespacing by a per-checkpoint uuid keeps crash-retry WITHIN a
+    checkpoint exactly-once (same run id + same epoch) while a fresh
+    checkpoint gets fresh ids; re-applying its bootstrap over the
+    existing replica is plain LWW idempotence."""
+    os.makedirs(ckpt, exist_ok=True)
+    path = os.path.join(ckpt, "BEEHIVE_RUN_ID")
+    try:
+        with open(path) as fh:
+            return fh.read().strip()
+    except FileNotFoundError:
+        rid = uuid.uuid4().hex[:12]
+        tmp = path + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(rid)
+        os.replace(tmp, path)
+        return rid
 
 
 def main() -> None:
@@ -73,19 +98,25 @@ def main() -> None:
         spark, dst, n_buckets=int(os.environ.get("SUBSCRIBE_BUCKETS", "64"))
     )
     pin = os.environ.get("SUBSCRIBE_PIN", os.path.basename(dst.rstrip("/")))
+    ckpt = os.environ.get(
+        "SUBSCRIBE_CHECKPOINT", os.path.join(dst, "_subscribe_ckpt")
+    )
+    run_id = _run_id(ckpt)
     applied: list[int] = []
 
     def apply_window(df, epoch_id: int) -> None:
         # change rows → envelope: D stays a delete, I/U are upserts
         # (the replica's LWW doesn't distinguish them), op_sequence is
-        # the truthful upstream clock already on the row
+        # the truthful upstream clock already on the row; 'deleted' is
+        # the sink's internal column — drop it like Replicator does
+        # rather than relying on apply_batch overwriting it
         events = df.withColumn(
             "op",
             F.when(F.col("change_type") == "D", F.lit("D")).otherwise(
                 F.lit("U")
             ),
-        ).drop("change_type")
-        m = replica.apply_batch(events, f"subscribe-{epoch_id}")
+        ).drop("change_type", "deleted")
+        m = replica.apply_batch(events, f"subscribe-{run_id}-{epoch_id}")
         if not m.get("skipped"):
             applied.append(epoch_id)
 
@@ -99,12 +130,7 @@ def main() -> None:
     q = (
         reader.load(src)
         .writeStream.foreachBatch(apply_window)
-        .option(
-            "checkpointLocation",
-            os.environ.get(
-                "SUBSCRIBE_CHECKPOINT", os.path.join(dst, "_subscribe_ckpt")
-            ),
-        )
+        .option("checkpointLocation", ckpt)
         .trigger(processingTime=f"{trigger_s} seconds")
         .start()
     )

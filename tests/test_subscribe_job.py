@@ -94,6 +94,69 @@ def test_subscribe_refuses_unstreamable_window(spark, tmp_path, monkeypatch):
     src.apply_batch(
         spark.createDataFrame([("U", 50, "d0", [5], 1, "s")], SCHEMA), "b2"
     )
-    src.purge_keys(["d3"])
+    # the subscriber's retention tag now exists (eager bootstrap pin),
+    # so purge first refuses — the replica-retention interplay
+    # purge_keys documents; follow its guidance for this test
+    with pytest.raises(RuntimeError, match="tags pin"):
+        src.purge_keys(["d3"])
+    src.purge_keys(["d3"], ignore_tags=True)
     with pytest.raises(Exception, match="purge"):
         _run_job(monkeypatch, src_root, dst_root)
+
+
+def test_subscribe_fresh_checkpoint_no_batch_id_collision(
+    spark, tmp_path, monkeypatch
+):
+    """Epoch ids restart at 0 on a fresh checkpoint; the replica batch
+    ids are namespaced per checkpoint lineage, so the re-bootstrap
+    APPLIES instead of being skipped as a re-delivery (review-found
+    silent-divergence bug)."""
+    import shutil
+
+    src_root = str(tmp_path / "src3")
+    dst_root = str(tmp_path / "dst3")
+    ckpt = os.path.join(dst_root, "_subscribe_ckpt")
+    src = SnapshotSink(spark, src_root, n_buckets=4)
+    src.apply_batch(
+        spark.createDataFrame(
+            [("I", i, f"d{i}", [i], 1, "s") for i in range(6)], SCHEMA
+        ),
+        "b1",
+    )
+    _run_job(monkeypatch, src_root, dst_root)
+    dst = SnapshotSink(spark, dst_root, n_buckets=4)
+    assert _rows(dst) == _rows(src)
+    # upstream change, then LOSE the checkpoint (the documented
+    # recovery move) and re-run: epoch 0 again, fresh run id
+    src.apply_batch(
+        spark.createDataFrame([("U", 50, "d0", [9], 1, "s9")], SCHEMA), "b2"
+    )
+    shutil.rmtree(ckpt)
+    _run_job(monkeypatch, src_root, dst_root)
+    assert _rows(dst) == _rows(src)  # re-bootstrap applied, not skipped
+    assert dst.read_final().filter(F.col("source") == "s9").count() == 1
+
+
+def test_stream_bootstrap_pins_to_version(spark, tmp_path):
+    """The bootstrap window (FROM=0) eagerly pins its TO version before
+    executors read — the longest batch must not race retention
+    (review-found: the old guard excluded exactly this batch)."""
+    from pyspark.sql import types as T
+
+    from beehive_data_etl_spark.sources.spark_datasource import (
+        BeehiveChangesStreamReader,
+    )
+
+    root = str(tmp_path / "pinboot")
+    src = SnapshotSink(spark, root, n_buckets=2)
+    src.apply_batch(
+        spark.createDataFrame([("I", 1, "a", [1], 1, "s")], SCHEMA), "b1"
+    )
+    head = src.current_snapshot()["version"]
+    schema = T.StructType.fromDDL(
+        "doc_id string, op_sequence bigint, deleted boolean, "
+        "tokens array<int>, n_tok int, source string, change_type string"
+    )
+    r = BeehiveChangesStreamReader(schema, {"path": root, "pin": "boot"})
+    r.partitions({"version": 0}, {"version": head})
+    assert tm.load_tags(root)["stream-boot"] == head
