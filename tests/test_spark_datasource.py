@@ -579,3 +579,36 @@ def test_random_history_parity_property(spark, tmp_path):
         )
         want = sink.read_final().filter(F.col("doc_id") == k)
         assert _sorted_rows(got, cols) == _sorted_rows(want, cols), k
+
+
+def test_matching_row_groups_prunes_and_keeps_statless():
+    """Unit evidence for the executor-side key row-group prune: sorted
+    keys → a point probe admits one group of many; groups without
+    stats are kept (never prune without proof)."""
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from beehive_data_etl_spark.sources.spark_datasource import (
+        _matching_row_groups,
+    )
+
+    keys = [f"k{i:04d}" for i in range(100)]
+    t = pa.table(
+        {
+            "doc_id": pa.array(keys),
+            "tokens": pa.array([[i] for i in range(100)], pa.list_(pa.int32())),
+        }
+    )
+    path = tempfile.mktemp(suffix=".parquet")
+    pq.write_table(t, path, row_group_size=10)  # 10 groups, sorted keys
+    pf = pq.ParquetFile(path)
+    assert pf.metadata.num_row_groups == 10
+    assert _matching_row_groups(pf, ["k0055"]) == [5]
+    assert _matching_row_groups(pf, ["k0005", "k0095"]) == [0, 9]
+    assert _matching_row_groups(pf, ["zzz"]) == []
+    nostats = tempfile.mktemp(suffix=".parquet")
+    pq.write_table(t, nostats, row_group_size=10, write_statistics=False)
+    pf2 = pq.ParquetFile(nostats)
+    assert _matching_row_groups(pf2, ["k0055"]) == list(range(10))
