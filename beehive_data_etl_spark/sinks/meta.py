@@ -6,8 +6,8 @@ this lever"); these are the raw, ad-hoc-SQL surface the operator uses
 to answer questions the advisor didn't anticipate:
 
     register_meta_views(spark, sink, prefix="t")
-    spark.sql("SELECT bucket, sum(rows) FROM t_files "
-              "WHERE NOT compacted GROUP BY bucket ORDER BY 2 DESC")
+    spark.sql("SELECT bucket, count(*) AS deltas, sum(n_files) FROM t_files "
+              "WHERE NOT compacted GROUP BY bucket ORDER BY deltas DESC")
     spark.sql("SELECT version, operation, committed_at FROM t_snapshots "
               "WHERE operation <> 'append' ORDER BY version")
 
@@ -87,6 +87,7 @@ _OPERATIONS = (
     "rename_column",
     "rebucket",
     "expire_snapshots",
+    "trim_committed",
     "compaction",
 )
 
@@ -105,28 +106,46 @@ def meta_table(sink, kind: str, version=None) -> DataFrame:
     other two are table-level)."""
     spark = sink.spark
     if kind in ("files", "batches"):
+        # explicit versions must exist (raises like every time-travel
+        # entry point); a fresh table with no snapshot yet reads as
+        # EMPTY typed tables so dashboards can register before ingest
         snap = (
             sink.current_snapshot()
             if version is None
             else sink.snapshot(version)
         )
         if snap is None:
-            raise ValueError("no snapshot yet")
+            snap = {"buckets": {}, "committed_batches": []}
     if kind == "files":
+        import os
+
         rows = []
         for b_str, entries in sorted(
             snap["buckets"].items(), key=lambda kv: int(kv[0])
         ):
             for e in entries:
                 kr = e.get("key_range") or (None, None)
-                fr = e.get("file_ranges") or {}
+                # file_ranges is absent whenever any footer lacked key
+                # stats, so it UNDERCOUNTS multi-file entries; list the
+                # entry dir instead (driver-side, same O(entries) cost
+                # class as the rest of the build)
+                path = os.path.join(sink.root, e["path"])
+                try:
+                    n_files = sum(
+                        1
+                        for _, _, names in os.walk(path)
+                        for n in names
+                        if n.endswith(".parquet")
+                    ) or 1
+                except OSError:
+                    n_files = max(1, len(e.get("file_ranges") or {}))
                 rows.append(
                     (
                         int(b_str),
                         e["path"],
                         bool(e.get("compacted")),
                         e.get("batch_id"),
-                        max(1, len(fr)),
+                        n_files,
                         kr[0],
                         kr[1],
                         bool(e.get("zorder")),
@@ -137,33 +156,35 @@ def meta_table(sink, kind: str, version=None) -> DataFrame:
     if kind == "snapshots":
         head = sink.current_snapshot()
         if head is None:
-            raise ValueError("no snapshot yet")
+            return spark.createDataFrame([], _SNAPSHOTS_SCHEMA)
         floor = head.get("snapshot_floor", 1)
+        # tag-pinned versions below the floor keep their JSONs through
+        # expire_snapshots — include them, so `tags JOIN snapshots` on
+        # version never drops an audit pin
+        versions = sorted(
+            set(range(floor, head["version"] + 1))
+            | {v for v in sink.tags().values() if v < floor}
+        )
         rows = []
-        import os
-
-        for v in range(floor, head["version"] + 1):
-            s = sink.snapshot(v)
+        for v in versions:
+            try:
+                s = sink.snapshot(v)
+            except (FileNotFoundError, ValueError):
+                # concurrent expire_snapshots retired it between the
+                # floor read and this load — skip rather than fail the
+                # whole (still consistent) build
+                continue
             m = s.get("metrics", {})
-            committed = s.get("committed_batches", [])
-            ct = m.get("commit_ts")
-            if ct is None:
-                # writer paths that predate / skip the field (rollback
-                # among them): the JSON's mtime, the same fallback
-                # as_of_version uses
-                ct = os.path.getmtime(
-                    os.path.join(sink.root, "_snapshots", f"v{v:06d}.json")
-                )
             rows.append(
                 (
                     s["version"],
                     s.get("parent"),
-                    float(ct),
+                    sink.commit_time(v),
                     _operation(m),
                     m.get("batch_id"),
                     s.get("n_buckets"),
                     s.get("schema_version", 0),
-                    len(committed),
+                    len(s.get("committed_batches", [])),
                     s.get("tombstone_floor", 0),
                     s.get("snapshot_floor", 1),
                     m.get("wall_s"),

@@ -359,6 +359,20 @@ class SnapshotSink:
             return tags[ref]
         return int(ref)
 
+    def commit_time(self, v: int) -> float:
+        """A committed version's wall-clock time: the recorded
+        ``metrics.commit_ts``, falling back to the snapshot JSON's
+        mtime for writer paths that predate the field. Shared by
+        ``as_of_version`` and the metadata tables (sinks/meta.py) so
+        the snapshot-file naming and fallback live in one place."""
+        snap = self.snapshot(v)
+        ct = snap.get("metrics", {}).get("commit_ts")
+        if ct is not None:
+            return float(ct)
+        return os.path.getmtime(
+            os.path.join(self.root, "_snapshots", f"v{v:06d}.json")
+        )
+
     def as_of_version(self, ts: float | str) -> int:
         """Timestamp time travel (Iceberg's ``as-of-timestamp``): the
         LATEST committed version whose commit time <= ``ts``. Pass the
@@ -393,15 +407,7 @@ class SnapshotSink:
             raise ValueError("no snapshot yet")
         floor = head.get("snapshot_floor", 1)
 
-        def ctime(v: int) -> float:
-            snap = self.snapshot(v)
-            ct = snap.get("metrics", {}).get("commit_ts")
-            if ct is not None:
-                return float(ct)
-            return os.path.getmtime(
-                os.path.join(self.root, "_snapshots", f"v{v:06d}.json")
-            )
-
+        ctime = self.commit_time
         lo, hi = floor, head["version"]
         if ts < ctime(lo):
             raise ValueError(

@@ -115,7 +115,37 @@ def test_tags_batches_and_sql_views(spark, table):
 def test_unknown_kind_and_empty_table(spark, tmp_path, table):
     with pytest.raises(ValueError, match="unknown metadata table"):
         meta_table(table, "nope")
+    # fresh table: views register as EMPTY typed tables (dashboards
+    # wire up before ingest); explicit versions still raise
     empty = SnapshotSink(spark, str(tmp_path / "e"), n_buckets=2)
-    with pytest.raises(ValueError, match="no snapshot yet"):
-        meta_table(empty, "files")
-    assert meta_table(empty, "tags").count() == 0
+    assert register_meta_views(spark, empty, prefix="fresh")
+    for kind in ("files", "snapshots", "tags", "batches"):
+        assert meta_table(empty, kind).count() == 0
+    with pytest.raises(Exception):
+        meta_table(empty, "files", version=3)
+
+
+def test_snapshots_keeps_tag_pins_below_floor(spark, tmp_path):
+    """expire_snapshots keeps tagged JSONs below the floor — the
+    snapshots table must show them, so tags JOIN snapshots never drops
+    an audit pin; a trim_committed commit is labeled as such."""
+    s = SnapshotSink(spark, str(tmp_path / "f"), n_buckets=2)
+    for i in range(6):
+        s.apply_batch(
+            spark.createDataFrame(
+                [("I", 10 + i, f"d-{i}", [i], i, "s")], SCHEMA
+            ),
+            f"b{i}",
+        )
+    s.tag("audit", 1)
+    s.trim_committed_batches(retain_last=2)
+    s.expire_snapshots(keep_last=2)
+    df = meta_table(s, "snapshots")
+    rows = {r["version"]: r for r in df.collect()}
+    head = s.current_snapshot()["version"]
+    floor = s.current_snapshot()["snapshot_floor"]
+    assert 1 in rows  # the pinned version below the floor
+    assert set(rows) >= set(range(floor, head + 1))
+    assert "trim_committed" in {r["operation"] for r in rows.values()}
+    joined = meta_table(s, "tags").join(df, "version").collect()
+    assert {r["name"] for r in joined} == {"audit"}
