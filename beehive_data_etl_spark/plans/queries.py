@@ -3158,6 +3158,87 @@ def q_seq_audit(spark, sf):
     )
 
 
+@query(
+    "q_merge_changes",
+    """
+    WITH s AS (
+      SELECT o_custkey, COUNT(*) AS n_orders,
+             SUM(o_totalprice) AS total
+      FROM orders WHERE o_orderstatus = 'F' GROUP BY o_custkey
+    ),
+    t AS (
+      SELECT c_custkey, c_acctbal FROM customer WHERE c_nationkey < 20
+    ),
+    j AS (
+      SELECT s.o_custkey AS sk, t.c_custkey AS tk, s.total, t.c_acctbal
+      FROM s FULL OUTER JOIN t ON s.o_custkey = t.c_custkey
+    ),
+    classified AS (
+      SELECT
+        CASE WHEN sk IS NOT NULL AND tk IS NOT NULL AND total > 1500000
+               THEN 'D'
+             WHEN sk IS NOT NULL AND tk IS NOT NULL THEN 'U'
+             WHEN sk IS NOT NULL THEN 'I'
+             WHEN c_acctbal < 0 THEN 'D' END AS op,
+        COALESCE(sk, tk) AS c_custkey,
+        CASE WHEN sk IS NOT NULL AND tk IS NOT NULL AND total <= 1500000
+               THEN c_acctbal + total / 1000
+             WHEN sk IS NOT NULL AND tk IS NULL
+               THEN total / 1000 END AS new_bal
+      FROM j
+    )
+    SELECT op, c_custkey, new_bal FROM classified WHERE op IS NOT NULL
+    """,
+)
+def q_merge_changes(spark, sf):
+    """MERGE classification semantics (operators/merge.py) as a pure
+    query with an exact oracle: source = per-customer order rollup,
+    target = the sub-20-nation customer slice; matched rows DELETE over
+    a threshold (checked FIRST — merge_into's fixed clause order) else
+    UPDATE read-modify-write over both namespaces, unmatched source
+    rows INSERT, unmatched negative-balance target rows are by-source
+    DELETEs. One full-outer join with every clause evaluated in the
+    join projection — exactly the plan shape merge_into emits before
+    handing the batch to the sink."""
+    s = (
+        t(spark, sf, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_totalprice").alias("total"),
+        )
+    )
+    tgt = (
+        t(spark, sf, "customer")
+        .filter(F.col("c_nationkey") < 20)
+        .select("c_custkey", "c_acctbal")
+    )
+    j = s.join(tgt, s["o_custkey"] == tgt["c_custkey"], "full_outer")
+    matched = F.col("o_custkey").isNotNull() & F.col("c_custkey").isNotNull()
+    s_only = F.col("o_custkey").isNotNull() & F.col("c_custkey").isNull()
+    op = (
+        F.when(matched & (F.col("total") > 1500000), F.lit("D"))
+        .when(matched, F.lit("U"))
+        .when(s_only, F.lit("I"))
+        .when(F.col("c_acctbal") < 0, F.lit("D"))
+    )
+    new_bal = (
+        F.when(
+            matched & (F.col("total") <= 1500000),
+            F.col("c_acctbal") + F.col("total") / 1000,
+        ).when(s_only, F.col("total") / 1000)
+    )
+    return (
+        j.select(
+            op.alias("op"),
+            F.coalesce("o_custkey", "c_custkey").alias("c_custkey"),
+            new_bal.alias("new_bal"),
+        )
+        .filter(F.col("op").isNotNull())
+    )
+
+
 # ------------------------------------------------- driver snapshot ordering
 # The correctness driver snapshots the FIRST 50 queries() entries in dict
 # order (observed rounds 1-2: exactly registration order, both rounds).

@@ -226,6 +226,40 @@ class SnapshotSink:
                 f"table bucketed with {snap['n_buckets']}, got n_buckets={n_buckets}"
             )
 
+    @classmethod
+    def open(cls, spark, root: str, **kwargs) -> "SnapshotSink":
+        """Open an EXISTING table, reading the per-table layout facts
+        its head snapshot records (bucket count, patch mode) instead of
+        making every caller restate them — restating them wrong is
+        refused anyway (n_buckets head-check / patch-mode apply check),
+        so open() is the reopen path that cannot drift. ``spark`` may
+        be ``None`` for metadata-only use (the Data Source write commit
+        runs in a JVM-less worker and only touches the file protocol).
+        Other constructor knobs (audit, compact_threshold, …) pass
+        through ``kwargs``."""
+        from ..sources.table_meta import current_snapshot as _head
+
+        head = _head(root)
+        if head is None:
+            raise ValueError(
+                f"no table at {root} (no snapshot) — open() is for "
+                "existing tables; construct SnapshotSink directly to "
+                "create one"
+            )
+        for k in ("n_buckets", "patch"):
+            if k in kwargs:
+                raise ValueError(
+                    f"{k} is recorded in the table's snapshot; open() "
+                    "reads it — drop the argument"
+                )
+        return cls(
+            spark,
+            root,
+            n_buckets=head["n_buckets"],
+            patch=bool(head.get("patch", False)),
+            **kwargs,
+        )
+
     # ------------------------------------------------------------- snapshots
     def _current_path(self) -> str:
         return os.path.join(self.root, "_snapshots", "CURRENT")
@@ -1749,19 +1783,58 @@ class SnapshotSink:
                 shutil.rmtree(staging, ignore_errors=True)
                 raise
 
-        # PUBLISH + COMMIT as one critical section (commit lock for
-        # this object's threads, flock for other objects/processes).
-        # The committed-recheck must precede the move loop: the dest
-        # paths are deterministic per batch id, so a duplicate writer
-        # publishing AFTER another writer committed the same id would
-        # rmtree the winner's LIVE committed files and replace them
-        # with content planned from a different head (review-found:
-        # the winner may have folded deltas this loser's append
-        # doesn't carry — silent row loss).
+        if obs is not None:
+            # obs.get raises a JVM assertion when the CollectMetrics
+            # node was optimized away — AQE's empty-relation
+            # propagation does exactly that for an all-filtered
+            # batch (e.g. a rewrite-only replication window). Zero
+            # rows observed IS the right answer then. Read it BEFORE
+            # the commit critical section — the job already ran, this
+            # only fetches its metrics.
+            try:
+                observed_events = obs.get["events"]
+            except Exception:
+                observed_events = 0
+            metrics["lineage"] = {
+                "events": observed_events,
+                "input_files": sorted(
+                    os.path.basename(f) for f in batch_df.inputFiles()
+                ),
+            }
+        return self._publish_and_commit(
+            staging, batch_id, snap, batch_payload_schema,
+            _payload_ddl(table_schema), written, stats, manifested,
+            compact_candidates, consumed_paths, metrics, t0, t_plan,
+            t_job,
+        )
+
+    def _publish_and_commit(
+        self, staging, batch_id, snap, batch_payload_schema,
+        schema_ddl_payload, written, stats, manifested,
+        compact_candidates, consumed_paths, metrics, t0, t_plan, t_job,
+        bootstrap_schema_ddl: str | None = None,
+    ) -> dict:
+        """PUBLISH + COMMIT as one critical section (commit lock for
+        this object's threads, flock for other objects/processes).
+        The committed-recheck must precede the move loop: the dest
+        paths are deterministic per batch id, so a duplicate writer
+        publishing AFTER another writer committed the same id would
+        rmtree the winner's LIVE committed files and replace them
+        with content planned from a different head (review-found:
+        the winner may have folded deltas this loser's append
+        doesn't carry — silent row loss).
+
+        Spark-FREE by construction (file moves, footer-derived stats
+        passed in, JSON metadata): the Python Data Source write path
+        (sources/spark_datasource.py) calls it from a worker process
+        with no JVM, passing ``batch_payload_schema=None`` (schema
+        kept verbatim — see _commit_locked) — the commit protocol is
+        SHARED with the sink, not twinned. ``staging`` holds the
+        batch laid out as ``_bucket=N/`` subdirs; ``stats`` maps each
+        written bucket to its _parquet_stats tuple."""
         new_entries: dict[str, dict] = {}
         bucket_rows: dict[int, int] = {}
         dest_root = os.path.join(self.root, "data", f"ingest={batch_id}")
-        schema_ddl_payload = _payload_ddl(table_schema)
         with self._commit_lock, self._table_lock():
             head = self.current_snapshot()
             if head is not None and batch_id in head["committed_batches"]:
@@ -1921,25 +1994,10 @@ class SnapshotSink:
                 "publish": round(time.time() - t_job, 3),
             }
             metrics["bucket_rows"] = bucket_rows
-            if obs is not None:
-                # obs.get raises a JVM assertion when the CollectMetrics
-                # node was optimized away — AQE's empty-relation
-                # propagation does exactly that for an all-filtered
-                # batch (e.g. a rewrite-only replication window). Zero
-                # rows observed IS the right answer then.
-                try:
-                    observed_events = obs.get["events"]
-                except Exception:
-                    observed_events = 0
-                metrics["lineage"] = {
-                    "events": observed_events,
-                    "input_files": sorted(
-                        os.path.basename(f) for f in batch_df.inputFiles()
-                    ),
-                }
             self._commit_locked(
                 head, batch_id, batch_payload_schema, new_entries,
                 consumed_paths, metrics, t0,
+                bootstrap_schema_ddl=bootstrap_schema_ddl,
             )
         return metrics
 
@@ -1981,6 +2039,7 @@ class SnapshotSink:
     def _commit_locked(
         self, head, batch_id, batch_payload_schema, new_entries,
         consumed_paths, metrics, t0,
+        bootstrap_schema_ddl: str | None = None,
     ) -> None:
         """The commit merge (caller holds ``_commit_lock`` AND the
         cross-process ``_table_lock``, and has already re-read ``head``
@@ -1988,10 +2047,32 @@ class SnapshotSink:
         schema against the head — concurrent batches may have committed
         since this batch planned — merge this batch's bucket entries (a
         compacted bucket replaces exactly the delta files it folded and
-        keeps any newer concurrent appends), and swap the pointer."""
-        table_schema, ddl_log, schema_version = self._evolved_schema(
-            head, batch_payload_schema
-        )
+        keeps any newer concurrent appends), and swap the pointer.
+
+        ``batch_payload_schema=None`` is the JVM-less fast path (the
+        Data Source write commit runs in a Python worker where
+        StructType.fromDDL cannot parse): NO schema evolution — the
+        head's schema string is kept verbatim (the DS writer already
+        refused non-subset batches at plan time), or
+        ``bootstrap_schema_ddl`` seeds an empty table."""
+        if batch_payload_schema is None:
+            if head is not None:
+                schema_str = head["schema"]
+                schema_version = head.get("schema_version", 0)
+            else:
+                if bootstrap_schema_ddl is None:
+                    raise ValueError(
+                        "empty table needs bootstrap_schema_ddl when "
+                        "committing without a batch schema"
+                    )
+                schema_str = bootstrap_schema_ddl
+                schema_version = 0
+            ddl_log: list[str] = []
+        else:
+            table_schema, ddl_log, schema_version = self._evolved_schema(
+                head, batch_payload_schema
+            )
+            schema_str = _ddl(table_schema)
         buckets = {} if head is None else dict(head["buckets"])
         committed = [] if head is None else list(head["committed_batches"])
         version = 0 if head is None else head["version"]
@@ -2019,7 +2100,7 @@ class SnapshotSink:
         new_snap = {
             "version": version + 1,
             "n_buckets": self.n_buckets,
-            "schema": _ddl(table_schema),
+            "schema": schema_str,
             "schema_version": schema_version,
             "buckets": buckets,
             "committed_batches": committed + [batch_id],

@@ -1,8 +1,9 @@
 """Spark Python Data Sources over SnapshotSink tables (Spark 4 API).
 
 The interop surface: any Spark job — not just code importing this
-package — can read an engine table with plain ``spark.read`` /
-``spark.readStream`` once the two sources are registered:
+package — can read AND write an engine table with plain ``spark.read``
+/ ``spark.readStream`` / ``df.write`` / ``df.writeStream`` once the
+sources are registered:
 
     from beehive_data_etl_spark.sources.spark_datasource import register
     register(spark)
@@ -15,6 +16,16 @@ package — can read an engine table with plain ``spark.read`` /
     # versions, resumable exactly-once via Spark's own offset log
     st = spark.readStream.format("beehive_changes") \
              .option("pin", "train").load("/lake/tokens")
+
+    # exactly-once envelope-batch APPEND (op, op_sequence, doc_id,
+    # payload…) through the sink's own publish+commit protocol
+    events.write.format("beehive").option("batchId", run_id) \
+          .mode("append").save("/lake/tokens")
+
+    # continuous appends: one table commit per micro-batch — composed
+    # with the changelog source this is zero-package-code replication
+    events.writeStream.format("beehive").option("streamId", "rep1") \
+          .option("checkpointLocation", ckpt).start("/lake/tokens")
 
 Why this design is Spark-first rather than a wrapper API:
 
@@ -66,17 +77,23 @@ Semantics parity (pinned by tests/test_spark_datasource.py):
 
 from __future__ import annotations
 
+import os
+import time
+import uuid
 from dataclasses import dataclass, field
 
 import pyarrow as pa
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     EqualTo,
     In,
     InputPartition,
+    WriterCommitMessage,
 )
 
 from . import table_meta as tm
@@ -86,7 +103,8 @@ CHANGE = "change_type"
 
 
 def register(spark) -> None:
-    """Register both sources on a session.  Also registers this module
+    """Register the sources (and write paths) on a session.  Also
+    registers this module
     (and table_meta) for cloudpickle by-value serialization, so Spark's
     Python planner/executor workers never need the package importable
     on their own sys.path — the classes travel inside the pickle."""
@@ -652,6 +670,21 @@ class BeehiveTableDataSource(DataSource):
     def reader(self, schema) -> BeehiveTableReader:
         return BeehiveTableReader(schema, self.options)
 
+    def writer(self, schema, overwrite: bool) -> "BeehiveBatchWriter":
+        """``df.write.format("beehive").option("batchId", ...)`` —
+        exactly-once envelope-batch appends through the sink's shared
+        publish+commit protocol (see BeehiveBatchWriter)."""
+        return BeehiveBatchWriter(
+            self.options["path"], schema, self.options, overwrite
+        )
+
+    def streamWriter(self, schema, overwrite: bool) -> "BeehiveStreamWriter":
+        """``df.writeStream.format("beehive").option("streamId", ...)``
+        — per-epoch exactly-once appends (see BeehiveStreamWriter)."""
+        return BeehiveStreamWriter(
+            self.options["path"], schema, self.options, overwrite
+        )
+
 
 # --------------------------------------------------------- changelog source
 class BeehiveChangesBatchReader(DataSourceReader):
@@ -772,6 +805,383 @@ class BeehiveChangesStreamReader(DataSourceStreamReader):
 
     def stop(self) -> None:
         pass
+
+
+# ------------------------------------------------------------- write path
+@dataclass
+class BucketFilesMessage(WriterCommitMessage):
+    """One task's staged output: [(bucket, file basename, rows)]."""
+
+    files: list
+
+
+def _require_batch_id(options) -> str:
+    bid = options.get("batchId") or options.get("batchid")
+    if not bid:
+        raise ValueError(
+            "beehive writes require option('batchId', ...): the id is "
+            "the exactly-once token — re-running a job with the same id "
+            "skips at the table instead of double-applying. Derive it "
+            "from your job's own idempotence key (run id, source offset "
+            "range)."
+        )
+    return str(bid)
+
+
+class BeehiveBatchWriter(DataSourceArrowWriter):
+    """``df.write.format("beehive")`` — envelope batches (op,
+    op_sequence, doc_id, payload…) appended to a SnapshotSink table
+    through the SAME publish+commit protocol as the sink
+    (``SnapshotSink._publish_and_commit`` — shared, not twinned).
+
+    Division of labour (the write mirror of the read design):
+
+    - executors stage the batch in the table's bucket layout — stored
+      form (deleted flag, D rows' payload nulled), one parquet file per
+      (task, bucket) under a staging dir, written with pyarrow;
+    - ``commit()`` runs in a JVM-less Python worker: it keeps exactly
+      the files the WINNING task attempts reported (speculative /
+      retried attempts' files are deleted), computes footer stats, and
+      publishes through the sink's own critical section — committed-id
+      recheck (exactly-once), rebucket/rollback-epoch aborts, manifest
+      + snapshot-pointer swap. No schema evolution on this path: the
+      batch's payload must be a (subset of the) table payload with
+      exactly matching types — evolve through the sink first.
+
+    Costs stated honestly: per-row Python key hashing unless the
+    DataFrame carries a JVM-computed ``_bucket`` column
+    (``pmod(xxhash64(doc_id), n_buckets)`` — recommended for bulk:
+    it also lets ``df.repartition(n, "_bucket")`` give one file per
+    bucket per task), and pyarrow writes no parquet bloom filters
+    (the next compaction rewrite adds them). The sink's in-batch LWW
+    pre-fold is skipped too — the delta carries every event version
+    and the merge-on-read fold dedups at read; heavy producers should
+    prefer ``SnapshotSink.apply_batch``. Unlike the read path, commit
+    IMPORTS the sink module, so the package must be importable in the
+    Python workers (``--py-files`` the package zip, as the deployment
+    scripts do)."""
+
+    def __init__(self, root: str, schema, options, overwrite: bool):
+        if overwrite:
+            raise ValueError(
+                "mode('overwrite') is not a CDC shape — to converge the "
+                "table to a full dataset image use "
+                "operators.refetch.refetch_apply (dump-diff: emits the "
+                "MINIMAL change batch); mode('append') writes envelope "
+                "batches"
+            )
+        self.root = root
+        self.batch_id = _require_batch_id(options)
+        names = [f.name for f in schema.fields]
+        for col, typ in ((("op"), "string"), (SEQ, "bigint"), (KEY, "string")):
+            if col not in names:
+                raise ValueError(f"envelope column {col!r} missing from the DataFrame")
+            got = schema[col].dataType.simpleString()
+            if got != typ:
+                raise ValueError(
+                    f"envelope column {col!r} must be {typ}, got {got} — cast it"
+                )
+        self.has_bucket = "_bucket" in names
+        if self.has_bucket and schema["_bucket"].dataType.simpleString() not in ("int", "bigint"):
+            raise ValueError("_bucket must be int/bigint: pmod(xxhash64(doc_id), nBuckets)")
+        payload_fields = [
+            f for f in schema.fields if f.name not in ("op", KEY, SEQ, "_bucket")
+        ]
+        reserved = sorted(
+            {f.name for f in payload_fields} & {DELETED, CELL, "patch_cols", CHANGE}
+        )
+        if reserved:
+            raise ValueError(f"reserved column(s) {reserved!r} in the DataFrame")
+        batch_types = {f.name: f.dataType.simpleString() for f in payload_fields}
+
+        head = tm.current_snapshot(root)
+        self.plan_snap = head
+        if head is not None:
+            _refuse_patch(head, root)
+            self.n_buckets = head["n_buckets"]
+            items = [(f.split(" ", 1)[0], f.split(" ", 1)[1]) for f in _schema_fields(head)]
+            table_types = dict(items)
+            for name, typ in batch_types.items():
+                if name not in table_types:
+                    raise ValueError(
+                        f"column {name!r} is not in the table schema — the "
+                        "data-source write path does no schema evolution; "
+                        "add it via SnapshotSink.apply_batch first"
+                    )
+                if table_types[name] != typ:
+                    raise ValueError(
+                        f"column {name!r} is {table_types[name]} in the table "
+                        f"but {typ} in the DataFrame — cast it (no widening "
+                        "on this path)"
+                    )
+            # entry schema = head schema projected to this batch's
+            # columns, in HEAD order: equal column sets reproduce the
+            # head string exactly, so full-width writes share the
+            # read-side scan group with normal ingest
+            keep = set(batch_types) | {KEY, SEQ, DELETED}
+            self.entry_ddl = ", ".join(
+                f"{n} {t}" for n, t in items if n in keep
+            )
+            self.bootstrap_ddl = None
+        else:
+            self.n_buckets = int(options.get("nBuckets") or options.get("nbuckets") or 16)
+            if self.n_buckets <= 0:
+                raise ValueError("nBuckets must be positive")
+            self.entry_ddl = ", ".join(
+                [f"{KEY} string"]
+                + [f"{f.name} {batch_types[f.name]}" for f in payload_fields]
+                + [f"{SEQ} bigint", f"{DELETED} boolean"]
+            )
+            self.bootstrap_ddl = self.entry_ddl
+        # file column order == entry DDL order
+        self.file_cols = [f.split(" ", 1)[0] for f in tm._split_top(self.entry_ddl)]
+        self.staging = os.path.join(
+            root, "data", f"_stage-ds-{uuid.uuid4().hex}"
+        )
+        self.t0 = time.time()
+
+    # ---- executors
+    def write(self, iterator):
+        import numpy as np
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        per_bucket: dict[int, list] = {}
+        for batch in iterator:
+            tbl = pa.Table.from_batches([batch])
+            if tbl.num_rows == 0:
+                continue
+            op = tbl.column("op")
+            ok = pc.fill_null(
+                pc.is_in(op, value_set=pa.array(["I", "U", "D"])), False
+            )
+            if not pc.all(ok).as_py():
+                bad = pc.unique(op.filter(pc.invert(ok))).to_pylist()
+                raise ValueError(
+                    f"op values {bad!r} are not I/U/D — the write path "
+                    "takes VALIDATED envelopes (patch 'P' events need the "
+                    "patch-mode sink); run operators.validate upstream"
+                )
+            if tbl.column(KEY).null_count or tbl.column(SEQ).null_count:
+                raise ValueError(
+                    f"NULL {KEY}/{SEQ} rows — validate/quarantine upstream"
+                )
+            deleted = pc.equal(op, "D")
+            cols = {KEY: tbl.column(KEY), SEQ: tbl.column(SEQ),
+                    DELETED: deleted}
+            for name in self.file_cols:
+                if name in cols:
+                    continue
+                c = tbl.column(name)
+                # a D row's payload is NULL no matter what the wire
+                # carried (the envelope contract, as in patch_events)
+                cols[name] = pc.if_else(deleted, pa.nulls(len(tbl), c.type), c)
+            if self.has_bucket:
+                b = tbl.column("_bucket")
+                if b.null_count:
+                    raise ValueError("_bucket has NULLs")
+                buckets = b.to_numpy(zero_copy_only=False).astype("int64")
+                if buckets.size and (
+                    buckets.min() < 0 or buckets.max() >= self.n_buckets
+                ):
+                    raise ValueError(
+                        f"_bucket out of range for {self.n_buckets} buckets "
+                        "— compute it as pmod(xxhash64(doc_id), nBuckets)"
+                    )
+            else:
+                buckets = np.fromiter(
+                    (
+                        bucket_of(k, self.n_buckets)
+                        for k in tbl.column(KEY).to_pylist()
+                    ),
+                    dtype="int64",
+                    count=tbl.num_rows,
+                )
+            out = pa.table({n: cols[n] for n in self.file_cols})
+            for bval in np.unique(buckets):
+                mask = pa.array(buckets == bval)
+                per_bucket.setdefault(int(bval), []).append(out.filter(mask))
+        files = []
+        for b, parts in sorted(per_bucket.items()):
+            merged = pa.concat_tables(parts)
+            d = os.path.join(self.staging, f"_bucket={b}")
+            os.makedirs(d, exist_ok=True)
+            name = f"part-{uuid.uuid4().hex}.parquet"
+            pq.write_table(
+                merged, os.path.join(d, name), compression="zstd"
+            )
+            files.append((b, name, merged.num_rows))
+        return BucketFilesMessage(files=files)
+
+    # ---- driver-side worker (no JVM): the shared commit protocol
+    def commit(self, messages):
+        import shutil
+
+        try:
+            from beehive_data_etl_spark.sinks.snapshot import (
+                SnapshotSink,
+                _parquet_stats,
+            )
+        except ImportError as e:
+            raise ImportError(
+                "the beehive WRITE path runs the table's commit protocol "
+                "in a Python worker, so the beehive_data_etl_spark "
+                "package must be importable there — ship it with "
+                "--py-files (see scripts/submit_replay.sh)"
+            ) from e
+        valid: dict[int, set] = {}
+        total = 0
+        for m in messages:
+            if m is None:
+                continue
+            for b, name, rows in m.files:
+                valid.setdefault(int(b), set()).add(name)
+                total += rows
+        # keep only winning attempts' files (task retries/speculation
+        # stage under the same dirs with unique names)
+        if os.path.isdir(self.staging):
+            for d in os.listdir(self.staging):
+                if not d.startswith("_bucket="):
+                    continue
+                bdir = os.path.join(self.staging, d)
+                keep = valid.get(int(d.split("=", 1)[1]), set())
+                for f in os.listdir(bdir):
+                    if f not in keep:
+                        os.remove(os.path.join(bdir, f))
+                if not os.listdir(bdir):
+                    os.rmdir(bdir)
+        written = sorted(valid)
+        if not written:  # empty batch: no empty commits, like the sink
+            shutil.rmtree(self.staging, ignore_errors=True)
+            return
+        sink = SnapshotSink(None, self.root, n_buckets=self.n_buckets)
+        head = sink.current_snapshot()
+        if head is not None and head.get("patch"):
+            shutil.rmtree(self.staging, ignore_errors=True)
+            raise RuntimeError(
+                "table became patch-mode since planning — row envelopes "
+                "cannot be committed into a per-cell table"
+            )
+        if head is not None:
+            # a drop/rename column alter may have landed since this
+            # write planned: committing entries that still carry the
+            # old column would re-introduce physically-removed bytes
+            # under a name a later re-add would then resurrect (the
+            # exact trap drop_column's physical rewrite exists to
+            # close). Types must still match too (no widening landed).
+            head_types = dict(
+                f.split(" ", 1) for f in tm._split_top(head["schema"])
+            )
+            stale = [
+                f
+                for f in tm._split_top(self.entry_ddl)
+                if head_types.get(f.split(" ", 1)[0]) != f.split(" ", 1)[1]
+            ]
+            if stale:
+                shutil.rmtree(self.staging, ignore_errors=True)
+                raise RuntimeError(
+                    f"table schema changed while this write ran (stale "
+                    f"column(s) {stale!r}): re-plan the write (batch) or "
+                    "restart the stream against the current schema"
+                )
+        stats = {
+            b: _parquet_stats(os.path.join(self.staging, f"_bucket={b}"))
+            for b in written
+        }
+        metrics = {
+            "batch_id": self.batch_id,
+            "skipped": False,
+            "touched_buckets": written,
+            "compacted_buckets": [],
+            "appended_buckets": written,
+            "reused_buckets": [],
+            "rows_staged": total,
+            "writer": "python-datasource",
+        }
+        sink._publish_and_commit(
+            self.staging, self.batch_id, self.plan_snap, None,
+            self.entry_ddl, written, stats, set(), [], {}, metrics,
+            self.t0, self.t0, time.time(),
+            bootstrap_schema_ddl=self.bootstrap_ddl,
+        )
+
+    def abort(self, messages):
+        import shutil
+
+        shutil.rmtree(self.staging, ignore_errors=True)
+
+
+class BeehiveStreamWriter(BeehiveBatchWriter, DataSourceStreamArrowWriter):
+    """``df.writeStream.format("beehive").option("streamId", ...)`` —
+    continuous envelope appends, one exactly-once table commit per
+    micro-batch (batch id = ``stream-<streamId>-<epoch>``, deduped by
+    the sink's committed-batch set like any re-delivered batch).
+
+    The epoch counter is Spark's, scoped to the CHECKPOINT LINEAGE: a
+    fresh checkpoint restarts epochs at 0 with DIFFERENT data windows,
+    so reusing a streamId across checkpoints would silently skip every
+    replayed batch as a re-delivery (the subscriber-job id-collision
+    lesson, scripts/subscribe_job.py). The writer records the highest
+    committed epoch per streamId under ``_streams/`` and REFUSES an
+    epoch rewind loudly — pick a new streamId when you drop the
+    checkpoint. An equal epoch is a legitimate crash-retry and dedupes
+    at the sink."""
+
+    def __init__(self, root: str, schema, options, overwrite: bool):
+        opts = dict(options)
+        opts.setdefault("batchId", "__per-epoch__")  # derived in commit()
+        super().__init__(root, schema, opts, overwrite)
+        self.stream_id = options.get("streamId") or options.get("streamid")
+        if not self.stream_id:
+            raise ValueError(
+                "beehive stream writes require option('streamId', ...): "
+                "it namespaces the per-epoch exactly-once batch ids — "
+                "unique per checkpoint lineage"
+            )
+        # Spark re-instantiates the stream writer for the commit-side
+        # worker (unlike batch, where ONE pickled instance serves both
+        # sides), so an instance-random staging path would diverge
+        # between the write tasks and commit. Deterministic per
+        # streamId is safe: epochs are serial within a query, and the
+        # commit prunes any stale leftover file a crashed epoch left
+        # (only files named in the winning commit messages survive).
+        self.staging = os.path.join(
+            root, "data", f"_stage-ds-stream-{self.stream_id}"
+        )
+
+    def _epoch_path(self) -> str:
+        return os.path.join(self.root, "_streams", f"{self.stream_id}.json")
+
+    def commit(self, messages, batchId: int):
+        import json
+
+        last = -1
+        try:
+            with open(self._epoch_path()) as fh:
+                last = json.load(fh)["last_epoch"]
+        except FileNotFoundError:
+            pass
+        if batchId < last:
+            import shutil
+
+            shutil.rmtree(self.staging, ignore_errors=True)
+            raise RuntimeError(
+                f"epoch {batchId} is below streamId {self.stream_id!r}'s "
+                f"recorded high-water {last}: this checkpoint lineage is "
+                "NEW (epochs restarted) but the streamId is reused, so "
+                "every replayed batch would silently dedupe against the "
+                "old lineage's commits — restart with a fresh streamId"
+            )
+        self.batch_id = f"stream-{self.stream_id}-{batchId}"
+        super().commit(messages)
+        os.makedirs(os.path.dirname(self._epoch_path()), exist_ok=True)
+        tmp = self._epoch_path() + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"last_epoch": batchId}, fh)
+        os.replace(tmp, self._epoch_path())
+
+    def abort(self, messages, batchId: int):
+        super().abort(messages)
 
 
 class BeehiveChangesDataSource(DataSource):
