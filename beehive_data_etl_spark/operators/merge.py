@@ -206,19 +206,16 @@ def merge_into(
     how = "full_outer" if when_not_matched_by_source_delete else "left_outer"
     s = src.alias("s")
     if t_df is None:
-        # empty table: synthesize an all-null target side so every
-        # expression namespace (t.<col>) still resolves
-        j = s
-        for c in [KEY] + table_payload:
-            j = j.withColumn(
-                f"__t_{c}", F.lit(None).cast(table_types.get(c, T.StringType()))
-            )
-        tcol = lambda c: F.col(f"__t_{c}")  # noqa: E731
-        scol = lambda c: F.col(f"s.{c}")  # noqa: E731
-    else:
-        j = s.join(t_df.alias("t"), F.col(f"s.{KEY}") == F.col(f"t.{KEY}"), how)
-        tcol = lambda c: F.col(f"t.{c}")  # noqa: E731
-        scol = lambda c: F.col(f"s.{c}")  # noqa: E731
+        # empty table: join against an EMPTY target shaped like the
+        # source, so the t.<col> namespace resolves the same way it
+        # will on every later run of the same pipeline (matched
+        # clauses no-op, bare ambiguous names stay ambiguous-loud) —
+        # a review pass found the earlier synthesized-column variant
+        # broke t.-qualified expression strings on bootstrap
+        t_df = sink.spark.createDataFrame([], src.schema)
+    j = s.join(t_df.alias("t"), F.col(f"s.{KEY}") == F.col(f"t.{KEY}"), how)
+    tcol = lambda c: F.col(f"t.{c}")  # noqa: E731
+    scol = lambda c: F.col(f"s.{c}")  # noqa: E731
 
     matched = scol(KEY).isNotNull() & tcol(KEY).isNotNull()
     s_only = scol(KEY).isNotNull() & tcol(KEY).isNull()
@@ -371,6 +368,15 @@ def merge_into_sql(
     order mirrors merge_into: matched DELETE first, then UPDATE.
     ``when_not_matched_insert=True`` needs ``source_columns`` (SQL
     can't introspect the view)."""
+    if when_matched_delete and delete_condition is None and when_matched_update:
+        # same refusal as merge_into: MERGE evaluates matched clauses
+        # in order, so the UPDATE after an unconditional DELETE is
+        # silently dead SQL on the cluster too
+        raise ValueError(
+            "unconditional matched DELETE together with an UPDATE clause: "
+            "the update could never fire (DELETE is rendered first) — give "
+            "delete_condition or drop one clause"
+        )
     clauses = []
     if when_matched_delete:
         cond = f" AND ({delete_condition})" if delete_condition else ""

@@ -1813,6 +1813,7 @@ class SnapshotSink:
         schema_ddl_payload, written, stats, manifested,
         compact_candidates, consumed_paths, metrics, t0, t_plan, t_job,
         bootstrap_schema_ddl: str | None = None,
+        head_check=None,
     ) -> dict:
         """PUBLISH + COMMIT as one critical section (commit lock for
         this object's threads, flock for other objects/processes).
@@ -1866,6 +1867,17 @@ class SnapshotSink:
                     f"table rolled back while batch {batch_id} planned "
                     f"(epoch {plan_epoch} -> {head_epoch}); re-apply it"
                 )
+            if head_check is not None:
+                # caller-supplied validation that must see the LOCKED
+                # head (the Data Source writer's stale-schema and
+                # patch-mode guards: an unlocked pre-check races a
+                # concurrent drop/rename/mode change — review-found
+                # TOCTOU); raising aborts crash-equivalently
+                try:
+                    head_check(head)
+                except Exception:
+                    shutil.rmtree(staging, ignore_errors=True)
+                    raise
             os.makedirs(dest_root, exist_ok=True)
             # bump the mtime explicitly: makedirs(exist_ok=True) does
             # NOT touch a pre-existing dir (a crashed attempt's
@@ -3281,7 +3293,10 @@ class SnapshotSink:
         for commits), ``older_than_s > 0`` is REQUIRED: another
         writer's published-but-uncommitted files are invisible to this
         object's in-flight set, and only their freshness protects
-        them. The table lock below makes the CURRENT-read + reap
+        them. Data Source writes (``df.write.format("beehive")``) are
+        always cross-process writers — their ``_stage-ds-*`` staging
+        dirs register in no in-flight set, so a table that accepts DS
+        writes must vacuum with a nonzero horizon. The table lock below makes the CURRENT-read + reap
         atomic against concurrent commits; it cannot cover publishes
         that haven't reached their critical section."""
         with self._commit_lock, self._table_lock():

@@ -859,7 +859,10 @@ class BeehiveBatchWriter(DataSourceArrowWriter):
     prefer ``SnapshotSink.apply_batch``. Unlike the read path, commit
     IMPORTS the sink module, so the package must be importable in the
     Python workers (``--py-files`` the package zip, as the deployment
-    scripts do)."""
+    scripts do). A DS write is a CROSS-PROCESS writer from the table's
+    point of view: its staging registers in no sink's in-flight set,
+    so tables accepting DS writes must ``vacuum(older_than_s > 0)``
+    (the documented multi-writer rule)."""
 
     def __init__(self, root: str, schema, options, overwrite: bool):
         if overwrite:
@@ -946,7 +949,14 @@ class BeehiveBatchWriter(DataSourceArrowWriter):
         import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
-        per_bucket: dict[int, list] = {}
+        # one STREAMING parquet writer per bucket this task sees: row
+        # groups flush as record batches arrive, so peak memory is one
+        # Arrow batch, not the whole task partition (review-found: the
+        # buffer-then-concat version OOM'd on exactly the bulk loads
+        # the _bucket fast path is recommended for). With the
+        # recommended repartition(n, "_bucket") each task holds ~one
+        # open writer; worst case is n_buckets handles per task.
+        writers: dict[int, tuple] = {}  # bucket -> (writer, name, rows)
         for batch in iterator:
             tbl = pa.Table.from_batches([batch])
             if tbl.num_rows == 0:
@@ -999,18 +1009,28 @@ class BeehiveBatchWriter(DataSourceArrowWriter):
                 )
             out = pa.table({n: cols[n] for n in self.file_cols})
             for bval in np.unique(buckets):
-                mask = pa.array(buckets == bval)
-                per_bucket.setdefault(int(bval), []).append(out.filter(mask))
+                b = int(bval)
+                part = out.filter(pa.array(buckets == bval))
+                if b not in writers:
+                    d = os.path.join(self.staging, f"_bucket={b}")
+                    os.makedirs(d, exist_ok=True)
+                    name = f"part-{uuid.uuid4().hex}.parquet"
+                    writers[b] = (
+                        pq.ParquetWriter(
+                            os.path.join(d, name),
+                            part.schema,
+                            compression="zstd",
+                        ),
+                        name,
+                        0,
+                    )
+                w, name, rows = writers[b]
+                w.write_table(part)
+                writers[b] = (w, name, rows + part.num_rows)
         files = []
-        for b, parts in sorted(per_bucket.items()):
-            merged = pa.concat_tables(parts)
-            d = os.path.join(self.staging, f"_bucket={b}")
-            os.makedirs(d, exist_ok=True)
-            name = f"part-{uuid.uuid4().hex}.parquet"
-            pq.write_table(
-                merged, os.path.join(d, name), compression="zstd"
-            )
-            files.append((b, name, merged.num_rows))
+        for b, (w, name, rows) in sorted(writers.items()):
+            w.close()
+            files.append((b, name, rows))
         return BucketFilesMessage(files=files)
 
     # ---- driver-side worker (no JVM): the shared commit protocol
@@ -1055,14 +1075,18 @@ class BeehiveBatchWriter(DataSourceArrowWriter):
             shutil.rmtree(self.staging, ignore_errors=True)
             return
         sink = SnapshotSink(None, self.root, n_buckets=self.n_buckets)
-        head = sink.current_snapshot()
-        if head is not None and head.get("patch"):
-            shutil.rmtree(self.staging, ignore_errors=True)
-            raise RuntimeError(
-                "table became patch-mode since planning — row envelopes "
-                "cannot be committed into a per-cell table"
-            )
-        if head is not None:
+
+        def _head_check(head):
+            """Runs INSIDE the publish critical section on the LOCKED
+            head (an unlocked pre-check would race a concurrent
+            drop/rename or mode change — review-found TOCTOU)."""
+            if head is None:
+                return
+            if head.get("patch"):
+                raise RuntimeError(
+                    "table became patch-mode since planning — row "
+                    "envelopes cannot be committed into a per-cell table"
+                )
             # a drop/rename column alter may have landed since this
             # write planned: committing entries that still carry the
             # old column would re-introduce physically-removed bytes
@@ -1078,7 +1102,6 @@ class BeehiveBatchWriter(DataSourceArrowWriter):
                 if head_types.get(f.split(" ", 1)[0]) != f.split(" ", 1)[1]
             ]
             if stale:
-                shutil.rmtree(self.staging, ignore_errors=True)
                 raise RuntimeError(
                     f"table schema changed while this write ran (stale "
                     f"column(s) {stale!r}): re-plan the write (batch) or "
@@ -1103,6 +1126,7 @@ class BeehiveBatchWriter(DataSourceArrowWriter):
             self.entry_ddl, written, stats, set(), [], {}, metrics,
             self.t0, self.t0, time.time(),
             bootstrap_schema_ddl=self.bootstrap_ddl,
+            head_check=_head_check,
         )
 
     def abort(self, messages):

@@ -177,6 +177,33 @@ def test_ds_write_prunes_losing_attempts(ds_spark, tmp_path):
     assert not os.path.isdir(w.staging)
 
 
+def test_ds_write_refuses_schema_change_between_plan_and_commit(
+    ds_spark, tmp_path
+):
+    """A drop_column landing between a DS write's planning and its
+    commit must abort the commit: the staged entries still carry the
+    dropped column's bytes, and committing them would plant exactly the
+    resurrection trap the physical alter rewrite closes. The guard runs
+    INSIDE the publish critical section (review-found TOCTOU in the
+    unlocked pre-check version)."""
+    root = str(tmp_path / "t")
+    sink = SnapshotSink(ds_spark, root, n_buckets=4)
+    sink.apply_batch(_batch(ds_spark, B1), "b1")
+    w = _writer(root, ds_spark)  # plans against the 4-column schema
+    msg = w.write(iter(_arrow_batches(B2)))
+    sink.drop_column("source")  # lands before the DS commit
+    with pytest.raises(RuntimeError, match="schema changed"):
+        w.commit([msg])
+    assert not os.path.isdir(w.staging)  # aborted crash-equivalently
+    head = sink.current_snapshot()
+    assert "source" not in head["schema"]
+    assert not any(
+        "source" in e["schema"]
+        for ents in head["buckets"].values()
+        for e in ents
+    )
+
+
 def test_ds_write_abort_cleans_staging(ds_spark, tmp_path):
     root = str(tmp_path / "t")
     SnapshotSink(ds_spark, root, n_buckets=4).apply_batch(

@@ -262,9 +262,25 @@ def test_merge_exactly_once_and_dry_run(sink, spark):
 def test_merge_into_empty_table_bootstraps(spark, tmp_path):
     s = SnapshotSink(spark, str(tmp_path / "e"), n_buckets=4)
     src = spark.createDataFrame([("m-0", [1], 1, "x")], SRC_SCHEMA)
-    out = merge_into(s, src, when_not_matched_insert=True)
-    assert out["inserted"] == 1
+    # t.-qualified expressions must resolve on the BOOTSTRAP run too
+    # (review-found: the synthesized-column variant crashed the first
+    # run of any generic merge pipeline carrying an update clause)
+    out = merge_into(
+        s, src,
+        when_matched_update={"n_tok": "s.n_tok + t.n_tok"},
+        when_not_matched_insert=True,
+    )
+    assert out["inserted"] == 1 and out["updated"] == 0
     assert _state(s) == {"m-0": ([1], 1, "x")}
+    # second run of the SAME pipeline: the key now matches and the
+    # t.-referencing update fires
+    out2 = merge_into(
+        s, src,
+        when_matched_update={"n_tok": "s.n_tok + t.n_tok"},
+        when_not_matched_insert=True,
+    )
+    assert out2["updated"] == 1
+    assert _state(s)["m-0"][1] == 2
 
 
 def test_merge_into_sql_twin():
@@ -297,3 +313,11 @@ def test_merge_into_sql_twin():
         merge_into_sql("t", "s", when_not_matched_insert=True)
     with pytest.raises(ValueError, match="at least one clause"):
         merge_into_sql("t", "s")
+    # the SQL twin refuses the dead-UPDATE combo exactly like merge_into
+    # (ANSI MERGE evaluates matched clauses in order)
+    with pytest.raises(ValueError, match="could never fire"):
+        merge_into_sql(
+            "t", "s",
+            when_matched_delete=True,
+            when_matched_update={"n_tok": "s.n_tok"},
+        )
