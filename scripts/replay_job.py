@@ -44,7 +44,10 @@ def _derived_views(spark, sink) -> list:
     REPLAY_NEARDUP=1 adds changelog-driven near-dup detection
     (NearDupView); REPLAY_SHARDS=<k> maintains a k-shard training
     export (ShardExport); REPLAY_HISTORY=1 maintains an SCD2 audit
-    history (HistoryView). All live under <target>/_views/ and refresh per
+    history (HistoryView); REPLAY_ENRICH_DIM=<dim root> +
+    REPLAY_ENRICH_FK=<fact col> maintains the denormalized
+    fact-LEFT-JOIN-dim serving table (EnrichView, join-IVM). All live
+    under <target>/_views/ and refresh per
     committed batch (stream mode) or once post-replay (pipelined mode —
     batches commit out of order there, so the only safe refresh point
     is the quiesced end).
@@ -114,6 +117,23 @@ def _derived_views(spark, sink) -> list:
             ShardExport(
                 spark, sink, os.path.join(root, "_views", "shards"),
                 k=int(shards_k),
+            )
+        )
+    enrich_dim = os.environ.get("REPLAY_ENRICH_DIM")
+    if enrich_dim:
+        # REPLAY_ENRICH_DIM=<dim table root> + REPLAY_ENRICH_FK=<fact
+        # column holding dim keys>: maintain the denormalized
+        # fact-LEFT-JOIN-dim serving table (join-IVM, sinks/enrich.py)
+        from beehive_data_etl_spark.sinks.enrich import EnrichView
+        from beehive_data_etl_spark.sinks.snapshot import SnapshotSink
+
+        fk = os.environ.get("REPLAY_ENRICH_FK")
+        if not fk:
+            raise ValueError("REPLAY_ENRICH_DIM needs REPLAY_ENRICH_FK")
+        views.append(
+            EnrichView(
+                spark, sink, SnapshotSink.open(spark, enrich_dim),
+                os.path.join(root, "_views", "enriched"), fk=fk,
             )
         )
     return views

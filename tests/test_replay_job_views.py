@@ -61,6 +61,22 @@ def test_replay_job_env_wiring(spark, smoke_log, tmp_path, monkeypatch, mode):
     monkeypatch.setenv("REPLAY_MINMAX_MAX", "n_tok")
     monkeypatch.setenv("REPLAY_INDEX_COL", "tokens")
     monkeypatch.setenv("REPLAY_SHARDS", "4")
+    # enrich view: a dim table keyed by the log's source values
+    dim_root = str(tmp_path / f"dim_{mode}")
+    dim = SnapshotSink(spark, dim_root, n_buckets=2)
+    srcs = [
+        r[0]
+        for r in spark.read.parquet(smoke_log).select("source").distinct().collect()
+    ]
+    dim.apply_batch(
+        spark.createDataFrame(
+            [("I", 1 + i, s, f"lic-{s}") for i, s in enumerate(srcs)],
+            "op string, op_sequence long, doc_id string, license string",
+        ),
+        "dim1",
+    )
+    monkeypatch.setenv("REPLAY_ENRICH_DIM", dim_root)
+    monkeypatch.setenv("REPLAY_ENRICH_FK", "source")
     if mode == "pipelined":
         monkeypatch.setenv("REPLAY_FILES_PER_BATCH", "2")
         monkeypatch.setenv("REPLAY_INFLIGHT", "2")
@@ -88,6 +104,18 @@ def test_replay_job_env_wiring(spark, smoke_log, tmp_path, monkeypatch, mode):
     # the aggregate actually aggregates the replayed corpus
     total = agg.read().agg(F.sum("n_rows")).collect()[0][0]
     assert total == sink.read_final().count()
+    # the enrich view reflects both cursors and joins exactly
+    from beehive_data_etl_spark.sinks.enrich import EnrichView
+
+    ev = EnrichView(
+        spark, sink, SnapshotSink.open(spark, str(tmp_path / f"dim_{mode}")),
+        os.path.join(target, "_views", "enriched"), fk="source",
+    )
+    assert ev.current()["fact_version"] == v
+    assert ev.verify()["ok"]
+    joined = ev.read()
+    assert joined.count() == sink.read_final().count()
+    assert joined.filter(F.col("dim_license").isNull()).count() == 0
 
 
 @pytest.mark.parametrize("mode", ["stream", "pipelined"])
