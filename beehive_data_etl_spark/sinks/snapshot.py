@@ -561,6 +561,9 @@ class SnapshotSink:
                 # property, not per-version — review-found: omitting it
                 # made the table refuse its own sink's next apply)
                 "patch": head.get("patch", self.patch),
+                # so does the table-level write contract (the rollback
+                # restores DATA, not governance)
+                "audit": head.get("audit"),
                 "metrics": {
                     "rollback_to": target_v,
                     "decommitted_batches": decommitted,
@@ -1774,11 +1777,17 @@ class SnapshotSink:
         # crash-equivalently (staging cleaned, table untouched).
         # Manifested buckets bypass: their manifests exist only because
         # a prior attempt passed this same gate.
-        if self.audit is not None and written:
+        table_audit = self._table_audit_fn(snap)
+        if (self.audit is not None or table_audit is not None) and written:
             try:
-                self.audit(
-                    self.spark.read.parquet(staging), {"batch_id": batch_id}
-                )
+                staged_df = self.spark.read.parquet(staging)
+                if table_audit is not None:
+                    # the TABLE's recorded write contract
+                    # (set_table_audit) — enforced by every writer,
+                    # evaluated at plan-time config like the schema
+                    table_audit(staged_df, {"batch_id": batch_id})
+                if self.audit is not None:
+                    self.audit(staged_df, {"batch_id": batch_id})
             except Exception:
                 shutil.rmtree(staging, ignore_errors=True)
                 raise
@@ -2121,6 +2130,9 @@ class SnapshotSink:
             "snapshot_floor": 1 if head is None else head.get("snapshot_floor", 1),
             "rollback_epoch": 0 if head is None else head.get("rollback_epoch", 0),
             "patch": self.patch,
+            # table-level write contract (set_table_audit) — a
+            # per-table property every commit carries forward
+            "audit": None if head is None else head.get("audit"),
             "metrics": {k: v for k, v in metrics.items() if k != "lineage"},
         }
         self._write_snapshot(new_snap)
@@ -2446,6 +2458,108 @@ class SnapshotSink:
             "to": new_n_buckets,
             "wall_s": round(time.time() - t0, 3),
         }
+
+    def set_table_audit(
+        self,
+        *,
+        max_violations: int = 0,
+        min_rows: int = 0,
+        max_rows: int | None = None,
+        max_n_tok: int = 1_000_000,
+    ) -> dict:
+        """Record the STANDARD token audit (operators.audit.
+        standard_token_audit) as TABLE metadata — a write contract
+        every writer enforces, not a per-writer opt-in.
+
+        ``SnapshotSink(audit=...)`` gates only the sink object it was
+        passed to; a second sink, a maintenance job, or a Data Source
+        write (``df.write.format("beehive")``) sails past it. Recording
+        the contract in the snapshot closes that: every batch commit
+        audits its staged output against it (in ADDITION to any
+        constructor audit), and the DS write path enforces a
+        pyarrow twin of the same rules executor-side (parity-pinned by
+        test), refusing at commit if the contract changed since it
+        planned. Only the named standard audit is recordable — it is
+        the one rule set both engines (Catalyst and Arrow) implement;
+        arbitrary callables stay constructor-level.
+
+        Takes effect for batches PLANNED after the commit lands (a
+        batch in flight audits under the config it planned with — the
+        same plan-time semantics as schema evolution)."""
+        if max_violations < 0 or min_rows < 0:
+            raise ValueError("thresholds must be non-negative")
+        with self._commit_lock, self._table_lock():
+            head = self.current_snapshot()
+            if head is None:
+                raise ValueError("no snapshot yet")
+            from beehive_data_etl_spark.sources.table_meta import _split_top
+
+            names = {
+                f.split(" ", 1)[0] for f in _split_top(head["schema"])
+            }
+            missing = sorted({"tokens", "n_tok"} - names)
+            if missing:
+                raise ValueError(
+                    f"standard token audit needs column(s) {missing} "
+                    "the table does not have"
+                )
+            cfg = {
+                "standard": {
+                    "max_violations": max_violations,
+                    "min_rows": min_rows,
+                    "max_rows": max_rows,
+                    "max_n_tok": max_n_tok,
+                }
+            }
+            new_snap = dict(head)
+            new_snap.update(
+                {
+                    "version": head["version"] + 1,
+                    "parent": head["version"],
+                    "audit": cfg,
+                    "metrics": {"set_table_audit": cfg["standard"]},
+                }
+            )
+            self._write_snapshot(new_snap)
+        return {"version": new_snap["version"], "audit": cfg}
+
+    def drop_table_audit(self) -> dict:
+        """Remove the table-level write contract (one metadata-only
+        commit)."""
+        with self._commit_lock, self._table_lock():
+            head = self.current_snapshot()
+            if head is None:
+                raise ValueError("no snapshot yet")
+            if not head.get("audit"):
+                return {"version": head["version"], "audit": None}
+            new_snap = dict(head)
+            new_snap.update(
+                {
+                    "version": head["version"] + 1,
+                    "parent": head["version"],
+                    "audit": None,
+                    "metrics": {"drop_table_audit": True},
+                }
+            )
+            self._write_snapshot(new_snap)
+        return {"version": new_snap["version"], "audit": None}
+
+    def _table_audit_fn(self, snap: dict | None):
+        """The callable for a snapshot's recorded write contract, or
+        None."""
+        cfg = (snap or {}).get("audit") or {}
+        p = cfg.get("standard")
+        if not p:
+            return None
+        from beehive_data_etl_spark.operators.audit import standard_token_audit
+
+        return standard_token_audit(
+            max_violations=p.get("max_violations", 0),
+            min_rows=p.get("min_rows", 0),
+            max_rows=p.get("max_rows"),
+            max_n_tok=p.get("max_n_tok", 1_000_000),
+            patch=self.patch,
+        )
 
     def trim_committed_batches(self, retain_last: int) -> dict:
         """Metadata GC: bound the exactly-once dedup window.

@@ -810,9 +810,55 @@ class BeehiveChangesStreamReader(DataSourceStreamReader):
 # ------------------------------------------------------------- write path
 @dataclass
 class BucketFilesMessage(WriterCommitMessage):
-    """One task's staged output: [(bucket, file basename, rows)]."""
+    """One task's staged output: [(bucket, file basename, rows)] plus
+    the task's write-contract violation counts (None when the table
+    records no contract)."""
 
     files: list
+    audit_counts: dict | None = None
+
+
+def _arrow_audit_counts(out: pa.Table, max_n_tok: int) -> dict:
+    """Pyarrow twin of ``operators.audit.standard_token_audit``'s rule
+    set (row tables), evaluated on STORED-form rows (deleted flag, D
+    payload nulled). Counts follow Spark's when(cond,1) semantics: a
+    NULL condition counts as no violation (Kleene logic + null-skipping
+    sum), so e.g. ``n_tok != size(tokens)`` with NULL tokens resolves
+    identically in both engines — parity is pinned by test. Columns a
+    subset batch lacks read as all-NULL, exactly how the table will
+    read the committed file."""
+    import pyarrow.compute as pc
+
+    n = out.num_rows
+    names = set(out.column_names)
+
+    def col(name, fallback_type):
+        if name in names:
+            return out.column(name)
+        return pa.chunked_array([pa.nulls(n, fallback_type)])
+
+    doc = out.column(KEY)
+    live = pc.invert(out.column(DELETED))
+    tokens = col("tokens", pa.list_(pa.int32()))
+    ntok = pc.cast(col("n_tok", pa.int64()), pa.int64())
+    tlen = pc.cast(pc.list_value_length(tokens), pa.int64())
+    bad_ntok = pc.or_kleene(
+        pc.or_kleene(pc.is_null(ntok), pc.less_equal(ntok, 0)),
+        pc.or_kleene(pc.greater(ntok, max_n_tok), pc.not_equal(ntok, tlen)),
+    )
+    rules = {
+        "null_doc_id": pc.or_kleene(pc.is_null(doc), pc.equal(doc, "")),
+        "nonpositive_op_sequence": pc.less_equal(out.column(SEQ), 0),
+        "live_empty_tokens": pc.and_kleene(
+            live, pc.or_kleene(pc.is_null(tokens), pc.equal(tlen, 0))
+        ),
+        "live_bad_n_tok": pc.and_kleene(live, bad_ntok),
+    }
+    counts = {}
+    for name, cond in rules.items():
+        s = pc.sum(cond)  # true=1, nulls skipped — Spark's otherwise(0)
+        counts[name] = int(s.as_py() or 0)
+    return counts
 
 
 def _require_batch_id(options) -> str:
@@ -899,6 +945,12 @@ class BeehiveBatchWriter(DataSourceArrowWriter):
 
         head = tm.current_snapshot(root)
         self.plan_snap = head
+        # the table's recorded write contract (set_table_audit): the
+        # executors count violations with the pyarrow twin, commit()
+        # enforces the thresholds — a DS write cannot sail past the
+        # gate a table owner recorded (constructor-level audits remain
+        # per-writer, as on the sink)
+        self.audit_cfg = (head or {}).get("audit")
         if head is not None:
             _refuse_patch(head, root)
             self.n_buckets = head["n_buckets"]
@@ -957,6 +1009,14 @@ class BeehiveBatchWriter(DataSourceArrowWriter):
         # recommended repartition(n, "_bucket") each task holds ~one
         # open writer; worst case is n_buckets handles per task.
         writers: dict[int, tuple] = {}  # bucket -> (writer, name, rows)
+        audit_counts: dict | None = (
+            {} if self.audit_cfg and self.audit_cfg.get("standard") else None
+        )
+        max_n_tok = (
+            self.audit_cfg["standard"].get("max_n_tok", 1_000_000)
+            if audit_counts is not None
+            else 0
+        )
         for batch in iterator:
             tbl = pa.Table.from_batches([batch])
             if tbl.num_rows == 0:
@@ -1008,6 +1068,9 @@ class BeehiveBatchWriter(DataSourceArrowWriter):
                     count=tbl.num_rows,
                 )
             out = pa.table({n: cols[n] for n in self.file_cols})
+            if audit_counts is not None:
+                for k, v in _arrow_audit_counts(out, max_n_tok).items():
+                    audit_counts[k] = audit_counts.get(k, 0) + v
             for bval in np.unique(buckets):
                 b = int(bval)
                 part = out.filter(pa.array(buckets == bval))
@@ -1031,7 +1094,7 @@ class BeehiveBatchWriter(DataSourceArrowWriter):
         for b, (w, name, rows) in sorted(writers.items()):
             w.close()
             files.append((b, name, rows))
-        return BucketFilesMessage(files=files)
+        return BucketFilesMessage(files=files, audit_counts=audit_counts)
 
     # ---- driver-side worker (no JVM): the shared commit protocol
     def commit(self, messages):
@@ -1051,12 +1114,38 @@ class BeehiveBatchWriter(DataSourceArrowWriter):
             ) from e
         valid: dict[int, set] = {}
         total = 0
+        folded_counts: dict[str, int] = {}
         for m in messages:
             if m is None:
                 continue
             for b, name, rows in m.files:
                 valid.setdefault(int(b), set()).add(name)
                 total += rows
+            for k, v in (getattr(m, "audit_counts", None) or {}).items():
+                folded_counts[k] = folded_counts.get(k, 0) + v
+        if self.audit_cfg and self.audit_cfg.get("standard"):
+            # the table's write contract, enforced on the WINNING
+            # attempts' counts before anything publishes. Stricter
+            # than the sink's post-fold audit by design: the DS stages
+            # raw envelope rows, so every event is judged, including
+            # ones an in-batch fold would discard.
+            p = self.audit_cfg["standard"]
+            violations = {
+                k: v
+                for k, v in folded_counts.items()
+                if v > p.get("max_violations", 0)
+            }
+            if total < p.get("min_rows", 0):
+                violations["min_rows"] = total
+            if p.get("max_rows") is not None and total > p["max_rows"]:
+                violations["max_rows"] = total
+            if violations:
+                import shutil
+
+                from beehive_data_etl_spark.operators.audit import AuditError
+
+                shutil.rmtree(self.staging, ignore_errors=True)
+                raise AuditError(self.batch_id, violations)
         # keep only winning attempts' files (task retries/speculation
         # stage under the same dirs with unique names)
         if os.path.isdir(self.staging):
@@ -1086,6 +1175,14 @@ class BeehiveBatchWriter(DataSourceArrowWriter):
                 raise RuntimeError(
                     "table became patch-mode since planning — row "
                     "envelopes cannot be committed into a per-cell table"
+                )
+            if head.get("audit") != self.audit_cfg:
+                # violation counts were computed under the plan-time
+                # contract; a changed contract may be stricter
+                raise RuntimeError(
+                    "table write contract (set_table_audit) changed "
+                    "while this write ran — re-run the write so the "
+                    "current contract is enforced"
                 )
             # a drop/rename column alter may have landed since this
             # write planned: committing entries that still carry the
