@@ -1690,7 +1690,24 @@ class SnapshotSink:
             cell_rows = events.withColumn(
                 "deleted", F.col("op") == F.lit("D")
             ).drop("op")
-        state_rows = align_to_schema(cell_rows, table_schema).withColumn(
+        aligned = align_to_schema(cell_rows, table_schema)
+        table_audit = self._table_audit_fn(snap)
+        if table_audit is not None:
+            # the TABLE's recorded write contract (set_table_audit) is
+            # BATCH-scoped: it judges this batch's aligned rows —
+            # every event, pre-fold, matching the DS writer's twin —
+            # and never the folded OLD rows an inline compaction drags
+            # into staging (re-judging old data against a since-
+            # tightened contract would wedge ingestion on every
+            # compaction touch, and min_rows/max_rows would measure
+            # table state instead of the batch — review-found). Runs
+            # BEFORE anything stages (one extra O(batch) aggregation;
+            # an empty batch correctly fails a min_rows contract here
+            # instead of being skipped by the written-dirs guard).
+            # Constructor-level audits keep their documented
+            # staged-bytes semantics below.
+            table_audit(aligned, {"batch_id": batch_id})
+        state_rows = aligned.withColumn(
             "_bucket", _bucket_expr(self.n_buckets)
         )
         if manifested:
@@ -1777,17 +1794,11 @@ class SnapshotSink:
         # crash-equivalently (staging cleaned, table untouched).
         # Manifested buckets bypass: their manifests exist only because
         # a prior attempt passed this same gate.
-        table_audit = self._table_audit_fn(snap)
-        if (self.audit is not None or table_audit is not None) and written:
+        if self.audit is not None and written:
             try:
-                staged_df = self.spark.read.parquet(staging)
-                if table_audit is not None:
-                    # the TABLE's recorded write contract
-                    # (set_table_audit) — enforced by every writer,
-                    # evaluated at plan-time config like the schema
-                    table_audit(staged_df, {"batch_id": batch_id})
-                if self.audit is not None:
-                    self.audit(staged_df, {"batch_id": batch_id})
+                self.audit(
+                    self.spark.read.parquet(staging), {"batch_id": batch_id}
+                )
             except Exception:
                 shutil.rmtree(staging, ignore_errors=True)
                 raise
@@ -1875,6 +1886,21 @@ class SnapshotSink:
                 raise RuntimeError(
                     f"table rolled back while batch {batch_id} planned "
                     f"(epoch {plan_epoch} -> {head_epoch}); re-apply it"
+                )
+            if (None if snap is None else snap.get("audit")) != (
+                None if head is None else head.get("audit")
+            ):
+                # the table's write contract changed while this batch
+                # ran: its rows were judged (or not judged) under the
+                # plan-time contract — refuse and re-apply so the
+                # current contract is enforced. Same shape as the
+                # rollback-epoch guard: the batch is uncommitted and
+                # idempotent.
+                shutil.rmtree(staging, ignore_errors=True)
+                raise RuntimeError(
+                    f"table write contract (set_table_audit) changed "
+                    f"while batch {batch_id} ran — re-apply it so the "
+                    "current contract is enforced"
                 )
             if head_check is not None:
                 # caller-supplied validation that must see the LOCKED
@@ -2483,11 +2509,19 @@ class SnapshotSink:
         the one rule set both engines (Catalyst and Arrow) implement;
         arbitrary callables stay constructor-level.
 
-        Takes effect for batches PLANNED after the commit lands (a
-        batch in flight audits under the config it planned with — the
-        same plan-time semantics as schema evolution)."""
+        The contract is BATCH-scoped: it judges each batch's own
+        (aligned, pre-fold) rows — min_rows/max_rows measure the batch,
+        and folded old rows an inline compaction rewrites are never
+        re-judged, so tightening a contract cannot wedge ingestion on
+        historical data. A batch IN FLIGHT when the contract changes is
+        refused at its commit (re-apply it) — both writers enforce the
+        same rule."""
         if max_violations < 0 or min_rows < 0:
             raise ValueError("thresholds must be non-negative")
+        if max_rows is not None and max_rows < 0:
+            raise ValueError("max_rows must be non-negative")
+        if max_n_tok <= 0:
+            raise ValueError("max_n_tok must be positive")
         with self._commit_lock, self._table_lock():
             head = self.current_snapshot()
             if head is None:

@@ -1112,18 +1112,46 @@ class BeehiveBatchWriter(DataSourceArrowWriter):
                 "package must be importable there — ship it with "
                 "--py-files (see scripts/submit_replay.sh)"
             ) from e
+        # exactly-once FIRST: a re-delivered committed batchId is the
+        # documented idempotent skip, and must stay one even when a
+        # since-tightened contract would now flag its rows
+        # (review-found: the audit ran first and failed the retry
+        # forever). The authoritative recheck still runs under the
+        # lock in _publish_and_commit.
+        head0 = tm.current_snapshot(self.root)
+        if head0 is not None and self.batch_id in head0.get(
+            "committed_batches", []
+        ):
+            shutil.rmtree(self.staging, ignore_errors=True)
+            return
         valid: dict[int, set] = {}
         total = 0
         folded_counts: dict[str, int] = {}
+        missing_counts = False
         for m in messages:
             if m is None:
                 continue
             for b, name, rows in m.files:
                 valid.setdefault(int(b), set()).add(name)
                 total += rows
-            for k, v in (getattr(m, "audit_counts", None) or {}).items():
+            counts = getattr(m, "audit_counts", None)
+            if counts is None and m.files:
+                missing_counts = True
+            for k, v in (counts or {}).items():
                 folded_counts[k] = folded_counts.get(k, 0) + v
         if self.audit_cfg and self.audit_cfg.get("standard"):
+            if missing_counts:
+                # stream writers are re-instantiated per side: a
+                # commit-side instance that sees the contract while
+                # write tasks still ran a pre-contract pickle would
+                # otherwise enforce thresholds on EMPTY counts
+                shutil.rmtree(self.staging, ignore_errors=True)
+                raise RuntimeError(
+                    "write tasks staged data without contract "
+                    "violation counts (the table contract landed "
+                    "mid-write) — re-run the write/stream so the "
+                    "contract is enforced"
+                )
             # the table's write contract, enforced on the WINNING
             # attempts' counts before anything publishes. Stricter
             # than the sink's post-fold audit by design: the DS stages
@@ -1140,8 +1168,6 @@ class BeehiveBatchWriter(DataSourceArrowWriter):
             if p.get("max_rows") is not None and total > p["max_rows"]:
                 violations["max_rows"] = total
             if violations:
-                import shutil
-
                 from beehive_data_etl_spark.operators.audit import AuditError
 
                 shutil.rmtree(self.staging, ignore_errors=True)
@@ -1176,14 +1202,9 @@ class BeehiveBatchWriter(DataSourceArrowWriter):
                     "table became patch-mode since planning — row "
                     "envelopes cannot be committed into a per-cell table"
                 )
-            if head.get("audit") != self.audit_cfg:
-                # violation counts were computed under the plan-time
-                # contract; a changed contract may be stricter
-                raise RuntimeError(
-                    "table write contract (set_table_audit) changed "
-                    "while this write ran — re-run the write so the "
-                    "current contract is enforced"
-                )
+            # (the write-contract-change refusal lives in
+            # _publish_and_commit's locked section — plan snap vs
+            # locked head, shared by BOTH writers)
             # a drop/rename column alter may have landed since this
             # write planned: committing entries that still carry the
             # old column would re-introduce physically-removed bytes

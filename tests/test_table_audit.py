@@ -180,6 +180,92 @@ def test_ds_contract_change_between_plan_and_commit(ds_spark, tmp_path):
     assert "unit" not in s.current_snapshot()["committed_batches"]
 
 
+def test_contract_is_batch_scoped_not_table_scoped(spark, tmp_path):
+    """Tightening a contract must not wedge ingestion: an inline
+    compaction folds OLD rows (written under the laxer contract) into
+    staging, and the batch-scoped audit must judge only the BATCH's
+    rows (review-found: the staged-bytes version re-judged history on
+    every compaction touch)."""
+    # threshold 1 = copy-on-write: every touch folds the old deltas,
+    # so b2 is guaranteed to drag the violating b1 rows into staging
+    s = SnapshotSink(spark, str(tmp_path / "t"), n_buckets=2,
+                     compact_threshold=1)
+    s.apply_batch(_batch(spark, GOOD), "b1")  # n_tok=2 rows
+    s.set_table_audit(max_n_tok=1)  # OLD rows now violate
+    v0 = s.current_snapshot()["version"]
+    # a compliant batch touching every bucket triggers inline
+    # compaction of the violating old rows — and must still commit
+    s.apply_batch(
+        _batch(spark, [("U", 400 + i, f"d-{i}", [9], 1, "s")
+                       for i in range(6)]),
+        "b2",
+    )
+    assert s.current_snapshot()["version"] == v0 + 1
+    assert s.current_snapshot()["metrics"]["compacted_buckets"]
+    # while a batch whose OWN rows violate is still refused
+    with pytest.raises(AuditError, match="live_bad_n_tok"):
+        s.apply_batch(
+            _batch(spark, [("U", 500, "d-0", [1, 2], 2, "s")]), "b3"
+        )
+
+
+def test_min_rows_fires_on_empty_batch(spark, sink):
+    sink.drop_table_audit()
+    sink.set_table_audit(min_rows=1)
+    v0 = sink.current_snapshot()["version"]
+    with pytest.raises(AuditError, match="min_rows"):
+        sink.apply_batch(_batch(sink.spark, []), "b-empty")
+    head = sink.current_snapshot()
+    # nothing committed — the corrected re-send under the same id works
+    assert head["version"] == v0
+    assert "b-empty" not in head["committed_batches"]
+    sink.apply_batch(
+        _batch(sink.spark, [("U", 400, "d-0", [9], 1, "s")]), "b-empty"
+    )
+    assert "b-empty" in sink.current_snapshot()["committed_batches"]
+
+
+def test_sink_batch_in_flight_refused_on_contract_change(spark, tmp_path):
+    """The sink mirrors the DS guard: a batch planned before
+    set_table_audit is refused at its commit (crash-equivalently),
+    not silently committed unaudited."""
+    s = SnapshotSink(spark, str(tmp_path / "t"), n_buckets=2)
+    s.apply_batch(_batch(spark, GOOD), "b1")
+
+    def hook(point):
+        if point == "after_data_write" and not getattr(hook, "done", False):
+            hook.done = True
+            SnapshotSink(spark, s.root, n_buckets=2).set_table_audit()
+
+    s.crash_hook = hook
+    with pytest.raises(RuntimeError, match="write contract"):
+        s.apply_batch(_batch(spark, BAD), "b2")
+    s.crash_hook = lambda point: None
+    # re-applying enforces the now-current contract
+    with pytest.raises(AuditError):
+        s.apply_batch(_batch(spark, BAD), "b2")
+
+
+def test_ds_redelivery_of_committed_batch_skips_despite_new_contract(
+    ds_spark, tmp_path
+):
+    """Exactly-once beats the audit: a batch that committed BEFORE the
+    contract existed re-delivers as the documented idempotent skip,
+    never as an AuditError (review-found ordering)."""
+    root = str(tmp_path / "t")
+    s = SnapshotSink(ds_spark, root, n_buckets=4)
+    s.apply_batch(_batch(ds_spark, GOOD), "b1")
+    _batch(ds_spark, BAD).write.format("beehive").option(
+        "batchId", "ds-x"
+    ).mode("append").save(root)  # commits: no contract yet
+    s.set_table_audit()
+    v0 = s.current_snapshot()["version"]
+    _batch(ds_spark, BAD).write.format("beehive").option(
+        "batchId", "ds-x"
+    ).mode("append").save(root)  # re-delivery: silent skip
+    assert s.current_snapshot()["version"] == v0
+
+
 def test_set_table_audit_refusals(spark, tmp_path):
     s = SnapshotSink(spark, str(tmp_path / "n"), n_buckets=2)
     with pytest.raises(ValueError, match="no snapshot"):
@@ -193,3 +279,9 @@ def test_set_table_audit_refusals(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="needs column"):
         s.set_table_audit()
+    t2 = SnapshotSink(spark, str(tmp_path / "t2"), n_buckets=2)
+    t2.apply_batch(_batch(spark, GOOD[:1]), "b1")
+    with pytest.raises(ValueError, match="max_rows"):
+        t2.set_table_audit(max_rows=-1)
+    with pytest.raises(ValueError, match="max_n_tok"):
+        t2.set_table_audit(max_n_tok=0)
