@@ -1,0 +1,231 @@
+"""Corpus dedup sweep — close the near-dup loop on a LIVE CDC table.
+
+The dedup machinery so far produces CANDIDATE PAIRS (MinHash-banded
+LSH: ``functions.dedup.minhash_lsh_pairs`` batch-at-once,
+``functions.incremental_dedup.NearDupView`` changelog-driven). This
+module turns pairs into the action a training-data pipeline actually
+wants: *keep one canonical document per duplicate cluster, tombstone
+the rest* — as an ordinary exactly-once change batch, so every derived
+consumer (aggregate views, token index, shard export, replicas,
+outbox) sees the deletions as truthful ``D`` events and follows along.
+
+Why the sweep RE-VERIFIES pairs instead of trusting them
+--------------------------------------------------------
+LSH pairs are candidates, and the pair store is append-only history: a
+doc UPDATED since a pair was recorded may no longer resemble its
+partner, and a doc deleted by the user must never anchor a cluster.
+Both staleness classes fall out of one move — the sweep joins each
+pair's endpoints to the table's CURRENT live state (dead endpoints
+drop their edges) and recomputes the EXACT shingle Jaccard on current
+token content, keeping only pairs at/above ``threshold``. Dropping a
+dead middle doc may split a cluster (a–b, b–c with b gone); that is
+the conservative reading — a~c was never verified directly.
+
+Winner policy
+-------------
+Default: the cluster's minimum ``doc_id`` — deterministic, and FREE
+(``connected_components`` labels every node with exactly that).
+``prefer=("n_tok", "max")`` ranks by a live payload column instead
+("keep the longest sequence"), ties broken by minimum key so the
+choice stays deterministic.
+
+Concurrency / idempotence — same contract as ``delete_where``:
+losers are stamped at ONE freshly allocated op_sequence; a concurrent
+HIGHER-seq write to a loser wins LWW (the sweep raced a newer version
+and lost — the next scheduled run re-evaluates). The batch id carries
+(planned version, seq) so crash-retries re-enter the sink's replay
+path while distinct logical sweeps never collide. Re-running after
+apply finds the losers dead (live-join drops their edges) and commits
+nothing.
+
+Scale shape (the point): edges are O(candidate pairs) — a product of
+the LSH machinery, bounded by real duplication, never O(corpus²); the
+verification joins carry pair-sized row sets against a column-pruned
+(key, tokens[, prefer]) projection of live state; connected components
+runs over the duplicate subgraph only; the event batch is O(losers).
+No driver-side collect anywhere.
+
+Deployment: ``scripts/maintain_job.py`` section ``dedup`` refreshes
+the table's NearDupView (bootstrapping it if the replay job never ran
+one) and sweeps — one cron-able pass alongside compact/vacuum.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+
+from ..functions.dedup import token_shingles
+from ..functions.graph import connected_components
+from ..sinks.snapshot import CELL, KEY, SEQ
+from .refetch import next_op_sequence
+
+
+def verified_pairs(
+    sink,
+    pairs: DataFrame,
+    threshold: float = 0.8,
+    shingle_n: int = 3,
+    id_a: str = "id_new",
+    id_b: str = "id_corpus",
+) -> DataFrame:
+    """Candidate pairs → verified live edges ``(id_a, id_b, jaccard)``.
+
+    Joins both endpoints to the CURRENT live (key, tokens) projection
+    — a pair mentioning a deleted/never-live doc drops out — and keeps
+    pairs whose exact token-shingle Jaccard on CURRENT content clears
+    ``threshold``. Two docs with NO shingles at all (empty/too-short
+    token arrays) are byte-trivially identical and count as 1.0."""
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError("threshold must be in (0, 1]")
+    edges = (
+        pairs.select(
+            F.least(F.col(id_a), F.col(id_b)).alias("a"),
+            F.greatest(F.col(id_a), F.col(id_b)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    live = sink.read_final(columns=[KEY, "tokens"]).select(
+        F.col(KEY).alias("_k"),
+        token_shingles("tokens", shingle_n).alias("_sh"),
+    )
+    verified = (
+        edges.join(live.select(F.col("_k"), F.col("_sh").alias("_sh_a")),
+                   edges["a"] == F.col("_k"))
+        .drop("_k")
+        .join(live.select(F.col("_k"), F.col("_sh").alias("_sh_b")),
+              F.col("b") == F.col("_k"))
+        .drop("_k")
+        .withColumn(
+            "jaccard",
+            F.when(
+                F.size(F.array_union("_sh_a", "_sh_b")) == 0, F.lit(1.0)
+            ).otherwise(
+                F.size(F.array_intersect("_sh_a", "_sh_b"))
+                / F.size(F.array_union("_sh_a", "_sh_b"))
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(F.col("a").alias("id_a"), F.col("b").alias("id_b"), "jaccard")
+    )
+    return verified
+
+
+def dedup_sweep(
+    sink,
+    pairs: DataFrame,
+    threshold: float = 0.8,
+    shingle_n: int = 3,
+    prefer: tuple[str, str] | None = None,
+    id_a: str = "id_new",
+    id_b: str = "id_corpus",
+    batch_id: str | None = None,
+    dry_run: bool = False,
+    max_iter: int = 25,
+) -> dict:
+    """Verify ``pairs`` against live content, cluster, keep one winner
+    per cluster, tombstone the losers as ONE exactly-once batch.
+
+    ``prefer=(column, "max"|"min")`` ranks winners by a live payload
+    column (min-key tie-break); default keeps the minimum doc_id.
+    Returns ``{"clusters", "losers", "batch_id", "op_sequence",
+    "version", "dry_run"}``; ``dry_run=True`` reports without applying.
+    """
+    snap = sink.current_snapshot()
+    if snap is None:
+        raise ValueError("no snapshot yet")
+    if prefer is not None and prefer[1] not in ("max", "min"):
+        raise ValueError('prefer direction must be "max" or "min"')
+
+    edges = verified_pairs(
+        sink, pairs, threshold=threshold, shingle_n=shingle_n,
+        id_a=id_a, id_b=id_b,
+    )
+    # members: (node, comp) — comp is the min reachable id, so with the
+    # default policy the winner IS the label and losers need no second
+    # aggregation. The duplicate subgraph is tiny beside the corpus;
+    # localCheckpoint pins it so the loser plan doesn't re-run CC.
+    members = connected_components(
+        edges, src="id_a", dst="id_b", max_iter=max_iter
+    ).localCheckpoint()
+
+    if prefer is None:
+        losers = members.filter(F.col("node") != F.col("comp")).select(
+            F.col("node").alias(KEY)
+        )
+    else:
+        col, direction = prefer
+        ranked = members.join(
+            sink.read_final(columns=[KEY, col]).select(
+                F.col(KEY).alias("node"), F.col(col).alias("_val")
+            ),
+            "node",
+        )
+        best = ranked.groupBy("comp").agg(
+            (F.max("_val") if direction == "max" else F.min("_val")).alias(
+                "_best"
+            )
+        )
+        # winner = min key among members at the best value (NULL-safe:
+        # a NULL _val never equals _best unless every member is NULL,
+        # in which case eqNullSafe keeps them all and min-key decides)
+        winners = (
+            ranked.join(best, "comp")
+            .filter(F.col("_val").eqNullSafe(F.col("_best")))
+            .groupBy("comp")
+            .agg(F.min("node").alias("winner"))
+        )
+        losers = (
+            members.join(winners, "comp")
+            .filter(F.col("node") != F.col("winner"))
+            .select(F.col("node").alias(KEY))
+        )
+
+    losers = losers.localCheckpoint()
+    n_losers = losers.count()
+    n_clusters = members.select("comp").distinct().count()
+    if dry_run or n_losers == 0:
+        return {
+            "clusters": n_clusters,
+            "losers": n_losers,
+            "batch_id": None,
+            "op_sequence": None,
+            "version": snap["version"],
+            "dry_run": dry_run,
+        }
+
+    # one clock tick for the whole sweep; (version, seq) batch id —
+    # stable across crash-retries, unique per logical sweep even after
+    # a tombstone GC regresses the raw max seq (delete_where's lesson)
+    seq = next_op_sequence(sink)
+    schema = T.StructType.fromDDL(snap["schema"])
+    payload = [
+        f for f in schema.fields if f.name not in (KEY, SEQ, "deleted", CELL)
+    ]
+    events = losers.select(
+        F.lit("D").alias("op"),
+        F.lit(seq).cast("long").alias(SEQ),
+        F.col(KEY),
+        *[F.lit(None).cast(f.dataType).alias(f.name) for f in payload],
+    )
+    bid = batch_id or f"dedup-sweep-v{snap['version']}-{seq}"
+    metrics = sink.apply_batch(events, bid)
+    if metrics.get("skipped"):
+        return {
+            "clusters": n_clusters,
+            "losers": 0,
+            "batch_id": bid,
+            "op_sequence": seq,
+            "version": sink.current_snapshot()["version"],
+            "dry_run": False,
+            "skipped": metrics.get("reason", "batch id already committed"),
+        }
+    return {
+        "clusters": n_clusters,
+        "losers": n_losers,
+        "batch_id": bid,
+        "op_sequence": seq,
+        "version": sink.current_snapshot()["version"],
+        "dry_run": False,
+    }

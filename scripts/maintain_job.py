@@ -44,6 +44,22 @@ is therefore opt-in and last):
                           by the compact/vacuum passes above (list
                           retention BEFORE compact so one run sweeps
                           and folds)
+  9. dedup (opt-in)     — corpus near-dup sweep
+                          (operators.dedup_sweep): refresh the
+                          table's NearDupView (bootstrapped under
+                          <root>/_views/neardup if the replay job
+                          never ran one), verify candidate pairs by
+                          exact shingle Jaccard on CURRENT content,
+                          keep one canonical doc per duplicate
+                          cluster, tombstone the rest as ONE
+                          exactly-once batch. Knobs:
+                          MAINTAIN_DEDUP_THRESHOLD (default 0.8),
+                          MAINTAIN_DEDUP_PREFER=col[:max|min] (keep
+                          e.g. the longest doc; default min doc_id),
+                          MAINTAIN_DEDUP_VIEW (view root override),
+                          MAINTAIN_DEDUP_DRY_RUN=1 (report only).
+                          List dedup BEFORE compact so one run
+                          sweeps and folds.
 
 MAINTAIN_SECTIONS (comma list, default "compact,tombstones,vacuum")
 selects passes AND their order — sections run in list order, so
@@ -90,6 +106,7 @@ def main() -> None:
         "expire",
         "report",
         "retention",
+        "dedup",
     }
     sections = [
         s.strip()
@@ -177,6 +194,39 @@ def main() -> None:
         preds = [tuple(p) for p in json.loads(where_env)]
         return delete_where(sink, preds)
 
+    def _run_dedup():
+        # near-dup sweep: refresh the table's NearDupView (the same
+        # root replay_job uses, so a live pipeline's view is reused;
+        # a table without one bootstraps it here), then verify +
+        # cluster + tombstone losers (operators/dedup_sweep.py)
+        from beehive_data_etl_spark.functions.incremental_dedup import (
+            NearDupView,
+        )
+        from beehive_data_etl_spark.operators.dedup_sweep import dedup_sweep
+
+        view = NearDupView(
+            spark,
+            sink,
+            os.environ.get(
+                "MAINTAIN_DEDUP_VIEW", os.path.join(root, "_views", "neardup")
+            ),
+        )
+        view.refresh()
+        prefer_env = os.environ.get("MAINTAIN_DEDUP_PREFER")
+        prefer = None
+        if prefer_env:
+            col, _, direction = prefer_env.partition(":")
+            prefer = (col.strip(), (direction or "max").strip())
+        return dedup_sweep(
+            sink,
+            view.pairs(),
+            threshold=float(
+                os.environ.get("MAINTAIN_DEDUP_THRESHOLD", "0.8")
+            ),
+            prefer=prefer,
+            dry_run=os.environ.get("MAINTAIN_DEDUP_DRY_RUN") == "1",
+        )
+
     runners = {
         "compact": _run_compact,
         "tombstones": _run_tombstones,
@@ -185,6 +235,7 @@ def main() -> None:
         "expire": _run_expire,
         "fsck": _run_fsck,
         "retention": _run_retention,
+        "dedup": _run_dedup,
     }
     # sections run IN LIST ORDER — "report,compact,..." sees the
     # pre-maintenance state, "...,report" the residue (review-found:
