@@ -42,7 +42,12 @@ def norm_expr(a: Column) -> Column:
 
 
 def cosine_expr(a: Column, b: Column, decimals: int = 4) -> Column:
-    return F.round(dot_expr(a, b) / (norm_expr(a) * norm_expr(b)), decimals)
+    # try_divide: a zero-norm (degenerate) vector yields NULL rather
+    # than an ANSI DIVIDE_BY_ZERO error — callers that must rank such
+    # vectors coalesce the NULL below any real score (AnnIndex._assign)
+    return F.round(
+        F.try_divide(dot_expr(a, b), norm_expr(a) * norm_expr(b)), decimals
+    )
 
 
 def cosine_topk_bruteforce(

@@ -103,6 +103,20 @@ def _derived_views(spark, sink) -> list:
         views.append(
             NearDupView(spark, sink, os.path.join(root, "_views", "neardup"))
         )
+    ann_col = os.environ.get("REPLAY_ANN_COL")
+    if ann_col:
+        # REPLAY_ANN_COL=<array<float> payload column> (+ optional
+        # REPLAY_ANN_CELLS): maintain the IVF ANN index
+        # (sinks/ann_index.py) for similarity serving
+        from beehive_data_etl_spark.sinks.ann_index import AnnIndex
+
+        views.append(
+            AnnIndex(
+                spark, sink, os.path.join(root, "_views", "ann"),
+                vec_col=ann_col,
+                n_cells=int(os.environ.get("REPLAY_ANN_CELLS", "16")),
+            )
+        )
     if os.environ.get("REPLAY_HISTORY"):
         from beehive_data_etl_spark.sinks.history import HistoryView
 
