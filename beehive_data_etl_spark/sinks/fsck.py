@@ -198,6 +198,13 @@ def fsck(sink, deep: bool = False) -> dict:
         for ents in snap["buckets"].values()
         for e in ents
     }
+    # branch heads reference data main's chain can't see — not orphans
+    referenced |= {
+        e["path"]
+        for bh in sink._branch_heads()
+        for ents in bh["buckets"].values()
+        for e in ents
+    }
     on_disk = {
         os.path.relpath(p, sink.root)
         for p in glob.glob(os.path.join(sink.root, "data", "*", "bucket=*"))

@@ -44,6 +44,7 @@ import fcntl
 import glob
 import json
 import os
+import re
 import shutil
 import threading
 import time
@@ -147,9 +148,18 @@ class SnapshotSink:
         patch: bool = False,
         target_file_rows: int | None = None,
         bloom_filter: bool = True,
+        ref: str = "main",
     ) -> None:
         self.spark = spark
         self.root = root
+        # which snapshot chain this handle commits to: "main" is the
+        # table itself; any other name is a BRANCH (create_branch /
+        # branch()) — a metadata-only fork sharing the data layout,
+        # published back atomically by fast_forward(). Constructed via
+        # sink.branch(name), not directly.
+        if not re.fullmatch(r"[A-Za-z0-9_\-]{1,64}", ref):
+            raise ValueError(f"invalid ref name {ref!r}")
+        self.ref = ref
         self.n_buckets = n_buckets
         self.salt_partials = salt_partials
         self.lineage = lineage
@@ -264,6 +274,43 @@ class SnapshotSink:
     def _current_path(self) -> str:
         return os.path.join(self.root, "_snapshots", "CURRENT")
 
+    def _is_main(self) -> bool:
+        return self.ref == "main"
+
+    def _require_main(self, op: str) -> None:
+        if not self._is_main():
+            raise RuntimeError(
+                f"{op} is a table-level operation; this handle writes "
+                f"branch {self.ref!r} — run it on the main ref"
+            )
+
+    def _snap_name(self, version: int) -> str:
+        return (
+            f"v{version:06d}.json"
+            if self._is_main()
+            else f"b-{self.ref}-v{version:06d}.json"
+        )
+
+    def _branch_ptr_path(self, name: str) -> str:
+        return os.path.join(self.root, "_snapshots", f"BRANCH-{name}.json")
+
+    def _read_branch_ptr(self, name: str) -> dict | None:
+        try:
+            with open(self._branch_ptr_path(name)) as fh:
+                return json.load(fh)
+        except FileNotFoundError:
+            return None
+
+    def _phys_batch_id(self, batch_id: str) -> str:
+        """Physical namespace for a batch id: data dirs and manifests
+        of a BRANCH commit are prefixed so the same logical batch
+        applied to two refs never collides on disk (fast_forward
+        strips the prefix from the published committed set, so a WAL
+        replay onto main after publish still dedupes)."""
+        return (
+            batch_id if self._is_main() else f"b.{self.ref}.{batch_id}"
+        )
+
     @contextmanager
     def _table_lock(self):
         """CROSS-PROCESS commit mutex (flock on a lockfile under the
@@ -290,29 +337,51 @@ class SnapshotSink:
 
     def current_snapshot(self) -> dict | None:
         try:
-            with open(self._current_path()) as fh:
-                name = fh.read().strip()
+            if self._is_main():
+                with open(self._current_path()) as fh:
+                    name = fh.read().strip()
+            else:
+                ptr = self._read_branch_ptr(self.ref)
+                if ptr is None:
+                    raise RuntimeError(
+                        f"no branch {self.ref!r} at {self.root} — "
+                        "create_branch() it on the main handle first"
+                    )
+                name = ptr["head"]
             with open(os.path.join(self.root, "_snapshots", name)) as fh:
                 return json.load(fh)
         except FileNotFoundError:
             return None
 
     def _write_snapshot(self, snap: dict) -> None:
-        name = f"v{snap['version']:06d}.json"
+        name = self._snap_name(snap["version"])
         path = os.path.join(self.root, "_snapshots", name)
         tmp = path + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as fh:
             json.dump(snap, fh)
         os.replace(tmp, path)
         self.crash_hook("before_pointer_swap")
-        ptr_tmp = self._current_path() + f".tmp-{uuid.uuid4().hex}"
-        with open(ptr_tmp, "w") as fh:
-            fh.write(name)
-        os.replace(ptr_tmp, self._current_path())  # THE commit point
+        if self._is_main():
+            ptr_tmp = self._current_path() + f".tmp-{uuid.uuid4().hex}"
+            with open(ptr_tmp, "w") as fh:
+                fh.write(name)
+            os.replace(ptr_tmp, self._current_path())  # THE commit point
+        else:
+            ptr = self._read_branch_ptr(self.ref)
+            if ptr is None:
+                raise RuntimeError(f"branch {self.ref!r} was deleted")
+            ptr["head"] = name
+            ptr_path = self._branch_ptr_path(self.ref)
+            ptr_tmp = ptr_path + f".tmp-{uuid.uuid4().hex}"
+            with open(ptr_tmp, "w") as fh:
+                json.dump(ptr, fh)
+            os.replace(ptr_tmp, ptr_path)  # THE commit point (branch)
 
     def committed(self, batch_id: str) -> bool:
         snap = self.current_snapshot()
-        return snap is not None and str(batch_id) in snap["committed_batches"]
+        return snap is not None and self._phys_batch_id(
+            str(batch_id)
+        ) in snap["committed_batches"]
 
     # ------------------------------------------------------------- refs
     def _tags_path(self) -> str:
@@ -335,6 +404,7 @@ class SnapshotSink:
         Re-tagging the same version is an idempotent no-op; moving an
         existing tag is refused (drop it first) — silent moves are how
         audit pins get lost."""
+        self._require_main("tag")
         with self._commit_lock, self._table_lock():
             snap = self.current_snapshot()
             if snap is None:
@@ -356,6 +426,7 @@ class SnapshotSink:
         explicit-move API for cursor-style tags (e.g. a replication
         cursor). One tags-file write, so no crash window where the pin
         is absent (a drop_tag + tag sequence would have one)."""
+        self._require_main("move_tag")
         with self._commit_lock, self._table_lock():
             snap = self.current_snapshot()
             if snap is None:
@@ -368,6 +439,7 @@ class SnapshotSink:
         return v
 
     def drop_tag(self, name: str) -> int:
+        self._require_main("drop_tag")
         with self._commit_lock, self._table_lock():
             tags = self.tags()
             if name not in tags:
@@ -381,6 +453,210 @@ class SnapshotSink:
         with open(tmp, "w") as fh:
             json.dump(tags, fh)
         os.replace(tmp, self._tags_path())
+
+    # ------------------------------------------------------------ branches
+    def branches(self) -> dict[str, dict]:
+        """Live branches: name → {"base": fork version, "head": head
+        version}. Works from any handle (read-only)."""
+        out = {}
+        sdir = os.path.join(self.root, "_snapshots")
+        for f in os.listdir(sdir):
+            m = re.fullmatch(r"BRANCH-(.+)\.json", f)
+            if not m:
+                continue
+            try:
+                with open(os.path.join(sdir, f)) as fh:
+                    ptr = json.load(fh)
+            except FileNotFoundError:
+                continue  # deleted between listdir and read
+            hm = re.search(r"v(\d+)\.json$", ptr["head"])
+            out[m.group(1)] = {
+                "base": ptr["base"],
+                "head": int(hm.group(1)) if hm else ptr["base"],
+            }
+        return out
+
+    def create_branch(self, name: str, at: int | str | None = None) -> dict:
+        """Fork a BRANCH at a committed snapshot (default: head) —
+        Iceberg's branch refs, the multi-commit write-audit-publish
+        shape: stage any number of ordinary exactly-once batches on
+        the branch (``sink.branch(name).apply_batch(...)``), audit /
+        read / verify the branch head in isolation, then publish the
+        whole run atomically with ``fast_forward(name)`` — or walk
+        away with ``delete_branch(name)`` and the table never saw it.
+
+        Metadata-only at any scale: the fork is one small JSON pointer;
+        branch commits append ordinary delta files into the shared
+        ``data/`` layout (namespaced per ref) and snapshot JSONs under
+        the branch's own name — zero data copies at 10^10 rows. On a
+        catalog deployment this maps to Iceberg's branch refs + commits
+        against the branch; fast_forward is the catalog's
+        fastForwardBranch CAS."""
+        self._require_main("create_branch")
+        if not re.fullmatch(r"[A-Za-z0-9_\-]{1,64}", name) or name == "main":
+            raise ValueError(f"invalid branch name {name!r}")
+        with self._commit_lock, self._table_lock():
+            head = self.current_snapshot()
+            if head is None:
+                raise ValueError("no snapshot yet — nothing to branch from")
+            if self._read_branch_ptr(name) is not None:
+                raise ValueError(f"branch {name!r} already exists")
+            base = head["version"] if at is None else self.resolve_ref(at)
+            # the base snapshot must be readable (floor + file checks
+            # mirror tag(): a branch from an expired version would
+            # fork from nothing)
+            self.snapshot(base)
+            ptr = {"head": f"v{base:06d}.json", "base": base}
+            ptr_path = self._branch_ptr_path(name)
+            tmp = ptr_path + f".tmp-{uuid.uuid4().hex}"
+            with open(tmp, "w") as fh:
+                json.dump(ptr, fh)
+            os.replace(tmp, ptr_path)
+        return {"branch": name, "base": base}
+
+    def branch(self, name: str) -> "SnapshotSink":
+        """A writer handle for an existing branch: a full SnapshotSink
+        whose commits land on the branch chain. Reads (read_state,
+        lookup, read_changes, meta tables) and writes (apply_batch and
+        everything built on it — merge_into, update_where — plus
+        compact) all work; table-LEVEL operations (vacuum, rollback,
+        rebucket, snapshot/tombstone GC, purge, column DDL, tags,
+        audit contract) are refused — run those on main."""
+        self._require_main("branch")
+        if self._read_branch_ptr(name) is None:
+            raise ValueError(
+                f"no branch {name!r} (known: {sorted(self.branches())})"
+            )
+        return SnapshotSink(
+            self.spark,
+            self.root,
+            n_buckets=self.n_buckets,
+            patch=self.patch,
+            salt_partials=self.salt_partials,
+            lineage=self.lineage,
+            compact_threshold=self.compact_threshold,
+            compression=self.compression,
+            audit=self.audit,
+            target_file_rows=self.target_file_rows,
+            bloom_filter=self.bloom_filter,
+            ref=name,
+        )
+
+    def delete_branch(self, name: str) -> dict:
+        """Drop a branch: the pointer and the branch's own snapshot
+        JSONs go now; its data files become unreferenced and the next
+        age-gated ``vacuum`` reclaims them."""
+        self._require_main("delete_branch")
+        with self._commit_lock, self._table_lock():
+            if self._read_branch_ptr(name) is None:
+                raise ValueError(f"no branch {name!r}")
+            os.remove(self._branch_ptr_path(name))
+            sdir = os.path.join(self.root, "_snapshots")
+            dropped = 0
+            for f in os.listdir(sdir):
+                if re.fullmatch(rf"b-{re.escape(name)}-v\d+\.json", f):
+                    os.remove(os.path.join(sdir, f))
+                    dropped += 1
+        return {"branch": name, "snapshots_dropped": dropped}
+
+    def fast_forward(self, name: str) -> dict:
+        """Publish a branch: if main has NOT moved since the fork, the
+        branch's snapshots become main's — an atomic pointer swap after
+        O(branch commits) metadata copies, zero data movement. Each
+        copied snapshot keeps its full self-contained state (buckets,
+        schema, committed set), so time travel and changelog windows
+        across the published span work exactly as if the batches had
+        been committed on main — derived views, replicas, and the
+        changelog Data Source resume seamlessly over it. Branch batch
+        ids are un-namespaced on the way in, so a WAL replay onto main
+        after publish dedupes against them.
+
+        If main HAS moved the publish is refused (this is git's
+        fast-forward rule): re-apply the branch's batches onto main —
+        exactly-once makes re-application safe — or delete the branch.
+        Crash-safe: snapshot copies land before the pointer swap; a
+        crash leaves inert above-head JSONs that a re-run overwrites."""
+        self._require_main("fast_forward")
+        with self._commit_lock, self._table_lock():
+            ptr = self._read_branch_ptr(name)
+            if ptr is None:
+                raise ValueError(f"no branch {name!r}")
+            head = self.current_snapshot()
+            if head is None:
+                raise ValueError("no snapshot yet")
+            base = ptr["base"]
+            hm = re.search(r"v(\d+)\.json$", ptr["head"])
+            b_head = int(hm.group(1))
+            if b_head == base:
+                os.remove(self._branch_ptr_path(name))
+                return {"branch": name, "fast_forwarded": 0,
+                        "version": head["version"]}
+            prefix = f"b.{name}."
+            if head["version"] != base:
+                # the BRANCH head file, not main's same-numbered
+                # snapshot — main may have moved past b_head on its own
+                with open(os.path.join(
+                    self.root, "_snapshots", f"b-{name}-v{b_head:06d}.json"
+                )) as fh:
+                    b_snap = json.load(fh)
+                if head["version"] >= b_head and any(
+                    b.startswith(prefix) for b in b_snap["committed_batches"]
+                ) and all(
+                    (b[len(prefix):] if b.startswith(prefix) else b)
+                    in head["committed_batches"]
+                    for b in b_snap["committed_batches"]
+                ):
+                    # a prior fast_forward crashed between the pointer
+                    # swap and the branch cleanup — finish the cleanup
+                    os.remove(self._branch_ptr_path(name))
+                    for f in os.listdir(sdir := os.path.join(
+                        self.root, "_snapshots"
+                    )):
+                        if re.fullmatch(rf"b-{re.escape(name)}-v\d+\.json", f):
+                            os.remove(os.path.join(sdir, f))
+                    return {"branch": name, "fast_forwarded": 0,
+                            "already_published": True,
+                            "version": head["version"]}
+                raise RuntimeError(
+                    f"cannot fast-forward {name!r}: main moved "
+                    f"(v{base} -> v{head['version']}) since the fork — "
+                    "re-apply the branch's batches to main (exactly-once "
+                    "dedupes any overlap) or delete_branch()"
+                )
+            sdir = os.path.join(self.root, "_snapshots")
+            last = None
+            for v in range(base + 1, b_head + 1):
+                with open(
+                    os.path.join(sdir, f"b-{name}-v{v:06d}.json")
+                ) as fh:
+                    s = json.load(fh)
+                s["committed_batches"] = [
+                    b[len(prefix):] if b.startswith(prefix) else b
+                    for b in s["committed_batches"]
+                ]
+                dst = os.path.join(sdir, f"v{v:06d}.json")
+                tmp = dst + f".tmp-{uuid.uuid4().hex}"
+                with open(tmp, "w") as fh:
+                    json.dump(s, fh)
+                os.replace(tmp, dst)
+                last = f"v{v:06d}.json"
+            self.crash_hook("before_pointer_swap")
+            ptr_tmp = self._current_path() + f".tmp-{uuid.uuid4().hex}"
+            with open(ptr_tmp, "w") as fh:
+                fh.write(last)
+            os.replace(ptr_tmp, self._current_path())  # THE publish point
+            # consume the branch (best-effort; inert leftovers if we
+            # crash here — delete_branch or a re-created branch name
+            # overwrites them)
+            os.remove(self._branch_ptr_path(name))
+            for f in os.listdir(sdir):
+                if re.fullmatch(rf"b-{re.escape(name)}-v\d+\.json", f):
+                    os.remove(os.path.join(sdir, f))
+        return {
+            "branch": name,
+            "fast_forwarded": b_head - base,
+            "version": b_head,
+        }
 
     def resolve_ref(self, ref: int | str) -> int:
         """A version number passes through; a string resolves via the
@@ -403,9 +679,11 @@ class SnapshotSink:
         ct = snap.get("metrics", {}).get("commit_ts")
         if ct is not None:
             return float(ct)
-        return os.path.getmtime(
-            os.path.join(self.root, "_snapshots", f"v{v:06d}.json")
-        )
+        for name in (self._snap_name(v), f"v{v:06d}.json"):
+            p = os.path.join(self.root, "_snapshots", name)
+            if os.path.exists(p):
+                return os.path.getmtime(p)
+        raise FileNotFoundError(f"no snapshot file for v{v}")
 
     def as_of_version(self, ts: float | str) -> int:
         """Timestamp time travel (Iceberg's ``as-of-timestamp``): the
@@ -487,6 +765,7 @@ class SnapshotSink:
         - refused if ``vacuum()`` already reaped any of the target's
           data files (tag a version to protect it), or if this sink has
           in-flight work (quiesce first, like rebucket)."""
+        self._require_main("rollback_to")
         t0 = time.time()
         target_v = self.resolve_ref(version)
         target = self.snapshot(target_v)
@@ -586,13 +865,32 @@ class SnapshotSink:
     def manifest_contains(self, batch_id: str, bucket: int) -> bool:
         return os.path.exists(self._manifest_path(batch_id, bucket))
 
+    def _branch_heads(self) -> list[dict]:
+        """Head snapshots of every live branch — data they reference
+        must survive main-side GC exactly like tagged versions."""
+        heads = []
+        for name in self.branches():
+            ptr = self._read_branch_ptr(name)
+            if ptr is None:
+                continue  # deleted concurrently
+            try:
+                with open(
+                    os.path.join(self.root, "_snapshots", ptr["head"])
+                ) as fh:
+                    heads.append(json.load(fh))
+            except FileNotFoundError:
+                continue
+        return heads
+
     def _referenced_paths(self, snap: dict | None) -> set[str]:
-        """Every data path referenced by the head snapshot or any tagged
-        snapshot — the set that must never be destroyed or relinked as
-        if it were a fresh attempt's output."""
-        retained = ([] if snap is None else [snap]) + [
-            self.snapshot(v) for v in self.tags().values()
-        ]
+        """Every data path referenced by the head snapshot, any tagged
+        snapshot, or any branch head — the set that must never be
+        destroyed or relinked as if it were a fresh attempt's output."""
+        retained = (
+            ([] if snap is None else [snap])
+            + [self.snapshot(v) for v in self.tags().values()]
+            + self._branch_heads()
+        )
         return {
             e["path"]
             for s in retained
@@ -737,6 +1035,18 @@ class SnapshotSink:
         reads below it fail here with the floor named."""
         version = self.resolve_ref(version)
         try:
+            if not self._is_main():
+                # branch chain first; versions <= the fork point fall
+                # through to the main chain's files (shared history)
+                try:
+                    with open(
+                        os.path.join(
+                            self.root, "_snapshots", self._snap_name(version)
+                        )
+                    ) as fh:
+                        return json.load(fh)
+                except FileNotFoundError:
+                    pass
             with open(
                 os.path.join(self.root, "_snapshots", f"v{version:06d}.json")
             ) as fh:
@@ -1526,7 +1836,7 @@ class SnapshotSink:
         pointer; SURVEY.md §3.3 state machine).
         """
         t0 = time.time()
-        batch_id = str(batch_id)
+        batch_id = self._phys_batch_id(str(batch_id))
         snap = self.current_snapshot()
         if snap is not None and bool(snap.get("patch", False)) != self.patch:
             # the fold mode is a per-table property: folding per-cell
@@ -2330,6 +2640,7 @@ class SnapshotSink:
         re-running with a static floor — the steady-state of a cron'd
         maintain_job — must not cost an O(table) full rewrite per run
         (review-found)."""
+        self._require_main("expire_tombstones")
         snap = self.current_snapshot()
         if snap is not None and min_op_sequence <= snap.get("tombstone_floor", 0):
             return {
@@ -2386,6 +2697,7 @@ class SnapshotSink:
           the rebucket (retry later), never the committed batch.
 
         Old files stay on disk for time travel until vacuum()."""
+        self._require_main("rebucket")
         t0 = time.time()
         if new_n_buckets < 1:
             raise ValueError(f"n_buckets must be >= 1, got {new_n_buckets}")
@@ -2516,6 +2828,7 @@ class SnapshotSink:
         historical data. A batch IN FLIGHT when the contract changes is
         refused at its commit (re-apply it) — both writers enforce the
         same rule."""
+        self._require_main("set_table_audit")
         if max_violations < 0 or min_rows < 0:
             raise ValueError("thresholds must be non-negative")
         if max_rows is not None and max_rows < 0:
@@ -2560,6 +2873,7 @@ class SnapshotSink:
     def drop_table_audit(self) -> dict:
         """Remove the table-level write contract (one metadata-only
         commit)."""
+        self._require_main("drop_table_audit")
         with self._commit_lock, self._table_lock():
             head = self.current_snapshot()
             if head is None:
@@ -2627,6 +2941,7 @@ class SnapshotSink:
         deterministic paths (review-reproduced). Re-delivery replans;
         the publish path refuses to replace head- or tag-referenced
         dirs, so live data survives regardless."""
+        self._require_main("trim_committed_batches")
         if retain_last < 0:
             raise ValueError(f"retain_last must be >= 0, got {retain_last}")
         with self._commit_lock, self._table_lock():
@@ -2689,6 +3004,7 @@ class SnapshotSink:
         changelog window any consumer tails (replicas already pin
         their cursors with tags, so the clamp makes lagging consumers
         safe by construction)."""
+        self._require_main("expire_snapshots")
         if keep_last < 1:
             raise ValueError(f"keep_last must be >= 1, got {keep_last}")
         with self._commit_lock, self._table_lock():
@@ -2700,6 +3016,15 @@ class SnapshotSink:
             tags = self.tags()
             if tags:
                 cand = min(cand, min(tags.values()) + 1)
+            # live branches clamp like tags: a branch handle reads
+            # main-chain files for versions <= its fork point (shared
+            # history), and fast_forward's published span diffs from
+            # the base — keep the base and everything above it
+            branches = self.branches()
+            if branches:
+                cand = min(cand, min(b["base"] for b in branches.values()) + 1)
+            # fork points keep their JSONs like tagged versions do
+            bases = {b["base"] for b in branches.values()}
             floor = max(cur_floor, cand)
 
             def _sweep(below: int, keep: set) -> int:
@@ -2727,7 +3052,10 @@ class SnapshotSink:
                 # unchanged floor still sweeps: a tag dropped since the
                 # last expiry may have released versions below it
                 return {
-                    "expired": _sweep(cur_floor, set(tags.values())),
+                    "expired": _sweep(
+                        cur_floor,
+                        set(tags.values()) | bases,
+                    ),
                     "snapshot_floor": cur_floor,
                 }
             new_snap = dict(head)
@@ -2745,7 +3073,7 @@ class SnapshotSink:
             # range: a version kept below the old floor only because a
             # tag pinned it (since dropped) would otherwise leak
             # forever, as would leftovers of a crashed delete pass
-            expired = _sweep(floor, set(tags.values()))
+            expired = _sweep(floor, set(tags.values()) | bases)
         return {
             "expired": expired,
             "snapshot_floor": floor,
@@ -2793,6 +3121,7 @@ class SnapshotSink:
           column) FIRST, then backfill history — the standard two-step;
           then concurrent arrivals already carry the column.
         """
+        self._require_main("backfill")
         if not columns:
             raise ValueError("backfill needs at least one column expression")
         reserved = {KEY, SEQ, "deleted", "_bucket"}
@@ -2870,6 +3199,7 @@ class SnapshotSink:
           out-of-order patches still resolve against the right seq).
           NOTE the Iceberg twin's metadata-only alter does NOT migrate
           name-keyed cell maps — see drop_column_sql."""
+        self._require_main("drop_column")
         return self._alter_column(drop=name)
 
     def rename_column(self, old: str, new: str) -> dict:
@@ -2884,6 +3214,7 @@ class SnapshotSink:
         window (a replica's column can't be renamed by forward events);
         run the same rename downstream, then mark_synced. Same
         quiesce/concurrency/time-travel contract as drop_column."""
+        self._require_main("rename_column")
         return self._alter_column(rename=(old, new))
 
     def _alter_column(
@@ -3049,6 +3380,16 @@ class SnapshotSink:
         plus the vacuum listing; the ``IN (keys)`` filter is a
         broadcast-friendly literal list, fine for takedown-request
         volumes (thousands); chunk calls for larger lists."""
+        self._require_main("purge_keys")
+        if self.branches():
+            # takedown must cover EVERY ref — a branch head keeps
+            # referencing the pre-purge files (vacuum retains them for
+            # it), so the purged rows would survive on the branch
+            raise RuntimeError(
+                "purge_keys with live branches would leave the purged "
+                f"rows reachable on {sorted(self.branches())} — "
+                "fast_forward or delete_branch them first"
+            )
         if not keys:
             raise ValueError("purge_keys() needs at least one key")
         snap = self.current_snapshot()
@@ -3444,9 +3785,14 @@ class SnapshotSink:
         them. Data Source writes (``df.write.format("beehive")``) are
         always cross-process writers — their ``_stage-ds-*`` staging
         dirs register in no in-flight set, so a table that accepts DS
-        writes must vacuum with a nonzero horizon. The table lock below makes the CURRENT-read + reap
+        writes must vacuum with a nonzero horizon. BRANCH handles
+        (``branch()``) are separate sink objects too: committed branch
+        state is retained via the branch heads, but a branch batch
+        mid-publish has only its freshness — vacuum with a horizon
+        while branch writers run. The table lock below makes the CURRENT-read + reap
         atomic against concurrent commits; it cannot cover publishes
         that haven't reached their critical section."""
+        self._require_main("vacuum")
         with self._commit_lock, self._table_lock():
             return self._vacuum_locked(older_than_s)
 
@@ -3477,7 +3823,13 @@ class SnapshotSink:
         # tag created after a file was superseded can't resurrect it —
         # tag() only pins committed snapshots, whose files a prior
         # vacuum under this rule never removed while the tag existed.
-        retained = [snap] + [self.snapshot(v) for v in self.tags().values()]
+        retained = (
+            [snap]
+            + [self.snapshot(v) for v in self.tags().values()]
+            # branch heads: a branch's delta files are invisible to
+            # main's snapshot but very much live
+            + self._branch_heads()
+        )
         live = {
             os.path.normpath(os.path.join(self.root, e["path"]))
             for s in retained
@@ -3528,6 +3880,10 @@ class SnapshotSink:
         # crash→vacuum→restart sequence). Committed and in-flight
         # batches keep theirs.
         committed = set(snap["committed_batches"])
+        # branch-committed batches' manifests (ref-namespaced ids) are
+        # as committed as main's
+        for bh in self._branch_heads():
+            committed |= set(bh["committed_batches"])
         man_root = os.path.join(self.root, "_manifests")
         orphan_manifests = 0
         for batch_dir in os.listdir(man_root):

@@ -153,6 +153,28 @@ def _derived_views(spark, sink) -> list:
     return views
 
 
+def _stream_schema_ddl(spark, wal_dir: str, patch: bool) -> str:
+    """Stream mode needs a fixed source schema up front (readStream
+    contract). Default: the standard envelope DDL. REPLAY_SCHEMA=auto
+    derives the WAL's own merged superset schema from its parquet
+    footers (one metadata pass, cost bounded by the log's retention
+    window) — the knob that lets a payload beyond the base envelope
+    (e.g. an embedding column) flow through the stream deployment
+    path. Any other REPLAY_SCHEMA value is taken as an explicit DDL
+    string. Pipelined mode needs none of this: each micro-batch reads
+    its own merged schema."""
+    v = os.environ.get("REPLAY_SCHEMA")
+    if not v:
+        return PATCH_ENVELOPE_DDL if patch else BASE_ENVELOPE_DDL
+    if v == "auto":
+        from beehive_data_etl_spark.sinks.snapshot import _ddl
+
+        return _ddl(
+            spark.read.option("mergeSchema", "true").parquet(wal_dir).schema
+        )
+    return v
+
+
 def _files_per_batch() -> "int | str":
     """REPLAY_FILES_PER_BATCH: an int, or "auto" to size micro-batches
     by events (REPLAY_TARGET_EVENTS, default 500k) from the log's
@@ -416,7 +438,7 @@ def main() -> None:
         checkpoint_dir=f"{target.rstrip('/')}/_checkpoint"
         if "/" in target
         else f"/tmp/ckpt-{target.replace('.', '-')}",
-        schema_ddl=PATCH_ENVELOPE_DDL if patch else BASE_ENVELOPE_DDL,
+        schema_ddl=_stream_schema_ddl(spark, wal_dir, patch),
         max_files_per_trigger=8,
         watermark=("event_ts", "10 minutes"),
         on_batch_commit=(

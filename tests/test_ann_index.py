@@ -219,10 +219,12 @@ def test_search_prunes_to_probed_cells(spark, sink, tmp_path):
     probed = {f.split("cell=")[1].split("/")[0] for f in files}
     assert probed == {"3"}
 
-def test_replay_job_ann_wiring(spark, tmp_path, monkeypatch):
-    """REPLAY_ANN_COL wires the IVF index into the deployment job
-    (pipelined mode — the per-batch merged schema carries the
-    embedding column, scripts/replay_job.py)."""
+@pytest.mark.parametrize("mode", ["pipelined", "stream"])
+def test_replay_job_ann_wiring(spark, tmp_path, monkeypatch, mode):
+    """REPLAY_ANN_COL wires the IVF index into the deployment job.
+    Pipelined mode reads each micro-batch with its own merged schema;
+    stream mode needs REPLAY_SCHEMA=auto so the readStream schema
+    carries the beyond-envelope embedding column."""
     import sys
 
     sys.path.insert(
@@ -260,10 +262,13 @@ def test_replay_job_ann_wiring(spark, tmp_path, monkeypatch):
         )
     target = str(tmp_path / "sink")
     monkeypatch.setattr(sys, "argv", ["replay_job.py", log, target])
-    monkeypatch.setenv("REPLAY_MODE", "pipelined")
+    monkeypatch.setenv("REPLAY_MODE", mode)
     monkeypatch.setenv("REPLAY_N_BUCKETS", "4")
-    monkeypatch.setenv("REPLAY_FILES_PER_BATCH", "1")
-    monkeypatch.setenv("REPLAY_INFLIGHT", "1")
+    if mode == "pipelined":
+        monkeypatch.setenv("REPLAY_FILES_PER_BATCH", "1")
+        monkeypatch.setenv("REPLAY_INFLIGHT", "1")
+    else:
+        monkeypatch.setenv("REPLAY_SCHEMA", "auto")
     monkeypatch.setenv("REPLAY_ANN_COL", "embedding")
     monkeypatch.setenv("REPLAY_ANN_CELLS", "4")
     replay_job.main()
