@@ -387,6 +387,36 @@ def main() -> None:
                 f"WAL has {s['n_missing']} missing sequence numbers "
                 "(REPLAY_GAPMON=strict)"
             )
+    # REPLAY_BRANCH=<name>: land the whole replay on a BRANCH of the
+    # target table (created if absent, resumed if present) and publish
+    # it atomically by fast_forward at the quiesced end — the staged
+    # multi-commit write-audit-publish deployment shape. Main serves
+    # readers untouched until the publish; a refused publish (another
+    # writer moved main) fails the job LOUDLY with the branch intact
+    # for manual re-apply/inspection. REPLAY_BRANCH_PUBLISH=0 stages
+    # without publishing (audit offline, fast_forward later). Derived
+    # views / replicas / outbox follow MAIN, so they refresh after the
+    # publish, never per staged epoch.
+    branch = os.environ.get("REPLAY_BRANCH")
+    write_sink = sink
+    if branch:
+        if not isinstance(sink, SnapshotSink):
+            raise ValueError("REPLAY_BRANCH requires the filesystem sink")
+        if sink.current_snapshot() is None:
+            # a branch needs a fork point: seed an empty table commit?
+            # No — refuse; first replay bootstraps main directly.
+            raise ValueError(
+                "REPLAY_BRANCH needs an existing table (bootstrap the "
+                "first replay without it)"
+            )
+        if branch not in sink.branches():
+            sink.create_branch(branch)
+        write_sink = sink.branch(branch)
+
+    def _publish_branch() -> None:
+        if branch and os.environ.get("REPLAY_BRANCH_PUBLISH", "1") != "0":
+            print("BRANCH_PUBLISH " + json.dumps(sink.fast_forward(branch)))
+
     views = _derived_views(spark, sink)
     replicator = _replicator(spark, sink)
     outbox = _outbox(sink)
@@ -395,7 +425,7 @@ def main() -> None:
         batches = replay_incremental(
             spark,
             wal_dir,
-            sink,
+            write_sink,
             files_per_batch=_files_per_batch(),
             target_events_per_batch=int(
                 os.environ.get("REPLAY_TARGET_EVENTS", "500000")
@@ -410,6 +440,7 @@ def main() -> None:
                 {"replay_wall_s": round(time.time() - t0, 2), "n_batches": len(batches)}
             )
         )
+        _publish_branch()
         for v in views:
             v.refresh()
         if views:
@@ -434,7 +465,7 @@ def main() -> None:
     replay_stream(
         spark,
         wal_dir,
-        sink,
+        write_sink,
         checkpoint_dir=f"{target.rstrip('/')}/_checkpoint"
         if "/" in target
         else f"/tmp/ckpt-{target.replace('.', '-')}",
@@ -442,11 +473,22 @@ def main() -> None:
         max_files_per_trigger=8,
         watermark=("event_ts", "10 minutes"),
         on_batch_commit=(
+            # staged epochs are invisible to main's consumers — views
+            # refresh once, after the publish
             _refresh_views
-            if (views or replicator is not None or outbox is not None)
+            if not branch
+            and (views or replicator is not None or outbox is not None)
             else None
         ),
     )
+    _publish_branch()
+    if branch:
+        for v in views:
+            v.refresh()
+        if replicator is not None:
+            replicator.sync()
+        if outbox is not None:
+            outbox.sync()
 
 
 if __name__ == "__main__":

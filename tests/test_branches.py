@@ -292,3 +292,68 @@ def test_branch_lookup_and_time_travel(spark, sink):
         r.doc_id: r.tokens for r in pre.select("doc_id", "tokens").collect()
     }["d1"] == [1, 1]
     sink.delete_branch("wip")
+
+def test_replay_job_branch_staging(spark, smoke_log, tmp_path, monkeypatch):
+    """REPLAY_BRANCH deployment shape: the replay lands on a branch and
+    publishes by fast_forward at the quiesced end; derived views follow
+    MAIN and refresh only after the publish. REPLAY_BRANCH_PUBLISH=0
+    stages without touching main."""
+    import sys
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(__file__), "..", "scripts")
+    )
+    import replay_job
+
+    # stage the WAL in two halves
+    wal = str(tmp_path / "wal")
+    os.makedirs(wal)
+    files = sorted(os.listdir(smoke_log))
+    parts = [f for f in files if f.startswith("part-")]
+    for f in parts[:4]:
+        shutil.copy(os.path.join(smoke_log, f), os.path.join(wal, f))
+    target = str(tmp_path / "t")
+    monkeypatch.setattr(sys, "argv", ["replay_job.py", wal, target])
+    monkeypatch.setenv("REPLAY_MODE", "pipelined")
+    monkeypatch.setenv("REPLAY_N_BUCKETS", "8")
+    monkeypatch.setenv("REPLAY_FILES_PER_BATCH", "2")
+    monkeypatch.setenv("REPLAY_INFLIGHT", "1")
+    monkeypatch.setenv("REPLAY_AGG_GROUP", "source")
+    monkeypatch.setenv("REPLAY_AGG_SUM", "n_tok")
+    replay_job.main()
+    sink = SnapshotSink.open(spark, target)
+    v_before = sink.current_snapshot()["version"]
+
+    # second half arrives; stage it on a branch WITHOUT publishing
+    for f in parts[4:]:
+        shutil.copy(os.path.join(smoke_log, f), os.path.join(wal, f))
+    monkeypatch.setenv("REPLAY_BRANCH", "stage")
+    monkeypatch.setenv("REPLAY_BRANCH_PUBLISH", "0")
+    replay_job.main()
+    assert sink.current_snapshot()["version"] == v_before  # main untouched
+    assert "stage" in sink.branches()
+
+    # now publish (resume is idempotent: committed chunks skip)
+    monkeypatch.setenv("REPLAY_BRANCH_PUBLISH", "1")
+    replay_job.main()
+    assert "stage" not in sink.branches()
+    assert sink.current_snapshot()["version"] > v_before
+    # final state equals the full-log oracle
+    from beehive_data_etl_spark.verify import (
+        compare_final,
+        oracle_final_spark,
+    )
+
+    state = sink.read_state()
+    assert compare_final(
+        state.filter(~state.deleted), oracle_final_spark(spark, wal)
+    )["ok"]
+    # the view followed the PUBLISHED head
+    from beehive_data_etl_spark.sinks.aggregates import AggregateView
+
+    agg = AggregateView(
+        spark, sink, os.path.join(target, "_views", "agg"),
+        ["source"], ["n_tok"],
+    )
+    assert agg.current()["version"] == sink.current_snapshot()["version"]
+    assert agg.verify()["ok"]
