@@ -407,7 +407,12 @@ class AnnIndex:
         denom = np.linalg.norm(c, axis=1) * np.linalg.norm(q)
         with np.errstate(divide="ignore", invalid="ignore"):
             cos = np.where(denom > 0, c @ q / denom, -2.0)
-        cos = np.round(cos, 4)  # match the Spark-side rounded assignment
+        # Spark's ROUND is HALF_UP (away from zero); np.round is
+        # half-even — reproduce HALF_UP so a half-way-boundary cosine
+        # probes the same cell the doc was assigned to. (Summation
+        # order still differs from the Spark fold by ~1 ulp; recall on
+        # such razor-edge ties is an IVF physics question, not a bug.)
+        cos = np.sign(cos) * np.floor(np.abs(cos) * 1e4 + 0.5) / 1e4
         order = sorted(range(len(cents)), key=lambda i: (-cos[i], i))
         return order[:nprobe]
 
@@ -430,21 +435,25 @@ class AnnIndex:
                 T.StructField("cos", T.DoubleType()),
             ]
         )
-        # partition dirs read individually lose the cell= column, and
-        # the fold NEEDS it as a group key: a doc that MOVED between two
-        # probed cells has the old cell's -1 and the new cell's +1 at
-        # the same doc key, and folding per (doc) alone would collapse
-        # them arbitrarily. Re-derive the cell by tagging each read.
+        # the fold NEEDS cell as a group key: a doc that MOVED between
+        # two probed cells has the old cell's -1 and the new cell's +1
+        # at the same doc key, and folding per (doc) alone would
+        # collapse them arbitrarily. One basePath read per delta dir
+        # keeps the cell= partition column natively while still
+        # scanning ONLY the probed cells' subdirs.
         parts = []
         for d in cur["files"]:
-            for c in cells:
-                p = os.path.join(d, f"cell={c}")
-                if os.path.isdir(p):
-                    parts.append(
-                        self.spark.read.parquet(p)
-                        .select(KEY, "vec", "v", "sign")
-                        .withColumn("cell", F.lit(c))
-                    )
+            probed = [
+                p
+                for c in cells
+                if os.path.isdir(p := os.path.join(d, f"cell={c}"))
+            ]
+            if probed:
+                parts.append(
+                    self.spark.read.option("basePath", d)
+                    .parquet(*probed)
+                    .select("cell", KEY, "vec", "v", "sign")
+                )
         if not parts:
             return self.spark.createDataFrame([], empty)
         raw = parts[0]

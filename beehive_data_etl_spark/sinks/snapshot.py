@@ -377,11 +377,27 @@ class SnapshotSink:
                 json.dump(ptr, fh)
             os.replace(ptr_tmp, ptr_path)  # THE commit point (branch)
 
+    def _is_committed_in(self, snap: dict | None, phys_id: str) -> bool:
+        """True when the batch is already reflected in ``snap`` — under
+        its physical id, or (on a branch handle) under the bare logical
+        id a pre-fork MAIN commit recorded: a staged replay resuming
+        over history main already ingested must skip those chunks, not
+        re-apply them onto the branch."""
+        if snap is None:
+            return False
+        cb = snap["committed_batches"]
+        if phys_id in cb:
+            return True
+        if not self._is_main():
+            pref = f"b.{self.ref}."
+            if phys_id.startswith(pref) and phys_id[len(pref):] in cb:
+                return True
+        return False
+
     def committed(self, batch_id: str) -> bool:
-        snap = self.current_snapshot()
-        return snap is not None and self._phys_batch_id(
-            str(batch_id)
-        ) in snap["committed_batches"]
+        return self._is_committed_in(
+            self.current_snapshot(), self._phys_batch_id(str(batch_id))
+        )
 
     # ------------------------------------------------------------- refs
     def _tags_path(self) -> str:
@@ -506,6 +522,9 @@ class SnapshotSink:
             # mirror tag(): a branch from an expired version would
             # fork from nothing)
             self.snapshot(base)
+            # clear husks of a dead same-named incarnation (crashed
+            # cleanup) — they would shadow main's files in snapshot()
+            self._drop_branch_chain(name)
             ptr = {"head": f"v{base:06d}.json", "base": base}
             ptr_path = self._branch_ptr_path(name)
             tmp = ptr_path + f".tmp-{uuid.uuid4().hex}"
@@ -542,6 +561,20 @@ class SnapshotSink:
             ref=name,
         )
 
+    def _drop_branch_chain(self, name: str) -> int:
+        """Remove a branch's own snapshot JSONs (not the pointer).
+        Shared by delete_branch, both fast_forward exits, AND
+        create_branch — a crashed cleanup can leave b-<name>-v*.json
+        husks, and a re-created branch's snapshot() would prefer those
+        over main's same-numbered files (stale-history shadowing)."""
+        sdir = os.path.join(self.root, "_snapshots")
+        dropped = 0
+        for f in os.listdir(sdir):
+            if re.fullmatch(rf"b-{re.escape(name)}-v\d+\.json", f):
+                os.remove(os.path.join(sdir, f))
+                dropped += 1
+        return dropped
+
     def delete_branch(self, name: str) -> dict:
         """Drop a branch: the pointer and the branch's own snapshot
         JSONs go now; its data files become unreferenced and the next
@@ -551,12 +584,7 @@ class SnapshotSink:
             if self._read_branch_ptr(name) is None:
                 raise ValueError(f"no branch {name!r}")
             os.remove(self._branch_ptr_path(name))
-            sdir = os.path.join(self.root, "_snapshots")
-            dropped = 0
-            for f in os.listdir(sdir):
-                if re.fullmatch(rf"b-{re.escape(name)}-v\d+\.json", f):
-                    os.remove(os.path.join(sdir, f))
-                    dropped += 1
+            dropped = self._drop_branch_chain(name)
         return {"branch": name, "snapshots_dropped": dropped}
 
     def fast_forward(self, name: str) -> dict:
@@ -592,28 +620,39 @@ class SnapshotSink:
                 return {"branch": name, "fast_forwarded": 0,
                         "version": head["version"]}
             prefix = f"b.{name}."
+            sdir = os.path.join(self.root, "_snapshots")
             if head["version"] != base:
-                # the BRANCH head file, not main's same-numbered
-                # snapshot — main may have moved past b_head on its own
+                # already published? (a prior fast_forward crashed
+                # between the pointer swap and the branch cleanup).
+                # Exact content compare of the BRANCH head against
+                # main's same-numbered snapshot — not a batch-id
+                # heuristic, which misses batch-less (compact-only)
+                # branches and could false-positive on replays
                 with open(os.path.join(
-                    self.root, "_snapshots", f"b-{name}-v{b_head:06d}.json"
+                    sdir, f"b-{name}-v{b_head:06d}.json"
                 )) as fh:
                     b_snap = json.load(fh)
-                if head["version"] >= b_head and any(
-                    b.startswith(prefix) for b in b_snap["committed_batches"]
-                ) and all(
-                    (b[len(prefix):] if b.startswith(prefix) else b)
-                    in head["committed_batches"]
+                b_snap["committed_batches"] = [
+                    b[len(prefix):] if b.startswith(prefix) else b
                     for b in b_snap["committed_batches"]
+                ]
+                try:
+                    with open(
+                        os.path.join(sdir, f"v{b_head:06d}.json")
+                    ) as fh:
+                        m_snap = json.load(fh)
+                except FileNotFoundError:
+                    m_snap = None
+                if (
+                    head["version"] >= b_head
+                    and m_snap is not None
+                    and m_snap["buckets"] == b_snap["buckets"]
+                    and m_snap["committed_batches"]
+                    == b_snap["committed_batches"]
                 ):
-                    # a prior fast_forward crashed between the pointer
-                    # swap and the branch cleanup — finish the cleanup
+                    # finish the crashed cleanup
                     os.remove(self._branch_ptr_path(name))
-                    for f in os.listdir(sdir := os.path.join(
-                        self.root, "_snapshots"
-                    )):
-                        if re.fullmatch(rf"b-{re.escape(name)}-v\d+\.json", f):
-                            os.remove(os.path.join(sdir, f))
+                    self._drop_branch_chain(name)
                     return {"branch": name, "fast_forwarded": 0,
                             "already_published": True,
                             "version": head["version"]}
@@ -623,7 +662,6 @@ class SnapshotSink:
                     "re-apply the branch's batches to main (exactly-once "
                     "dedupes any overlap) or delete_branch()"
                 )
-            sdir = os.path.join(self.root, "_snapshots")
             last = None
             for v in range(base + 1, b_head + 1):
                 with open(
@@ -646,12 +684,10 @@ class SnapshotSink:
                 fh.write(last)
             os.replace(ptr_tmp, self._current_path())  # THE publish point
             # consume the branch (best-effort; inert leftovers if we
-            # crash here — delete_branch or a re-created branch name
-            # overwrites them)
+            # crash here — a re-run's already-published check and
+            # create_branch's husk sweep both finish the cleanup)
             os.remove(self._branch_ptr_path(name))
-            for f in os.listdir(sdir):
-                if re.fullmatch(rf"b-{re.escape(name)}-v\d+\.json", f):
-                    os.remove(os.path.join(sdir, f))
+            self._drop_branch_chain(name)
         return {
             "branch": name,
             "fast_forwarded": b_head - base,
@@ -1847,7 +1883,7 @@ class SnapshotSink:
                 f"{snap.get('patch', False)}; this sink was constructed "
                 f"with patch={self.patch}"
             )
-        if snap is not None and batch_id in snap["committed_batches"]:
+        if self._is_committed_in(snap, batch_id):
             return {"batch_id": batch_id, "skipped": True, "reason": "already committed"}
         # register in-flight BEFORE planning: _manifested_buckets below
         # decides to reuse a crashed attempt's files, and a vacuum that
@@ -1864,7 +1900,7 @@ class SnapshotSink:
                 )
             snap = self.current_snapshot()
             self._inflight.add(batch_id)
-        if snap is not None and batch_id in snap["committed_batches"]:
+        if self._is_committed_in(snap, batch_id):
             with self._commit_lock:
                 self._inflight.discard(batch_id)
             return {"batch_id": batch_id, "skipped": True, "reason": "already committed"}
@@ -2168,7 +2204,7 @@ class SnapshotSink:
         dest_root = os.path.join(self.root, "data", f"ingest={batch_id}")
         with self._commit_lock, self._table_lock():
             head = self.current_snapshot()
-            if head is not None and batch_id in head["committed_batches"]:
+            if self._is_committed_in(head, batch_id):
                 shutil.rmtree(staging, ignore_errors=True)
                 metrics["skipped"] = True
                 metrics["reason"] = "committed concurrently by another writer"

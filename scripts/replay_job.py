@@ -402,6 +402,18 @@ def main() -> None:
     if branch:
         if not isinstance(sink, SnapshotSink):
             raise ValueError("REPLAY_BRANCH requires the filesystem sink")
+        if os.environ.get("REPLAY_MODE", "stream") != "pipelined":
+            # stream mode's checkpoint marks WAL files consumed the
+            # moment the BRANCH ingests them — abandoning the branch
+            # would silently lose those events for main (the offset
+            # log never consults sink.committed). Pipelined mode's
+            # resume is committed-id-driven, so an abandoned branch
+            # replays cleanly onto main.
+            raise ValueError(
+                "REPLAY_BRANCH requires REPLAY_MODE=pipelined — the "
+                "streaming checkpoint cannot un-consume files staged "
+                "on an abandoned branch"
+            )
         if sink.current_snapshot() is None:
             # a branch needs a fork point: seed an empty table commit?
             # No — refuse; first replay bootstraps main directly.
@@ -473,22 +485,11 @@ def main() -> None:
         max_files_per_trigger=8,
         watermark=("event_ts", "10 minutes"),
         on_batch_commit=(
-            # staged epochs are invisible to main's consumers — views
-            # refresh once, after the publish
             _refresh_views
-            if not branch
-            and (views or replicator is not None or outbox is not None)
+            if (views or replicator is not None or outbox is not None)
             else None
         ),
     )
-    _publish_branch()
-    if branch:
-        for v in views:
-            v.refresh()
-        if replicator is not None:
-            replicator.sync()
-        if outbox is not None:
-            outbox.sync()
 
 
 if __name__ == "__main__":

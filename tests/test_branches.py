@@ -38,11 +38,10 @@ def sink(spark, tmp_path):
     return s
 
 
-def _docs(s, **kw):
+def _docs(s):
     return {
-        r.doc_id: r.tokens for r in s.read_final(columns=["doc_id", "tokens"], **kw).collect()
-    } if not kw else {
-        r.doc_id: r.tokens for r in s.read_final(columns=["doc_id", "tokens"]).collect()
+        r.doc_id: r.tokens
+        for r in s.read_final(columns=["doc_id", "tokens"]).collect()
     }
 
 
@@ -357,3 +356,98 @@ def test_replay_job_branch_staging(spark, smoke_log, tmp_path, monkeypatch):
     )
     assert agg.current()["version"] == sink.current_snapshot()["version"]
     assert agg.verify()["ok"]
+
+def test_branch_dedupes_main_inherited_batch_ids(spark, sink):
+    """A staged replay resuming over history main already ingested
+    must SKIP those chunks on the branch, not re-apply them
+    (review-found: the phys-id check alone missed inherited ids)."""
+    sink.create_branch("wip")
+    br = sink.branch("wip")
+    assert br.committed("b1")  # main's pre-fork commit
+    r = br.apply_batch(
+        _batch(spark, [_ev("U", 99, "d1", [0])]), "b1"
+    )
+    assert r["skipped"]
+    assert _docs(br)["d1"] == [1, 1]  # nothing re-applied
+
+
+def test_recreated_branch_name_does_not_shadow_history(spark, sink):
+    """Husk b-<name>-v*.json files from a dead incarnation must not be
+    served as history by a re-created branch of the same name
+    (review-found stale-chain shadowing)."""
+    sink.create_branch("wip")
+    br = sink.branch("wip")
+    br.apply_batch(_batch(spark, [_ev("U", 10, "d1", [9])]), "b2")
+    husk = os.path.join(
+        sink.root, "_snapshots",
+        f"b-wip-v{br.current_snapshot()['version']:06d}.json",
+    )
+    saved = open(husk).read()
+    sink.delete_branch("wip")
+    # simulate a crashed cleanup: the husk survives the delete
+    with open(husk, "w") as fh:
+        fh.write(saved)
+    # main moves to the husk's version number with DIFFERENT content
+    sink.apply_batch(_batch(spark, [_ev("I", 20, "dz", [5])]), "b3")
+    main_v = sink.current_snapshot()["version"]
+    sink.create_branch("wip")
+    br2 = sink.branch("wip")
+    got = {
+        r.doc_id: r.tokens
+        for r in br2.read_state(version=main_v)
+        .filter(~F.col("deleted"))
+        .select("doc_id", "tokens")
+        .collect()
+    }
+    # the husk said d1=[9]; real main history says d1=[1,1] and dz=[5]
+    assert got["d1"] == [1, 1] and got["dz"] == [5]
+    sink.delete_branch("wip")
+
+
+def test_compact_only_branch_crash_recovery(spark, sink):
+    """A branch with only rewrite commits (no batch ids) must still be
+    recognized as already-published after a post-swap crash
+    (review-found: the batch-id-based detection missed it)."""
+    sink.apply_batch(_batch(spark, [_ev("U", 10, "d1", [7])]), "b2")
+    sink.create_branch("wip")
+    br = sink.branch("wip")
+    assert br.compact()["compacted"]
+    sdir = os.path.join(sink.root, "_snapshots")
+    saved = {
+        f: open(os.path.join(sdir, f)).read()
+        for f in os.listdir(sdir)
+        if f.startswith("b-wip-") or f == "BRANCH-wip.json"
+    }
+    res = sink.fast_forward("wip")
+    assert res["fast_forwarded"] == 1
+    # simulate the post-swap crash: branch metadata restored
+    for f, body in saved.items():
+        with open(os.path.join(sdir, f), "w") as fh:
+            fh.write(body)
+    res2 = sink.fast_forward("wip")
+    assert res2.get("already_published")
+    assert "wip" not in sink.branches()
+
+
+def test_replay_job_branch_refused_in_stream_mode(
+    spark, smoke_log, tmp_path, monkeypatch
+):
+    """Stream mode's checkpoint cannot un-consume files staged on an
+    abandoned branch — the combination is refused up front."""
+    import sys
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(__file__), "..", "scripts")
+    )
+    import replay_job
+
+    target = str(tmp_path / "t")
+    # bootstrap main so the branch has a fork point
+    monkeypatch.setattr(sys, "argv", ["replay_job.py", smoke_log, target])
+    monkeypatch.setenv("REPLAY_MODE", "pipelined")
+    monkeypatch.setenv("REPLAY_N_BUCKETS", "8")
+    replay_job.main()
+    monkeypatch.setenv("REPLAY_MODE", "stream")
+    monkeypatch.setenv("REPLAY_BRANCH", "stage")
+    with pytest.raises(ValueError, match="pipelined"):
+        replay_job.main()
