@@ -80,6 +80,30 @@ class AnnIndex:
         self._write_lock = threading.Lock()
         os.makedirs(root, exist_ok=True)
 
+    @classmethod
+    def open(cls, spark, sink, root: str, **kwargs) -> "AnnIndex":
+        """Reopen an EXISTING index reading vec_col and n_cells from
+        its own pointer (restating n_cells wrong is refused anyway —
+        this is the maintenance-job path that cannot drift)."""
+        try:
+            with open(os.path.join(root, "CURRENT")) as fh:
+                cur = json.load(fh)
+        except FileNotFoundError:
+            raise ValueError(
+                f"no index at {root} (never refreshed) — construct "
+                "AnnIndex directly to create one"
+            ) from None
+        for k in ("vec_col", "n_cells"):
+            if k in kwargs:
+                raise ValueError(
+                    f"{k} is recorded in the index pointer; open() "
+                    "reads it — drop the argument"
+                )
+        return cls(
+            spark, sink, root,
+            vec_col=cur["vec_col"], n_cells=cur["n_cells"], **kwargs,
+        )
+
     # ------------------------------------------------------------ pointer
     def _ptr_path(self) -> str:
         return os.path.join(self.root, "CURRENT")

@@ -60,6 +60,15 @@ is therefore opt-in and last):
                           MAINTAIN_DEDUP_DRY_RUN=1 (report only).
                           List dedup BEFORE compact so one run
                           sweeps and folds.
+  10. views (opt-in)    — fold the delta dirs of the incremental view
+                          structures under <root>/_views/ (token
+                          index, ANN index, SCD2 history store,
+                          near-dup signature store): each refresh
+                          appends one dir and reads union every file,
+                          so this pass bounds view read amplification
+                          the way compact bounds the table's.
+                          MAINTAIN_VIEWS_AGE_S (default 3600) gates
+                          reaping of superseded dirs.
 
 MAINTAIN_SECTIONS (comma list, default "compact,tombstones,vacuum")
 selects passes AND their order — sections run in list order, so
@@ -107,6 +116,7 @@ def main() -> None:
         "report",
         "retention",
         "dedup",
+        "views",
     }
     sections = [
         s.strip()
@@ -227,6 +237,51 @@ def main() -> None:
             dry_run=os.environ.get("MAINTAIN_DEDUP_DRY_RUN") == "1",
         )
 
+    def _run_views():
+        # fold the delta dirs of whatever incremental view structures
+        # live under <root>/_views/ — each refresh appends one dir, and
+        # a year of micro-batches without this pass is 10^5+ dirs whose
+        # every read unions every file. MAINTAIN_VIEWS_AGE_S gates the
+        # reaping of superseded dirs (pinned readers finish first),
+        # mirroring vacuum's horizon.
+        age = float(os.environ.get("MAINTAIN_VIEWS_AGE_S", "3600"))
+        vroot = os.path.join(root, "_views")
+        res: dict = {}
+        if os.path.isdir(os.path.join(vroot, "token_index")):
+            from beehive_data_etl_spark.sinks.token_index import TokenIndex
+
+            with open(
+                os.path.join(vroot, "token_index", "CURRENT")
+            ) as fh:
+                stored = json.load(fh)
+            res["token_index"] = TokenIndex(
+                spark, sink, os.path.join(vroot, "token_index"),
+                n_buckets=stored["n_buckets"],
+            ).compact(orphan_older_than_s=age)
+        if os.path.isdir(os.path.join(vroot, "ann")):
+            from beehive_data_etl_spark.sinks.ann_index import AnnIndex
+
+            res["ann"] = AnnIndex.open(
+                spark, sink, os.path.join(vroot, "ann")
+            ).compact(orphan_older_than_s=age)
+        if os.path.isdir(os.path.join(vroot, "history")):
+            from beehive_data_etl_spark.sinks.history import HistoryView
+
+            res["history"] = HistoryView(
+                spark, sink, os.path.join(vroot, "history")
+            ).compact()
+        if os.path.isdir(os.path.join(vroot, "neardup")):
+            from beehive_data_etl_spark.functions.incremental_dedup import (
+                NearDupView,
+            )
+
+            NearDupView(
+                spark, sink, os.path.join(vroot, "neardup"),
+                compact_older_than_s=age,
+            ).nd.store.compact()
+            res["neardup"] = {"store_compacted": True}
+        return res or {"skipped": "no view structures under _views/"}
+
     runners = {
         "compact": _run_compact,
         "tombstones": _run_tombstones,
@@ -236,6 +291,7 @@ def main() -> None:
         "fsck": _run_fsck,
         "retention": _run_retention,
         "dedup": _run_dedup,
+        "views": _run_views,
     }
     # sections run IN LIST ORDER — "report,compact,..." sees the
     # pre-maintenance state, "...,report" the residue (review-found:

@@ -158,3 +158,60 @@ def test_maintain_retention_section(spark, tmp_path, monkeypatch, capsys):
         if ln.startswith("MAINTAIN_METRICS ")
     )
     assert "skipped" in json.loads(line.split(" ", 1)[1])["retention"]
+
+
+def test_maintain_views_section(spark, tmp_path, monkeypatch, capsys):
+    """MAINTAIN_SECTIONS=views folds the delta dirs of the view
+    structures under <root>/_views/ (token index + ANN index here):
+    each refresh appends a dir, the pass folds them to one and the
+    views stay exact."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    import maintain_job
+
+    from beehive_data_etl_spark.sinks.ann_index import AnnIndex
+    from beehive_data_etl_spark.sinks.token_index import TokenIndex
+
+    root = str(tmp_path / "t")
+    schema = (
+        "op string, op_sequence long, doc_id string, tokens array<int>, "
+        "n_tok int, source string, embedding array<float>"
+    )
+
+    def ev(op, seq, doc, toks, vec):
+        return (op, seq, doc, toks, len(toks or []), "s", vec)
+
+    sink = SnapshotSink(spark, root, n_buckets=4)
+    ix = TokenIndex(
+        spark, sink, os.path.join(root, "_views", "token_index"), n_buckets=4
+    )
+    ann = AnnIndex(
+        spark, sink, os.path.join(root, "_views", "ann"), n_cells=2
+    )
+    vecs = [[1.0, 0.0], [0.0, 1.0], [0.5, 0.5], [0.9, 0.1]]
+    for i in range(4):
+        sink.apply_batch(
+            spark.createDataFrame(
+                [ev("I", i + 1, f"d{i}", [i, i + 1], vecs[i])], schema
+            ),
+            f"b{i}",
+        )
+        ix.refresh()
+        ann.refresh()
+    assert len(ix.current()["files"]) > 1
+    assert len(ann.current()["files"]) > 1
+
+    monkeypatch.setattr(sys, "argv", ["maintain_job.py", root])
+    monkeypatch.setenv("MAINTAIN_SECTIONS", "views")
+    monkeypatch.setenv("MAINTAIN_VIEWS_AGE_S", "0")
+    maintain_job.main()
+    line = next(
+        ln for ln in capsys.readouterr().out.splitlines()
+        if ln.startswith("MAINTAIN_METRICS ")
+    )
+    metrics = json.loads(line.split(" ", 1)[1])
+    assert metrics["views"]["token_index"]["files_folded"] > 1
+    assert metrics["views"]["ann"]["files_folded"] > 1
+    assert len(ix.current()["files"]) == 1
+    assert len(ann.current()["files"]) == 1
+    assert ix.verify()["ok"]
+    assert ann.verify()["ok"]
