@@ -1427,6 +1427,101 @@ def q_minmax_ivm(spark, sf):
     )
 
 
+# ------------------------------------------------------- HLL distinct IVM
+def _hll_distinct_oracle() -> str:
+    from beehive_data_etl_spark.functions.hashing import portable_hash32_sql
+
+    split = portable_hash32_sql("CAST(event_id AS VARCHAR)")
+    return f"""
+    SELECT user_id % 97 AS grp,
+           count(*) AS n_rows,
+           count(DISTINCT user_id) AS nd_exact,
+           true AS est_matches_direct,
+           true AS within_5pct
+    FROM events
+    WHERE NOT ({split} % 10 = 0)
+    GROUP BY user_id % 97
+    """
+
+
+@query("q_hll_distinct", _hll_distinct_oracle())
+def q_hll_distinct(spark, sf):
+    """Mergeable-HLL distinct-count IVM (sinks/distinct.py) as a
+    driver-checked static query — the defining equation with the
+    dirty path forced: the per-group sketch over ALL events, merged
+    with the removal summary of a deterministic 10% hash slice (the
+    stand-in for a deleted micro-batch), dirty groups rescanned
+    against the remaining 90%, must land exactly on a direct sketch
+    build over that 90% (`est_matches_direct` — union is lossless, so
+    equality is EXACT, not approximate) and within the sketch's error
+    of the exact distinct count (`within_5pct`; lg_k=12 over ~100-row
+    groups is deep in HLL's exact sparse regime). Pure deletes are
+    never re-added, so every touched group takes the rescan branch —
+    a clean-only pass would vacuously match. The changelog-fed path
+    over a real sink is exercised by tests/test_distinct_view.py."""
+    from beehive_data_etl_spark.functions.hashing import portable_hash32
+    from beehive_data_etl_spark.sinks.distinct import (
+        _DIRTY,
+        DistinctView,
+        distinct_delta,
+        distinct_full,
+        distinct_merge,
+    )
+
+    ev = t(spark, sf, "events").select(
+        "event_id", (F.col("user_id") % 97).alias("grp"), "user_id"
+    )
+    is_cut = portable_hash32(F.col("event_id").cast("string")) % 10 == 0
+    total = distinct_full(ev, ["grp"], ["user_id"], 12)
+    # the 10% slice as a pre-image changelog of pure deletes
+    changes = ev.filter(is_cut).select(
+        F.lit("D").alias("change_type"),
+        F.lit(True).alias("deleted"),
+        F.lit(None).cast("bigint").alias("grp"),
+        F.lit(None).cast("bigint").alias("user_id"),
+        F.col("grp").alias("_old_grp"),
+        F.col("user_id").alias("_old_user_id"),
+    )
+    delta = distinct_delta(changes, ["grp"], ["user_id"], 12)
+    merged = distinct_merge(total, delta, ["grp"], ["user_id"])
+    clean = merged.filter(~F.col(_DIRTY)).drop(_DIRTY)
+    dirty = merged.filter(F.col(_DIRTY)).select("grp")
+    base = ev.filter(~is_cut).alias("b")
+    src = base.join(
+        dirty.alias("g"),
+        F.col("b.grp").eqNullSafe(F.col("g.grp")),
+        "left_semi",
+    )
+    rescanned = distinct_full(src, ["grp"], ["user_id"], 12)
+    est = DistinctView._estimate("user_id")
+    maintained = clean.unionByName(rescanned).select("grp", "n_rows", est)
+    direct = distinct_full(base, ["grp"], ["user_id"], 12).select(
+        F.col("grp").alias("_g"),
+        DistinctView._estimate("user_id").alias("nd_direct"),
+    )
+    exact = base.groupBy("grp").agg(
+        F.countDistinct("user_id").alias("nd_exact")
+    ).withColumnRenamed("grp", "_ge")
+    return (
+        maintained.join(direct, F.col("grp") == F.col("_g"))
+        .join(exact, F.col("grp") == F.col("_ge"))
+        .select(
+            "grp",
+            "n_rows",
+            "nd_exact",
+            (F.col("nd_user_id") == F.col("nd_direct")).alias(
+                "est_matches_direct"
+            ),
+            (
+                F.abs(
+                    F.col("nd_user_id") / F.col("nd_exact") - 1.0
+                )
+                <= 0.05
+            ).alias("within_5pct"),
+        )
+    )
+
+
 # --------------------------------------------------------------- simhash
 def _simhash_oracle() -> str:
     from beehive_data_etl_spark.functions.dedup import simhash_sql
@@ -3310,8 +3405,15 @@ _DRIVER_FIRST = [
     # untouched since; windows stay repped by q_scd2 itself plus the
     # plan-tested frame/analytic pytest coverage, aggregation by
     # q_stats/q_percentile/q_histogram/q_agg_ivm)
-    "q_txn_stuck", "q_patch_fold", "q_dedup_incremental", "q_agg_ivm",
+    "q_patch_fold", "q_dedup_incremental", "q_agg_ivm",
     "q_scd2",
+    # round-3 session 14: q_hll_distinct is NEW (mergeable-HLL
+    # distinct-count IVM, sinks/distinct.py — a new family: approximate
+    # sketch maintenance with an exact-by-losslessness check) — it
+    # takes the slot of q_txn_stuck (transactional CDC stays repped
+    # in-window by q_txn_consistent; q_txn_stuck keeps its exact
+    # oracle + the test_txn.py pytest coverage)
+    "q_hll_distinct",
     # round-3 session 3: q_tfidf and q_cooccur are NEW (term-statistics
     # operators) — they take the slots of q_agg_basic / q_join_asof
     # (both driver-green in r1 AND r2, untouched since; aggregation

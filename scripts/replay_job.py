@@ -39,7 +39,10 @@ def _derived_views(spark, sink) -> list:
     REPLAY_AGG_GROUP[,col..] (+ optional REPLAY_AGG_SUM[,col..]) adds an
     AggregateView; REPLAY_MINMAX_GROUP[,col..] (+ REPLAY_MINMAX_MIN /
     REPLAY_MINMAX_MAX column lists) adds a MinMaxView (non-invertible
-    IVM with dirty-group rescan); REPLAY_INDEX_COL=<array col> adds a
+    IVM with dirty-group rescan); REPLAY_DISTINCT_GROUP[,col..] +
+    REPLAY_DISTINCT_COLS[,col..] (+ optional REPLAY_DISTINCT_LGK) adds
+    a DistinctView (mergeable-HLL distinct counts, additions merged /
+    removals dirty-rescanned); REPLAY_INDEX_COL=<array col> adds a
     TokenIndex;
     REPLAY_NEARDUP=1 adds changelog-driven near-dup detection
     (NearDupView); REPLAY_SHARDS=<k> maintains a k-shard training
@@ -85,6 +88,23 @@ def _derived_views(spark, sink) -> list:
                     c for c in os.environ.get("REPLAY_MINMAX_MAX", "").split(",")
                     if c
                 ],
+            )
+        )
+    nd_group = os.environ.get("REPLAY_DISTINCT_GROUP")
+    if nd_group:
+        from beehive_data_etl_spark.sinks.distinct import DistinctView
+
+        nd_cols = [
+            c for c in os.environ.get("REPLAY_DISTINCT_COLS", "").split(",")
+            if c
+        ]
+        if not nd_cols:
+            raise ValueError("REPLAY_DISTINCT_GROUP needs REPLAY_DISTINCT_COLS")
+        views.append(
+            DistinctView(
+                spark, sink, os.path.join(root, "_views", "distinct"),
+                nd_group.split(","), nd_cols,
+                lg_k=int(os.environ.get("REPLAY_DISTINCT_LGK", "12")),
             )
         )
     index_col = os.environ.get("REPLAY_INDEX_COL")

@@ -67,6 +67,10 @@ def test_driver_snapshot_order():
                "q_dup_span", "q_minmax_ivm",
                # round-3 session-3 additions (never driver-checked)
                "q_tfidf", "q_cooccur",
-               # round-3 session-6 additions (never driver-checked)
-               "q_txn_consistent", "q_txn_stuck", "q_multimaster"}
+               # round-3 session-6 additions (never driver-checked;
+               # q_txn_stuck yielded its slot to session-14's
+               # q_hll_distinct — txn stays repped by q_txn_consistent)
+               "q_txn_consistent", "q_multimaster",
+               # round-3 session-14 addition (never driver-checked)
+               "q_hll_distinct"}
     assert set(never_checked) | touched <= set(keys[:50])
