@@ -1503,8 +1503,10 @@ def q_hll_distinct(spark, sf):
         F.countDistinct("user_id").alias("nd_exact")
     ).withColumnRenamed("grp", "_ge")
     return (
-        maintained.join(direct, F.col("grp") == F.col("_g"))
-        .join(exact, F.col("grp") == F.col("_ge"))
+        # eqNullSafe like every other group-key join in the IVM code:
+        # GROUP BY keeps a NULL group, so the compare joins must too
+        maintained.join(direct, F.col("grp").eqNullSafe(F.col("_g")))
+        .join(exact, F.col("grp").eqNullSafe(F.col("_ge")))
         .select(
             "grp",
             "n_rows",
@@ -1512,12 +1514,13 @@ def q_hll_distinct(spark, sf):
             (F.col("nd_user_id") == F.col("nd_direct")).alias(
                 "est_matches_direct"
             ),
-            (
-                F.abs(
-                    F.col("nd_user_id") / F.col("nd_exact") - 1.0
-                )
-                <= 0.05
-            ).alias("within_5pct"),
+            F.when(
+                F.col("nd_exact") > 0,
+                F.abs(F.col("nd_user_id") / F.col("nd_exact") - 1.0)
+                <= 0.05,
+            )
+            .otherwise(F.col("nd_user_id") == 0)
+            .alias("within_5pct"),
         )
     )
 

@@ -52,6 +52,18 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 COUNT_COL = "n_rows"
+_DIRTY = "_dirty"
+
+
+def eq_nullsafe_on(left: str, right: str, cols: list[str]):
+    """The join condition every IVM merge/rescan shares: null-safe
+    equality on the group keys across two aliases (GROUP BY folds NULL
+    keys into one group, so every key join must too)."""
+    cond = None
+    for g in cols:
+        e = F.col(f"{left}.{g}").eqNullSafe(F.col(f"{right}.{g}"))
+        cond = e if cond is None else (cond & e)
+    return cond
 
 
 def _sum_type(dt: T.DataType) -> str:
@@ -113,11 +125,7 @@ def merge_agg(
     # eqNullSafe, not on=[names]: GROUP BY folds NULL keys into one
     # group, so the merge must too — a plain equi-join would leave a
     # NULL group unmerged on both sides
-    cond = None
-    for g in group_cols:
-        e = F.col(f"o.{g}").eqNullSafe(F.col(f"d.{g}"))
-        cond = e if cond is None else (cond & e)
-    j = o.join(d, cond, "full_outer")
+    j = o.join(d, eq_nullsafe_on("o", "d", group_cols), "full_outer")
     sel = [F.coalesce(F.col(f"o.{g}"), F.col(f"d.{g}")).alias(g) for g in group_cols]
     for c in add_cols:
         zero = F.lit(0).cast(types[c])
@@ -132,6 +140,18 @@ def merge_agg(
     return j.select(*sel).filter(F.col(add_cols[0]) > 0)
 
 
+def _pre_image_col(changes: DataFrame):
+    """Resolver for a column's PRE-image name in a pre-image changelog:
+    ``_old_<c>`` for payload columns, but the KEY column itself for the
+    table key — keys are immutable (a "changed key" is a delete plus an
+    insert of different keys), so the changelog carries no ``_old_``
+    twin for it and the current column IS the old identity. Shared by
+    every IVM delta builder (a view maintained over ``doc_id`` — e.g.
+    distinct doc counts — hits this on its first incremental window)."""
+    have = set(changes.columns)
+    return lambda c: f"_old_{c}" if f"_old_{c}" in have else c
+
+
 def changelog_delta(
     changes: DataFrame, group_cols: list[str], sum_cols: list[str]
 ) -> DataFrame:
@@ -144,19 +164,21 @@ def changelog_delta(
     reduce to the same additive arithmetic; the explode is narrow (no
     extra shuffle beyond the final groupBy on O(changed rows))."""
     types = {f.name: f.dataType for f in changes.schema.fields}
+    pre = _pre_image_col(changes)
 
     def contrib(sign: int, prefix: str):
-        fields = [F.col(f"{prefix}{g}").alias(g) for g in group_cols]
+        p = (lambda c: c) if not prefix else pre
+        fields = [F.col(p(g)).alias(g) for g in group_cols]
         fields.append(F.lit(sign).cast("long").alias(COUNT_COL))
         for c in sum_cols:
             st = _sum_type(types[c])
-            v = F.coalesce(F.col(f"{prefix}{c}").cast(st), F.lit(0).cast(st))
+            v = F.coalesce(F.col(p(c)).cast(st), F.lit(0).cast(st))
             # negation, not lit(sign) * v: unary minus preserves the
             # decimal type exactly, while decimal multiplication sums
             # the operands' scales (round-3 review)
             fields.append((v if sign == 1 else (-v).cast(st)).alias(c))
             fields.append(
-                F.when(F.col(f"{prefix}{c}").isNotNull(), F.lit(sign))
+                F.when(F.col(p(c)).isNotNull(), F.lit(sign))
                 .otherwise(F.lit(0))
                 .cast("long")
                 .alias(f"_nn_{c}")
@@ -222,13 +244,19 @@ class AggregateView:
         except FileNotFoundError:
             return None
 
+    def _ptr_extra(self) -> dict:
+        """Extra fields a subclass pins into the CURRENT pointer (e.g.
+        DistinctView's sketch precision) — committed atomically with
+        the version/path swap."""
+        return {}
+
     def _commit(self, df: DataFrame, version: int) -> None:
         prev = self.current()
         out = os.path.join(self.root, f"agg-v{version:06d}-{uuid.uuid4().hex}")
         df.write.mode("overwrite").parquet(out)
         tmp = self._ptr_path() + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as fh:
-            json.dump({"version": version, "path": out}, fh)
+            json.dump({"version": version, "path": out, **self._ptr_extra()}, fh)
         os.replace(tmp, self._ptr_path())  # THE commit point
         # reap the generation BEFORE prev (prev itself stays one more
         # refresh: a reader that loaded the old pointer may still be
@@ -305,11 +333,46 @@ class AggregateView:
                         )
         return (v_new, cur)
 
-    # ------------------------------------------------------------ refresh
+    # --------------------------------------------------- refresh (template)
+    # The dirty-group refresh skeleton is shared by every derived
+    # aggregate view; subclasses plug in their arithmetic through
+    # these hooks (review: the skeleton used to be copied per view,
+    # so a fix to the shared discipline needed hand-replication).
+    _dirty_rescan = False  # True: _ivm_merge emits _DIRTY and damaged
+    # groups are recomputed from live state (MinMaxView, DistinctView)
+
+    def _view_cols(self) -> list[str]:
+        """Columns the view reads from state/changelog — projection
+        pushed into every scan (a 2-column view over a 50-column
+        table pays 2 columns)."""
+        return sorted({*self.group_cols, *self._maintained_cols()})
+
+    def _pre_refresh_check(self, snap: dict, cur: dict | None) -> None:
+        """Subclass refusal hook, run AFTER the window guard (a
+        dropped/renamed maintained column must raise the guidance
+        ValueError, not a KeyError on the missing schema entry) and
+        before any Spark work. ``cur`` is the live pointer (None on a
+        full build)."""
+
+    def _ivm_full(self, df: DataFrame) -> DataFrame:
+        """Ground-truth aggregate over live rows — the first full
+        build AND every dirty-group rescan."""
+        return full_agg(df, self.group_cols, self.sum_cols)
+
+    def _ivm_delta(self, changes: DataFrame) -> DataFrame:
+        """Window summary from the pre-image changelog."""
+        return changelog_delta(changes, self.group_cols, self.sum_cols)
+
+    def _ivm_merge(self, old: DataFrame, delta: DataFrame) -> DataFrame:
+        """Fold the window summary into the stored aggregate (with a
+        ``_dirty`` column when ``_dirty_rescan``)."""
+        return merge_agg(old, delta, self.group_cols, self.add_cols)
+
     def refresh(self) -> dict:
         """Advance the view to the sink's CURRENT snapshot. Full build
-        on first call; O(changed rows) incremental merge afterwards;
-        no-op when already current."""
+        on first call; O(changed rows) incremental merge afterwards
+        (plus, for dirty-rescan views, one semi-joined projected scan
+        of exactly the damaged groups); no-op when already current."""
         snap = self.sink.current_snapshot()
         if snap is None:
             return {"mode": "noop", "reason": "sink has no snapshot"}
@@ -317,31 +380,47 @@ class AggregateView:
         if win == "noop":
             return {"mode": "noop", "version": snap["version"]}
         v_new, cur = win
+        self._pre_refresh_check(snap, cur)
         if cur is None:
             live = self.sink.read_state(
-                version=v_new, columns=sorted({*self.group_cols, *self.sum_cols})
+                version=v_new, columns=self._view_cols()
             ).filter(~F.col("deleted"))
-            agg = full_agg(live, self.group_cols, self.sum_cols)
-            self._commit(agg, v_new)
+            self._commit(self._ivm_full(live), v_new)
             return {"mode": "full", "version": v_new}
         changes = self.sink.read_changes_pruned(
-            cur["version"],
-            v_new,
-            include_old=True,
-            # the view maintains exactly these columns — project the
-            # changelog read down to them (same rows, narrower scan:
-            # a 2-column view over a 50-column table pays 2 columns)
-            columns=sorted({*self.group_cols, *self.sum_cols}),
+            cur["version"], v_new, include_old=True,
+            columns=self._view_cols(),
         )
-        delta = changelog_delta(changes, self.group_cols, self.sum_cols)
+        delta = self._ivm_delta(changes)
         old = self.spark.read.parquet(cur["path"])
-        merged = merge_agg(old, delta, self.group_cols, self.add_cols)
-        self._commit(merged, v_new)
-        return {
+        merged = self._ivm_merge(old, delta)
+        out = {
             "mode": "incremental",
             "version": v_new,
             "from_version": cur["version"],
         }
+        if not self._dirty_rescan:
+            self._commit(merged, v_new)
+            return out
+        merged = merged.localCheckpoint(eager=True)  # reused twice +
+        # truncates the join lineage before the rescan composes on top
+        dirty = merged.filter(F.col(_DIRTY)).select(*self.group_cols)
+        n_dirty = dirty.count()
+        clean = merged.filter(~F.col(_DIRTY)).drop(_DIRTY)
+        if n_dirty == 0:
+            self._commit(clean, v_new)
+        else:
+            base = self.sink.read_state(
+                version=v_new, columns=self._view_cols()
+            ).filter(~F.col("deleted")).alias("b")
+            src = base.join(
+                dirty.alias("g"),
+                eq_nullsafe_on("b", "g", self.group_cols),
+                "left_semi",
+            )
+            self._commit(clean.unionByName(self._ivm_full(src)), v_new)
+        out["rescanned_groups"] = n_dirty
+        return out
 
     # ------------------------------------------------------------ read
     def read(self) -> DataFrame:

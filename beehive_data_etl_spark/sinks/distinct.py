@@ -62,9 +62,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .aggregates import COUNT_COL, AggregateView
-
-_DIRTY = "_dirty"
+from .aggregates import (
+    _DIRTY,
+    COUNT_COL,
+    AggregateView,
+    _pre_image_col,
+    eq_nullsafe_on,
+)
 
 _SKETCHABLE = (T.IntegerType, T.LongType, T.StringType, T.BinaryType)
 
@@ -101,11 +105,14 @@ def distinct_delta(
     once for the count/sketch aggregate and twice per column for the
     anti-join, and each reuse would otherwise re-run the changelog
     read (delta files + old bucket state) underneath."""
+    pre = _pre_image_col(changes)
+
     def contrib(sign: int, prefix: str):
-        fields = [F.col(f"{prefix}{g}").alias(g) for g in group_cols]
+        p = (lambda c: c) if not prefix else pre
+        fields = [F.col(p(g)).alias(g) for g in group_cols]
         fields.append(F.lit(sign).cast("long").alias("_sign"))
         for c in cols:
-            fields.append(F.col(f"{prefix}{c}").alias(c))
+            fields.append(F.col(p(c)).alias(c))
         return F.struct(*fields)
 
     new_live = ~F.col("deleted")
@@ -141,14 +148,6 @@ def distinct_delta(
             )
         )
     delta = e.groupBy(*group_cols).agg(*aggs)
-
-    def keys_eq(left: str, right: str):
-        cond = None
-        for g in group_cols:
-            x = F.col(f"{left}.{g}").eqNullSafe(F.col(f"{right}.{g}"))
-            cond = x if cond is None else (cond & x)
-        return cond
-
     for c in cols:
         rems = e.filter(~add & F.col(c).isNotNull()).select(*group_cols, c)
         adds = e.filter(add & F.col(c).isNotNull()).select(*group_cols, c)
@@ -156,7 +155,8 @@ def distinct_delta(
             rems.alias("r")
             .join(
                 adds.alias("a"),
-                keys_eq("r", "a") & (F.col(f"r.{c}") == F.col(f"a.{c}")),
+                eq_nullsafe_on("r", "a", group_cols)
+                & (F.col(f"r.{c}") == F.col(f"a.{c}")),
                 "left_anti",
             )
             .select(*[F.col(f"r.{g}").alias(g) for g in group_cols])
@@ -164,7 +164,7 @@ def distinct_delta(
             .withColumn(f"_rem_{c}", F.lit(True))
         )
         delta = delta.alias("d").join(
-            dirty.alias("x"), keys_eq("d", "x"), "left"
+            dirty.alias("x"), eq_nullsafe_on("d", "x", group_cols), "left"
         ).select("d.*", f"x._rem_{c}")
     return delta
 
@@ -183,11 +183,7 @@ def distinct_merge(
     Groups whose row count reaches 0 drop."""
     o = old.alias("o")
     d = delta.alias("d")
-    cond = None
-    for g in group_cols:
-        e = F.col(f"o.{g}").eqNullSafe(F.col(f"d.{g}"))
-        cond = e if cond is None else (cond & e)
-    j = o.join(d, cond, "full_outer")
+    j = o.join(d, eq_nullsafe_on("o", "d", group_cols), "full_outer")
     zero = F.lit(0).cast("long")
     sel = [
         F.coalesce(F.col(f"o.{g}"), F.col(f"d.{g}")).alias(g)
@@ -253,9 +249,6 @@ class DistinctView(AggregateView):
     def _maintained_cols(self) -> list[str]:
         return sorted(set(self.distinct_cols))
 
-    def _view_cols(self) -> list[str]:
-        return sorted({*self.group_cols, *self._maintained_cols()})
-
     def _check_sketchable(self, snap: dict) -> None:
         types = {
             f.name: f.dataType
@@ -269,66 +262,45 @@ class DistinctView(AggregateView):
                     "bigint, string, binary)"
                 )
 
-    def _out_cols(self) -> list[str]:
-        return (
-            self.group_cols
-            + [COUNT_COL]
-            + [f"nd_{c}" for c in self.distinct_cols]
+    # ------------------------------------------------ refresh (via template)
+    # skeleton lives in AggregateView.refresh; only the arithmetic
+    # hooks and the precision pin are defined here
+    _dirty_rescan = True
+
+    def _ptr_extra(self) -> dict:
+        # pin the sketch precision into the CURRENT pointer: sketches
+        # of different lg_k must never mix in one stored view
+        return {"lg_k": self.lg_k}
+
+    def _pre_refresh_check(self, snap: dict, cur: dict | None) -> None:
+        self._check_sketchable(snap)
+        if cur is not None and cur.get("lg_k", self.lg_k) != self.lg_k:
+            # an incremental merge would union old-precision stored
+            # sketches with new-precision window sketches — or, on a
+            # delete-only window, silently commit a MIXED-precision
+            # view (clean groups at the old lg_k, rescanned groups at
+            # the new) that only blows up later in estimate_rollup
+            raise ValueError(
+                f"view was built at lg_k={cur['lg_k']} but this handle "
+                f"wants lg_k={self.lg_k}: changing sketch precision "
+                "requires a full rebuild — delete the view directory "
+                "and refresh again"
+            )
+
+    def _ivm_full(self, df):
+        return distinct_full(
+            df, self.group_cols, self._maintained_cols(), self.lg_k
         )
 
-    # ------------------------------------------------------------ refresh
-    def refresh(self) -> dict:
-        snap = self.sink.current_snapshot()
-        if snap is None:
-            return {"mode": "noop", "reason": "sink has no snapshot"}
-        # window guard FIRST: a dropped/renamed maintained column must
-        # raise its guidance ValueError, not _check_sketchable's
-        # KeyError on the missing schema entry
-        win = self._refresh_window(snap)
-        if win == "noop":
-            return {"mode": "noop", "version": snap["version"]}
-        self._check_sketchable(snap)
-        v_new, cur = win
-        cols = self._maintained_cols()
-        if cur is None:
-            live = self.sink.read_state(
-                version=v_new, columns=self._view_cols()
-            ).filter(~F.col("deleted"))
-            agg = distinct_full(live, self.group_cols, cols, self.lg_k)
-            self._commit(agg, v_new)
-            return {"mode": "full", "version": v_new}
-        changes = self.sink.read_changes_pruned(
-            cur["version"], v_new, include_old=True,
-            columns=self._view_cols(),
+    def _ivm_delta(self, changes):
+        return distinct_delta(
+            changes, self.group_cols, self._maintained_cols(), self.lg_k
         )
-        delta = distinct_delta(changes, self.group_cols, cols, self.lg_k)
-        old = self.spark.read.parquet(cur["path"])
-        merged = distinct_merge(
-            old, delta, self.group_cols, cols
-        ).localCheckpoint(eager=True)  # reused twice + truncates the
-        # join lineage before the rescan composes on top
-        dirty = merged.filter(F.col(_DIRTY)).select(*self.group_cols)
-        n_dirty = dirty.count()
-        clean = merged.filter(~F.col(_DIRTY)).drop(_DIRTY)
-        if n_dirty == 0:
-            self._commit(clean, v_new)
-        else:
-            base = self.sink.read_state(
-                version=v_new, columns=self._view_cols()
-            ).filter(~F.col("deleted")).alias("b")
-            cond = None
-            for g in self.group_cols:
-                e = F.col(f"b.{g}").eqNullSafe(F.col(f"g.{g}"))
-                cond = e if cond is None else (cond & e)
-            src = base.join(dirty.alias("g"), cond, "left_semi")
-            rescanned = distinct_full(src, self.group_cols, cols, self.lg_k)
-            self._commit(clean.unionByName(rescanned), v_new)
-        return {
-            "mode": "incremental",
-            "version": v_new,
-            "from_version": cur["version"],
-            "rescanned_groups": n_dirty,
-        }
+
+    def _ivm_merge(self, old, delta):
+        return distinct_merge(
+            old, delta, self.group_cols, self._maintained_cols()
+        )
 
     # ------------------------------------------------------------ read
     @staticmethod
@@ -407,6 +379,12 @@ class DistinctView(AggregateView):
         cur = self.current()
         if cur is None:
             raise ValueError("view never refreshed")
+        if cur.get("lg_k", self.lg_k) != self.lg_k:
+            raise ValueError(
+                f"view stores lg_k={cur['lg_k']} sketches but this handle "
+                f"wants lg_k={self.lg_k}: the recompute would compare "
+                "across precisions — use a handle with the stored lg_k"
+            )
         cols = self.distinct_cols
         live = self.sink.read_state(
             version=cur["version"], columns=self._view_cols()

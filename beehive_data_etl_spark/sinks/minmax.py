@@ -47,9 +47,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .aggregates import COUNT_COL, AggregateView
-
-_DIRTY = "_dirty"
+from .aggregates import (
+    _DIRTY,
+    COUNT_COL,
+    AggregateView,
+    _pre_image_col,
+    eq_nullsafe_on,
+)
 
 _ORDERABLE = (
     T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.FloatType,
@@ -91,12 +95,14 @@ def minmax_delta(
     updates that move a row between groups remove under the OLD group
     and add under the NEW one."""
     vals = sorted({*min_cols, *max_cols})
+    pre = _pre_image_col(changes)
 
     def contrib(sign: int, prefix: str):
-        fields = [F.col(f"{prefix}{g}").alias(g) for g in group_cols]
+        p = (lambda c: c) if not prefix else pre
+        fields = [F.col(p(g)).alias(g) for g in group_cols]
         fields.append(F.lit(sign).cast("long").alias("_sign"))
         for c in vals:
-            fields.append(F.col(f"{prefix}{c}").alias(c))
+            fields.append(F.col(p(c)).alias(c))
         return F.struct(*fields)
 
     new_live = ~F.col("deleted")
@@ -156,11 +162,7 @@ def minmax_merge(
     vals = sorted({*min_cols, *max_cols})
     o = old.alias("o")
     d = delta.alias("d")
-    cond = None
-    for g in group_cols:
-        e = F.col(f"o.{g}").eqNullSafe(F.col(f"d.{g}"))
-        cond = e if cond is None else (cond & e)
-    j = o.join(d, cond, "full_outer")
+    j = o.join(d, eq_nullsafe_on("o", "d", group_cols), "full_outer")
     zero = F.lit(0).cast("long")
     sel = [
         F.coalesce(F.col(f"o.{g}"), F.col(f"d.{g}")).alias(g)
@@ -246,9 +248,6 @@ class MinMaxView(AggregateView):
     def _maintained_cols(self) -> list[str]:
         return sorted({*self.min_cols, *self.max_cols})
 
-    def _view_cols(self) -> list[str]:
-        return sorted({*self.group_cols, *self._maintained_cols()})
-
     def _check_orderable(self, snap: dict) -> None:
         types = {
             f.name: f.dataType
@@ -270,64 +269,27 @@ class MinMaxView(AggregateView):
             + [f"max_{c}" for c in self.max_cols]
         )
 
-    # ------------------------------------------------------------ refresh
-    def refresh(self) -> dict:
-        snap = self.sink.current_snapshot()
-        if snap is None:
-            return {"mode": "noop", "reason": "sink has no snapshot"}
-        # window guard FIRST: a dropped/renamed maintained column must
-        # raise its guidance ValueError, not _check_orderable's
-        # KeyError on the missing schema entry (review-found)
-        win = self._refresh_window(snap)
-        if win == "noop":
-            return {"mode": "noop", "version": snap["version"]}
+    # ------------------------------------------------ refresh (via template)
+    # skeleton (window guard -> type check -> full/incremental ->
+    # dirty-group rescan) lives in AggregateView.refresh; only the
+    # arithmetic hooks are defined here
+    _dirty_rescan = True
+
+    def _pre_refresh_check(self, snap: dict, cur: dict | None) -> None:
         self._check_orderable(snap)
-        v_new, cur = win
-        if cur is None:
-            live = self.sink.read_state(
-                version=v_new, columns=self._view_cols()
-            ).filter(~F.col("deleted"))
-            agg = minmax_full(
-                live, self.group_cols, self.min_cols, self.max_cols
-            )
-            self._commit(agg, v_new)
-            return {"mode": "full", "version": v_new}
-        changes = self.sink.read_changes_pruned(
-            cur["version"], v_new, include_old=True,
-            columns=self._view_cols(),
-        )
-        delta = minmax_delta(
+
+    def _ivm_full(self, df):
+        return minmax_full(df, self.group_cols, self.min_cols, self.max_cols)
+
+    def _ivm_delta(self, changes):
+        return minmax_delta(
             changes, self.group_cols, self.min_cols, self.max_cols
         )
-        old = self.spark.read.parquet(cur["path"])
-        merged = minmax_merge(
+
+    def _ivm_merge(self, old, delta):
+        return minmax_merge(
             old, delta, self.group_cols, self.min_cols, self.max_cols
-        ).localCheckpoint(eager=True)  # reused twice + truncates the
-        # join lineage before the rescan composes on top
-        dirty = merged.filter(F.col(_DIRTY)).select(*self.group_cols)
-        n_dirty = dirty.count()
-        clean = merged.filter(~F.col(_DIRTY)).drop(_DIRTY)
-        if n_dirty == 0:
-            self._commit(clean, v_new)
-        else:
-            base = self.sink.read_state(
-                version=v_new, columns=self._view_cols()
-            ).filter(~F.col("deleted")).alias("b")
-            cond = None
-            for g in self.group_cols:
-                e = F.col(f"b.{g}").eqNullSafe(F.col(f"g.{g}"))
-                cond = e if cond is None else (cond & e)
-            src = base.join(dirty.alias("g"), cond, "left_semi")
-            rescanned = minmax_full(
-                src, self.group_cols, self.min_cols, self.max_cols
-            )
-            self._commit(clean.unionByName(rescanned), v_new)
-        return {
-            "mode": "incremental",
-            "version": v_new,
-            "from_version": cur["version"],
-            "rescanned_groups": n_dirty,
-        }
+        )
 
     # ------------------------------------------------------------ read
     def read(self) -> DataFrame:

@@ -189,6 +189,41 @@ def test_distinct_rollup(spark, tmp_path):
         view.estimate_rollup(["v"])
 
 
+def test_distinct_over_table_key(spark, tmp_path):
+    """The canonical deployment (distinct doc_ids per source) maintains
+    the KEY column, which has no _old_ twin in the pre-image changelog
+    — keys are immutable, so the current column IS the old identity
+    (review-found: the first incremental window used to fail with
+    UNRESOLVED_COLUMN `_old_doc_id`)."""
+    sink = SnapshotSink(spark, str(tmp_path / "t"), n_buckets=4)
+    view = DistinctView(
+        spark, sink, str(tmp_path / "v"), ["grp"], distinct_cols=["doc_id"]
+    )
+    _apply(spark, sink, "b1", [
+        ("I", 1, "d1", "g0", "x"), ("I", 2, "d2", "g0", "x"),
+        ("I", 3, "d3", "g1", "x"),
+    ])
+    assert view.refresh()["mode"] == "full"
+    # incremental window with an insert, an update (id kept — the
+    # remove+add self-cancels) and a delete (dirty rescan)
+    _apply(spark, sink, "b2", [
+        ("I", 10, "d4", "g0", "y"), ("U", 11, "d2", "g0", "z"),
+        ("D", 12, "d3", None, None),
+    ])
+    r = view.refresh()
+    assert r["mode"] == "incremental" and r["rescanned_groups"] == 0
+    # d3's group emptied (count-authoritative drop); d2's update
+    # self-cancelled; only the insert touched g0's sketch
+    got = {r["grp"]: (r["n_rows"], r["nd_doc_id"]) for r in view.read().collect()}
+    assert got == {"g0": (3, 3)}
+    assert view.verify()["ok"]
+    # a delete that leaves the group populated: dirty rescan path
+    _apply(spark, sink, "b3", [("D", 13, "d4", None, None)])
+    r = view.refresh()
+    assert r["rescanned_groups"] == 1
+    assert view.verify()["ok"]
+
+
 def test_distinct_refusals(spark, tmp_path):
     sink = SnapshotSink(spark, str(tmp_path / "t"), n_buckets=2)
     with pytest.raises(ValueError, match="at least one"):
@@ -206,6 +241,29 @@ def test_distinct_refusals(spark, tmp_path):
     view = DistinctView(spark, sink, str(tmp_path / "v"), ["grp"], ["v"])
     with pytest.raises(ValueError, match="hll_sketch_agg accepts"):
         view.refresh()
+
+
+def test_distinct_lg_k_pinned(spark, pair):
+    """The sketch precision is pinned in the CURRENT pointer: a handle
+    with a different lg_k refuses to refresh (an incremental merge —
+    or worse, a delete-only window's clean/rescan split — would commit
+    a mixed-precision view) and refuses to verify. A fresh directory
+    at the new precision is the documented path."""
+    sink, view = pair
+    _apply(spark, sink, "b1", [("I", 1, "d1", "g0", "x")])
+    view.refresh()
+    assert view.current()["lg_k"] == 12
+    other = DistinctView(
+        spark, sink, view.root, ["grp"], distinct_cols=["v"], lg_k=14
+    )
+    _apply(spark, sink, "b2", [("I", 2, "d2", "g0", "y")])
+    with pytest.raises(ValueError, match="full rebuild"):
+        other.refresh()
+    with pytest.raises(ValueError, match="stored lg_k"):
+        other.verify()
+    # the matching handle still refreshes and verifies
+    assert view.refresh()["mode"] == "incremental"
+    assert view.verify()["ok"]
 
 
 def test_distinct_dropped_column_guard(spark, tmp_path):

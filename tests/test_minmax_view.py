@@ -171,3 +171,30 @@ def test_minmax_dropped_column_gives_guidance(spark, tmp_path):
     sink.drop_column("v")
     with pytest.raises(ValueError, match="no longer exist"):
         view.refresh()
+
+
+def test_minmax_over_table_key(spark, tmp_path):
+    """Extremes of the KEY column itself (min/max doc_id per group):
+    the pre-image changelog has no _old_doc_id — the key is immutable,
+    so the current column carries the old identity (shared
+    _pre_image_col fallback, review-found via the distinct twin)."""
+    sink = SnapshotSink(spark, str(tmp_path / "t"), n_buckets=4)
+    view = MinMaxView(
+        spark, sink, str(tmp_path / "v"), ["grp"],
+        min_cols=["doc_id"], max_cols=["doc_id"],
+    )
+    _apply(spark, sink, "b1", [
+        ("I", 1, "a1", "g0", 1), ("I", 2, "a5", "g0", 2),
+        ("I", 3, "b2", "g1", 3),
+    ])
+    assert view.refresh()["mode"] == "full"
+    # delete the max-holding key: dirty rescan restores the runner-up
+    _apply(spark, sink, "b2", [("D", 10, "a5", None, None)])
+    r = view.refresh()
+    assert r["mode"] == "incremental" and r["rescanned_groups"] == 1
+    got = {
+        r["grp"]: (r["min_doc_id"], r["max_doc_id"])
+        for r in view.read().collect()
+    }
+    assert got == {"g0": ("a1", "a1"), "g1": ("b2", "b2")}
+    assert view.verify()["ok"]
