@@ -1525,6 +1525,88 @@ def q_hll_distinct(spark, sf):
     )
 
 
+# --------------------------------------------------- bottom-k sample IVM
+def _sample_oracle(k: int = 16) -> str:
+    from beehive_data_etl_spark.functions.hashing import portable_hash32_sql
+
+    split = portable_hash32_sql("CAST(event_id AS VARCHAR)")
+    h = portable_hash32_sql("CAST(event_id AS VARCHAR)")
+    return f"""
+    WITH base AS (
+        SELECT user_id % 97 AS grp,
+               CAST(event_id AS VARCHAR) AS id,
+               {h} AS h
+        FROM events
+        WHERE NOT ({split} % 10 = 0)
+    ), ranked AS (
+        SELECT grp, id, h,
+               row_number() OVER (PARTITION BY grp ORDER BY h, id) AS rn
+        FROM base
+    )
+    SELECT grp, count(*) AS n_rows,
+           string_agg(CASE WHEN rn <= {k} THEN id END, ',' ORDER BY h, id)
+               AS sample_csv
+    FROM ranked GROUP BY grp
+    """
+
+
+@query("q_sample_bottomk", _sample_oracle())
+def q_sample_bottomk(spark, sf):
+    """Deterministic bottom-k hash sampling (sinks/sample.py) as a
+    driver-checked static query — the IVM defining equation with the
+    dirty path forced: the per-group bottom-16 sample over ALL events,
+    merged with a deterministic 10% delete slice's window summary,
+    dirty groups rescanned against the remaining 90%, must land
+    EXACTLY (ids, order and all — the sample is a pure function of
+    live membership) on DuckDB's ranked bottom-16 over that 90%. Pure
+    deletes are never re-added, so every group whose sampled id was
+    cut takes the rescan branch. The changelog-fed path over a real
+    sink is exercised by tests/test_sample_view.py."""
+    from beehive_data_etl_spark.functions.hashing import portable_hash32
+    from beehive_data_etl_spark.sinks.sample import (
+        _DIRTY,
+        _bottom_k,
+        sample_delta,
+        sample_merge,
+    )
+
+    k = 16
+    ev = t(spark, sf, "events").select(
+        "event_id",
+        (F.col("user_id") % 97).alias("grp"),
+        F.col("event_id").cast("string").alias("id"),
+    )
+    is_cut = portable_hash32(F.col("event_id").cast("string")) % 10 == 0
+    total = _bottom_k(ev, ["grp"], "id", k)
+    # the 10% slice as a pre-image changelog of pure deletes
+    changes = ev.filter(is_cut).select(
+        F.lit("D").alias("change_type"),
+        F.lit(True).alias("deleted"),
+        F.lit(None).cast("bigint").alias("grp"),
+        F.lit(None).cast("string").alias("id"),
+        F.col("grp").alias("_old_grp"),
+        F.col("id").alias("_old_id"),
+    )
+    delta = sample_delta(changes, ["grp"], "id", k)
+    merged = sample_merge(total, delta, ["grp"], k)
+    clean = merged.filter(~F.col(_DIRTY)).drop(_DIRTY)
+    dirty = merged.filter(F.col(_DIRTY)).select("grp")
+    base = ev.filter(~is_cut).alias("b")
+    src = base.join(
+        dirty.alias("g"),
+        F.col("b.grp").eqNullSafe(F.col("g.grp")),
+        "left_semi",
+    )
+    rescanned = _bottom_k(src, ["grp"], "id", k)
+    return clean.unionByName(rescanned).select(
+        "grp",
+        "n_rows",
+        F.concat_ws(
+            ",", F.transform("sample", lambda x: x.getField("id"))
+        ).alias("sample_csv"),
+    )
+
+
 # --------------------------------------------------------------- simhash
 def _simhash_oracle() -> str:
     from beehive_data_etl_spark.functions.dedup import simhash_sql

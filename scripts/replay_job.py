@@ -42,7 +42,10 @@ def _derived_views(spark, sink) -> list:
     IVM with dirty-group rescan); REPLAY_DISTINCT_GROUP[,col..] +
     REPLAY_DISTINCT_COLS[,col..] (+ optional REPLAY_DISTINCT_LGK) adds
     a DistinctView (mergeable-HLL distinct counts, additions merged /
-    removals dirty-rescanned); REPLAY_INDEX_COL=<array col> adds a
+    removals dirty-rescanned); REPLAY_SAMPLE_GROUP[,col..] (+ optional
+    REPLAY_SAMPLE_COL, default doc_id, and REPLAY_SAMPLE_K) adds a
+    SampleView (deterministic bottom-k hash samples + KMV distinct
+    estimates); REPLAY_INDEX_COL=<array col> adds a
     TokenIndex;
     REPLAY_NEARDUP=1 adds changelog-driven near-dup detection
     (NearDupView); REPLAY_SHARDS=<k> maintains a k-shard training
@@ -105,6 +108,18 @@ def _derived_views(spark, sink) -> list:
                 spark, sink, os.path.join(root, "_views", "distinct"),
                 nd_group.split(","), nd_cols,
                 lg_k=int(os.environ.get("REPLAY_DISTINCT_LGK", "12")),
+            )
+        )
+    sm_group = os.environ.get("REPLAY_SAMPLE_GROUP")
+    if sm_group:
+        from beehive_data_etl_spark.sinks.sample import SampleView
+
+        views.append(
+            SampleView(
+                spark, sink, os.path.join(root, "_views", "sample"),
+                sm_group.split(","),
+                id_col=os.environ.get("REPLAY_SAMPLE_COL", "doc_id"),
+                k=int(os.environ.get("REPLAY_SAMPLE_K", "64")),
             )
         )
     index_col = os.environ.get("REPLAY_INDEX_COL")

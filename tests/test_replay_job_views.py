@@ -61,6 +61,8 @@ def test_replay_job_env_wiring(spark, smoke_log, tmp_path, monkeypatch, mode):
     monkeypatch.setenv("REPLAY_MINMAX_MAX", "n_tok")
     monkeypatch.setenv("REPLAY_DISTINCT_GROUP", "source")
     monkeypatch.setenv("REPLAY_DISTINCT_COLS", "doc_id")
+    monkeypatch.setenv("REPLAY_SAMPLE_GROUP", "source")
+    monkeypatch.setenv("REPLAY_SAMPLE_K", "8")
     monkeypatch.setenv("REPLAY_INDEX_COL", "tokens")
     monkeypatch.setenv("REPLAY_SHARDS", "4")
     # enrich view: a dim table keyed by the log's source values
@@ -95,17 +97,23 @@ def test_replay_job_env_wiring(spark, smoke_log, tmp_path, monkeypatch, mode):
                     ["source"], min_cols=["n_tok"], max_cols=["n_tok"])
     nd = DistinctView(spark, sink, os.path.join(target, "_views", "distinct"),
                       ["source"], ["doc_id"])
+    from beehive_data_etl_spark.sinks.sample import SampleView
+
+    sm = SampleView(spark, sink, os.path.join(target, "_views", "sample"),
+                    ["source"], k=8)
     ix = TokenIndex(spark, sink, os.path.join(target, "_views", "token_index"))
     exp = ShardExport(spark, sink, os.path.join(target, "_views", "shards"), k=4)
     v = sink.current_snapshot()["version"]
     assert agg.current()["version"] == v
     assert mm.current()["version"] == v
     assert nd.current()["version"] == v
+    assert sm.current()["version"] == v
     assert ix.current()["version"] == v
     assert exp.current()["version"] == v
     assert agg.verify()["ok"]
     assert mm.verify()["ok"]
     assert nd.verify()["ok"]
+    assert sm.verify()["ok"]
     assert ix.verify()["ok"]
     assert exp.verify()["ok"]
     # the aggregate actually aggregates the replayed corpus
