@@ -1529,7 +1529,9 @@ def q_hll_distinct(spark, sf):
 def _sample_oracle(k: int = 16) -> str:
     from beehive_data_etl_spark.functions.hashing import portable_hash32_sql
 
-    split = portable_hash32_sql("CAST(event_id AS VARCHAR)")
+    # ONE hash does double duty: the delete slice is carved from the
+    # same md5 hash that orders the sample (unlike sibling oracles,
+    # there is no separately-salted split here)
     h = portable_hash32_sql("CAST(event_id AS VARCHAR)")
     return f"""
     WITH base AS (
@@ -1537,7 +1539,7 @@ def _sample_oracle(k: int = 16) -> str:
                CAST(event_id AS VARCHAR) AS id,
                {h} AS h
         FROM events
-        WHERE NOT ({split} % 10 = 0)
+        WHERE NOT ({h} % 10 = 0)
     ), ranked AS (
         SELECT grp, id, h,
                row_number() OVER (PARTITION BY grp ORDER BY h, id) AS rn

@@ -152,6 +152,32 @@ def _pre_image_col(changes: DataFrame):
     return lambda c: f"_old_{c}" if f"_old_{c}" in have else c
 
 
+def explode_contributions(changes: DataFrame, build) -> DataFrame:
+    """The ± contribution explode every IVM delta builder shares
+    (review: it used to be copied per view): each pre-image changelog
+    row emits up to two structs — one under the NEW image when the row
+    is live after the change, one under the OLD image when it was live
+    before (updates that move a row between groups, deletes, and
+    inserts all reduce to this). ``build(sign, p)`` returns the
+    struct's field list, reading every column through the resolver
+    ``p`` (identity for the new image; ``_pre_image_col`` for the old
+    — which falls back to the key column itself for the immutable
+    table key). The explode is narrow: no shuffle, O(changed rows)."""
+    ident = lambda c: c  # noqa: E731
+    pre = _pre_image_col(changes)
+    new_live = ~F.col("deleted")
+    old_live = F.col("change_type").isin("U", "D")
+    entries = F.array(
+        F.when(new_live, F.struct(*build(1, ident))),
+        F.when(old_live, F.struct(*build(-1, pre))),
+    )
+    return (
+        changes.select(F.explode(entries).alias("e"))
+        .filter(F.col("e").isNotNull())
+        .select("e.*")
+    )
+
+
 def changelog_delta(
     changes: DataFrame, group_cols: list[str], sum_cols: list[str]
 ) -> DataFrame:
@@ -164,10 +190,8 @@ def changelog_delta(
     reduce to the same additive arithmetic; the explode is narrow (no
     extra shuffle beyond the final groupBy on O(changed rows))."""
     types = {f.name: f.dataType for f in changes.schema.fields}
-    pre = _pre_image_col(changes)
 
-    def contrib(sign: int, prefix: str):
-        p = (lambda c: c) if not prefix else pre
+    def build(sign: int, p):
         fields = [F.col(p(g)).alias(g) for g in group_cols]
         fields.append(F.lit(sign).cast("long").alias(COUNT_COL))
         for c in sum_cols:
@@ -183,14 +207,8 @@ def changelog_delta(
                 .cast("long")
                 .alias(f"_nn_{c}")
             )
-        return F.struct(*fields)
+        return fields
 
-    new_live = ~F.col("deleted")
-    old_live = F.col("change_type").isin("U", "D")
-    entries = F.array(
-        F.when(new_live, contrib(1, "")),
-        F.when(old_live, contrib(-1, "_old_")),
-    )
     add_cols = [COUNT_COL] + [x for c in sum_cols for x in (c, f"_nn_{c}")]
     # pin every summed column to its maintained type (SUM re-widens
     # decimals by another +10 precision)
@@ -199,9 +217,7 @@ def changelog_delta(
         out_types[c] = _sum_type(types[c])
         out_types[f"_nn_{c}"] = "long"
     return (
-        changes.select(F.explode(entries).alias("e"))
-        .filter(F.col("e").isNotNull())
-        .select("e.*")
+        explode_contributions(changes, build)
         .groupBy(*group_cols)
         .agg(*[F.sum(c).cast(out_types[c]).alias(c) for c in add_cols])
     )

@@ -66,8 +66,8 @@ from .aggregates import (
     _DIRTY,
     COUNT_COL,
     AggregateView,
-    _pre_image_col,
     eq_nullsafe_on,
+    explode_contributions,
 )
 
 _SKETCHABLE = (T.IntegerType, T.LongType, T.StringType, T.BinaryType)
@@ -105,28 +105,14 @@ def distinct_delta(
     once for the count/sketch aggregate and twice per column for the
     anti-join, and each reuse would otherwise re-run the changelog
     read (delta files + old bucket state) underneath."""
-    pre = _pre_image_col(changes)
-
-    def contrib(sign: int, prefix: str):
-        p = (lambda c: c) if not prefix else pre
+    def build(sign: int, p):
         fields = [F.col(p(g)).alias(g) for g in group_cols]
         fields.append(F.lit(sign).cast("long").alias("_sign"))
         for c in cols:
             fields.append(F.col(p(c)).alias(c))
-        return F.struct(*fields)
+        return fields
 
-    new_live = ~F.col("deleted")
-    old_live = F.col("change_type").isin("U", "D")
-    entries = F.array(
-        F.when(new_live, contrib(1, "")),
-        F.when(old_live, contrib(-1, "_old_")),
-    )
-    e = (
-        changes.select(F.explode(entries).alias("e"))
-        .filter(F.col("e").isNotNull())
-        .select("e.*")
-        .localCheckpoint(eager=True)
-    )
+    e = explode_contributions(changes, build).localCheckpoint(eager=True)
     add = F.col("_sign") == 1
     aggs = [F.sum("_sign").alias("_dn")]
     for c in cols:

@@ -51,8 +51,8 @@ from .aggregates import (
     _DIRTY,
     COUNT_COL,
     AggregateView,
-    _pre_image_col,
     eq_nullsafe_on,
+    explode_contributions,
 )
 
 _ORDERABLE = (
@@ -95,27 +95,15 @@ def minmax_delta(
     updates that move a row between groups remove under the OLD group
     and add under the NEW one."""
     vals = sorted({*min_cols, *max_cols})
-    pre = _pre_image_col(changes)
 
-    def contrib(sign: int, prefix: str):
-        p = (lambda c: c) if not prefix else pre
+    def build(sign: int, p):
         fields = [F.col(p(g)).alias(g) for g in group_cols]
         fields.append(F.lit(sign).cast("long").alias("_sign"))
         for c in vals:
             fields.append(F.col(p(c)).alias(c))
-        return F.struct(*fields)
+        return fields
 
-    new_live = ~F.col("deleted")
-    old_live = F.col("change_type").isin("U", "D")
-    entries = F.array(
-        F.when(new_live, contrib(1, "")),
-        F.when(old_live, contrib(-1, "_old_")),
-    )
-    e = (
-        changes.select(F.explode(entries).alias("e"))
-        .filter(F.col("e").isNotNull())
-        .select("e.*")
-    )
+    e = explode_contributions(changes, build)
     add = F.col("_sign") == 1
     aggs = [F.sum("_sign").alias("_dn")]
     for c in vals:

@@ -58,8 +58,8 @@ from .aggregates import (
     _DIRTY,
     COUNT_COL,
     AggregateView,
-    _pre_image_col,
     eq_nullsafe_on,
+    explode_contributions,
 )
 
 _HASH_SPACE = float(1 << 32)  # portable_hash32 range [0, 2^32)
@@ -110,28 +110,19 @@ def sample_delta(
     removals (removals whose id was not re-added — used to filter a
     small group's full-membership array), and the surviving removals'
     count and minimum hash (the dirty test against the stored k-th
-    value). The exploded contribution frame is localCheckpoint-ed: it
-    feeds one aggregate, two ranked collects and an anti-join, and
-    each reuse would otherwise re-run the changelog read."""
-    pre = _pre_image_col(changes)
-
-    def contrib(sign: int, prefix: str):
-        p = (lambda c: c) if not prefix else pre
+    value). The exploded contribution frame is localCheckpoint-ed (it
+    feeds one aggregate, two ranked passes and an anti-join, and each
+    reuse would otherwise re-run the changelog read); the
+    surviving-removal summary computes its ranked collect, count and
+    min in ONE grouped pass so the anti-join runs once (review)."""
+    def build(sign: int, p):
         fields = [F.col(p(g)).alias(g) for g in group_cols]
         fields.append(F.lit(sign).cast("long").alias("_sign"))
         fields.append(F.col(p(id_col)).alias("_id"))
-        return F.struct(*fields)
+        return fields
 
-    new_live = ~F.col("deleted")
-    old_live = F.col("change_type").isin("U", "D")
-    entries = F.array(
-        F.when(new_live, contrib(1, "")),
-        F.when(old_live, contrib(-1, "_old_")),
-    )
     e = (
-        changes.select(F.explode(entries).alias("e"))
-        .filter(F.col("e").isNotNull())
-        .select("e.*")
+        explode_contributions(changes, build)
         .withColumn("_h", portable_hash32(F.col("_id")))
         .localCheckpoint(eager=True)
     )
@@ -155,35 +146,30 @@ def sample_delta(
         .select(*[F.col(f"r.{c}") for c in (*group_cols, "_id", "_h")])
     )
 
-    def bottom(df: DataFrame, out: str) -> DataFrame:
-        w = Window.partitionBy(*group_cols).orderBy("_h", "_id")
-        return (
-            df.withColumn("_rn", F.row_number().over(w))
-            .groupBy(*group_cols)
-            .agg(
-                F.sort_array(
-                    F.collect_list(
-                        F.when(
-                            F.col("_rn") <= k,
-                            F.struct(
-                                F.col("_h").alias("h"),
-                                F.col("_id").alias("id"),
-                            ),
-                        )
-                    )
-                ).alias(out)
-            )
+    w = Window.partitionBy(*group_cols).orderBy("_h", "_id")
+
+    def bottom_entry():
+        return F.when(
+            F.col("_rn") <= k,
+            F.struct(F.col("_h").alias("h"), F.col("_id").alias("id")),
         )
 
-    remev = surv.groupBy(*group_cols).agg(
-        F.count(F.lit(1)).alias("_remn"), F.min("_h").alias("_remmin")
+    adds_sum = (
+        adds.withColumn("_rn", F.row_number().over(w))
+        .groupBy(*group_cols)
+        .agg(F.sort_array(F.collect_list(bottom_entry())).alias("_adds"))
+    )
+    surv_sum = (
+        surv.withColumn("_rn", F.row_number().over(w))
+        .groupBy(*group_cols)
+        .agg(
+            F.sort_array(F.collect_list(bottom_entry())).alias("_rems"),
+            F.count(F.lit(1)).alias("_remn"),
+            F.min("_h").alias("_remmin"),
+        )
     )
     delta = counts
-    for piece in (
-        bottom(adds, "_adds"),
-        bottom(surv, "_rems"),
-        remev,
-    ):
+    for piece in (adds_sum, surv_sum):
         delta = (
             delta.alias("d")
             .join(piece.alias("x"), eq_nullsafe_on("d", "x", group_cols), "left")
@@ -266,8 +252,10 @@ class SampleView(AggregateView):
         k: int = 64,
     ) -> None:
         super().__init__(spark, sink, root, group_cols, sum_cols=[])
-        if not (1 <= k <= 4096):
-            raise ValueError("k must be in [1, 4096]")
+        if not (2 <= k <= 4096):
+            # k=1 would degenerate the KMV estimator ((k-1)*M/h_k = 0
+            # for every non-empty full group) — review-found
+            raise ValueError("k must be in [2, 4096]")
         self.id_col = id_col
         self.k = k
 
@@ -317,6 +305,14 @@ class SampleView(AggregateView):
         cur = self.current()
         if cur is None:
             raise ValueError("view never refreshed")
+        if cur.get("k", self.k) != self.k:
+            # without this, a mismatched handle silently serves wrong
+            # answers: stored k=8 read by a k=16 handle reports the
+            # 8-entry sample as "the whole membership" (review-found)
+            raise ValueError(
+                f"view stores k={cur['k']} samples but this handle wants "
+                f"k={self.k}: use a handle with the stored k"
+            )
         df = self.spark.read.parquet(cur["path"])
         thr = F.element_at("sample", self.k).getField("h")
         return df.select(

@@ -183,6 +183,9 @@ def test_sample_refusals(spark, tmp_path):
     sink = SnapshotSink(spark, str(tmp_path / "t"), n_buckets=2)
     with pytest.raises(ValueError, match="k must be"):
         SampleView(spark, sink, str(tmp_path / "v"), ["g"], k=0)
+    with pytest.raises(ValueError, match="k must be"):
+        # k=1 degenerates the KMV estimator to 0 for every full group
+        SampleView(spark, sink, str(tmp_path / "v"), ["g"], k=1)
     # non-string id column refuses with guidance
     sink.apply_batch(
         spark.createDataFrame(
