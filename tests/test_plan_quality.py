@@ -283,3 +283,19 @@ def test_entropy_two_aggregations_one_scan(spark):
     plan = plan_of(token_entropy(docs))
     assert plan.count("Scan parquet") == 1 * 2, plan  # formatted: ×2
     assert "SortMergeJoin" not in plan and "Window" not in plan
+
+
+def test_bottom_k_sample_single_shuffle(spark):
+    """SampleView's full build ranks per group (bounding per-row state
+    to k structs) and then aggregates on the SAME key: Catalyst must
+    recognize the co-partitioning and run the groupBy with NO second
+    exchange — one shuffle total, hot groups never re-shuffled."""
+    from beehive_data_etl_spark.sinks.sample import _bottom_k
+
+    df = spark.createDataFrame(
+        [(f"g{i % 3}", f"d{i}") for i in range(100)],
+        "grp string, doc_id string",
+    )
+    plan = plan_of(_bottom_k(df, ["grp"], "doc_id", 4))
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges == 1, f"bottom-k build grew extra shuffles:\n{plan}"
