@@ -1609,6 +1609,86 @@ def q_sample_bottomk(spark, sf):
     )
 
 
+# ---------------------------------------------------- histogram IVM
+# edges chosen INSIDE the fixture's value range [0.01, 490] so the
+# underflow and overflow bins are non-empty; a deterministic 1-in-13
+# slice is nulled on both engines so the NULL bin is exercised too
+_HIST_EDGES = [10.0, 50.0, 100.0, 250.0]
+
+
+def _histogram_ivm_oracle() -> str:
+    from beehive_data_etl_spark.functions.hashing import portable_hash32_sql
+
+    split = portable_hash32_sql("CAST(event_id AS VARCHAR)")
+    lits = ", ".join(str(e) for e in _HIST_EDGES)
+    return f"""
+    WITH base AS (
+        SELECT user_id % 97 AS grp,
+               CASE WHEN event_id % 13 = 0 THEN NULL ELSE value END AS v
+        FROM events
+        WHERE NOT ({split} % 10 = 0)
+    )
+    SELECT grp,
+           CASE WHEN v IS NULL THEN NULL
+                ELSE CAST(len(list_filter([{lits}],
+                         x -> x <= CAST(v AS DOUBLE))) AS INTEGER)
+           END AS bin,
+           count(*) AS n_rows
+    FROM base
+    GROUP BY 1, 2
+    """
+
+
+@query("q_histogram_ivm", _histogram_ivm_oracle())
+def q_histogram_ivm(spark, sf):
+    """Exact-IVM binned histograms (sinks/histogram.py) as a
+    driver-checked static query — the defining equation: the
+    per-(group, bin) counts over ALL events, merged with the ± delta
+    of a deterministic 10% delete slice, must land EXACTLY on a
+    recompute over the remaining 90%. Counts are delete-invertible, so
+    unlike the minmax/distinct/sample equations there is no dirty
+    branch at all — the merge IS the answer. Runs the production
+    bin_expr / changelog_delta / merge_agg composition (the same code
+    HistogramView's hooks call); edges sit inside the fixture's value
+    range and a deterministic 1-in-13 slice is nulled, so the
+    underflow, overflow AND NULL bins are all non-vacuous at sf0.01.
+    The changelog-fed path over a real sink is exercised by
+    tests/test_histogram_view.py."""
+    from beehive_data_etl_spark.functions.hashing import portable_hash32
+    from beehive_data_etl_spark.sinks.aggregates import (
+        changelog_delta,
+        full_agg,
+        merge_agg,
+    )
+    from beehive_data_etl_spark.sinks.histogram import _BIN, bin_expr
+
+    ev = t(spark, sf, "events").select(
+        "event_id",
+        (F.col("user_id") % 97).alias("grp"),
+        F.when(F.col("event_id") % 13 == 0, F.lit(None))
+        .otherwise(F.col("value"))
+        .alias("value"),
+    )
+    is_cut = portable_hash32(F.col("event_id").cast("string")) % 10 == 0
+    groups = ["grp", _BIN]
+    total = full_agg(
+        ev.withColumn(_BIN, bin_expr(F.col("value"), _HIST_EDGES)),
+        groups,
+        [],
+    )
+    changes = ev.filter(is_cut).select(
+        F.lit("D").alias("change_type"),
+        F.lit(True).alias("deleted"),
+        F.lit(None).cast("bigint").alias("grp"),
+        F.lit(None).cast("int").alias(_BIN),
+        F.col("grp").alias("_old_grp"),
+        bin_expr(F.col("value"), _HIST_EDGES).alias(f"_old_{_BIN}"),
+    )
+    delta = changelog_delta(changes, groups, [])
+    merged = merge_agg(total, delta, groups, ["n_rows"])
+    return merged.select("grp", F.col(_BIN).alias("bin"), "n_rows")
+
+
 # --------------------------------------------------------------- simhash
 def _simhash_oracle() -> str:
     from beehive_data_etl_spark.functions.dedup import simhash_sql

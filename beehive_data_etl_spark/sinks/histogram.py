@@ -1,0 +1,280 @@
+"""Incrementally-maintained per-group HISTOGRAMS — and the quantile
+estimates they serve — over the CDC snapshot.
+
+Percentiles ("p99 sequence length per source") at 10^10 rows are an
+O(table) sort per question if computed exactly on demand. The classic
+scale answer is a binned histogram: counts per (group, bin) are
+**distributive AND delete-invertible** — the one shape the exact IVM
+toolkit (``sinks.aggregates``) carries with NO dirty-group rescan,
+ever. A removal subtracts from its old bin, an addition adds to its
+new bin, a value update moves one count between bins; the maintained
+state is exactly a recompute at every refresh (``verify()`` is an
+exact compare, inherited arithmetic).
+
+Quantiles read off the histogram by cumulative-count walk + linear
+interpolation inside the landing bin — error bounded by bin width,
+zero base-data IO, O(groups × bins) work. Bin edges are fixed at
+view creation (pinned in the CURRENT pointer: counts binned under
+different edges must never mix); underflow/overflow land in
+half-open edge bins clamped to the boundary during interpolation,
+and NULL values are counted in a NULL bin that quantiles exclude.
+
+Implementation note: this is ``AggregateView`` keyed by the DERIVED
+bin column — the subclass binds ``_hbin = bin(value)`` (and its
+``_old_`` twin for the pre-image side) onto the frames the template
+hands the hooks; everything downstream is the stock COUNT arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .aggregates import COUNT_COL, AggregateView, changelog_delta, full_agg, merge_agg
+
+_BIN = "_hbin"
+
+_NUMERIC = (
+    T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+    T.FloatType, T.DoubleType, T.DecimalType,
+)
+
+
+def bin_expr(value: Column, edges: list[float]) -> Column:
+    """Bin index for a value under sorted ``edges``: 0 for
+    v < edges[0] (underflow), i+1 for edges[i] <= v < edges[i+1],
+    len(edges) for v >= edges[-1] (overflow), NULL for NULL — i.e.
+    the count of edges <= v, as a pure JVM expression."""
+    e = F.array(*[F.lit(float(x)) for x in edges])
+    return F.when(
+        value.isNotNull(),
+        F.size(F.filter(e, lambda x: x <= value.cast("double"))),
+    ).cast("int")
+
+
+class HistogramView(AggregateView):
+    """A named, incrementally-maintained per-(group, bin) count view
+    over a ``SnapshotSink`` table (module docstring for semantics).
+    All arithmetic is the inherited exact COUNT IVM — this subclass
+    only derives the bin column on both changelog images and serves
+    reads/quantiles."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        sink,
+        root: str,
+        group_cols: list[str],
+        value_col: str,
+        edges: list[float],
+    ) -> None:
+        super().__init__(spark, sink, root, group_cols, sum_cols=[])
+        if len(edges) < 2:
+            raise ValueError("need at least 2 bin edges")
+        fe = [float(x) for x in edges]
+        if sorted(fe) != fe or len(set(fe)) != len(fe):
+            raise ValueError("bin edges must be strictly increasing")
+        self.value_col = value_col
+        self.edges = fe
+
+    def _maintained_cols(self) -> list[str]:
+        return [self.value_col]
+
+    def _hist_groups(self) -> list[str]:
+        return [*self.group_cols, _BIN]
+
+    # ------------------------------------------------ refresh (via template)
+    def _ptr_extra(self) -> dict:
+        return {"edges": self.edges}
+
+    def _pre_refresh_check(self, snap: dict, cur: dict | None) -> None:
+        types = {
+            f.name: f.dataType
+            for f in T.StructType.fromDDL(snap["schema"]).fields
+        }
+        if not isinstance(types[self.value_col], _NUMERIC):
+            raise ValueError(
+                f"histogram over {types[self.value_col].simpleString()} "
+                f"column {self.value_col!r} is not maintained (numeric "
+                "columns only)"
+            )
+        if cur is not None and cur.get("edges", self.edges) != self.edges:
+            raise ValueError(
+                "view was built with different bin edges: counts binned "
+                "under two edge sets must never mix — delete the view "
+                "directory and refresh again"
+            )
+
+    def _ivm_full(self, df):
+        binned = df.withColumn(_BIN, bin_expr(F.col(self.value_col), self.edges))
+        return full_agg(binned, self._hist_groups(), [])
+
+    def _ivm_delta(self, changes):
+        # bin BOTH images so the stock delta subtracts from the old
+        # bin and adds to the new one; _old__hbin is what
+        # _pre_image_col resolves for the removal side
+        binned = changes.withColumn(
+            _BIN, bin_expr(F.col(self.value_col), self.edges)
+        ).withColumn(
+            f"_old_{_BIN}",
+            bin_expr(
+                F.col(
+                    f"_old_{self.value_col}"
+                    if f"_old_{self.value_col}" in changes.columns
+                    else self.value_col
+                ),
+                self.edges,
+            ),
+        )
+        return changelog_delta(binned, self._hist_groups(), [])
+
+    def _ivm_merge(self, old, delta):
+        return merge_agg(old, delta, self._hist_groups(), [COUNT_COL])
+
+    # ------------------------------------------------------------ read
+    def read(self) -> DataFrame:
+        """One row per (group, bin) with its count and the bin's
+        [lo, hi) value range (NULL lo for underflow, NULL hi for
+        overflow, NULL bin for NULL values)."""
+        cur = self.current()
+        if cur is None:
+            raise ValueError("view never refreshed")
+        self._check_edges(cur)
+        e = F.array(*[F.lit(x) for x in self.edges])
+        b = F.col(_BIN)
+        df = self.spark.read.parquet(cur["path"])
+        return df.select(
+            *self.group_cols,
+            b.alias("bin"),
+            F.when((b >= 1), F.element_at(e, b)).alias("bin_lo"),
+            F.when(b < len(self.edges), F.element_at(e, b + 1)).alias(
+                "bin_hi"
+            ),
+            F.col(COUNT_COL),
+        )
+
+    def _check_edges(self, cur: dict) -> None:
+        if cur.get("edges", self.edges) != self.edges:
+            raise ValueError(
+                "view stores different bin edges than this handle: use a "
+                "handle constructed with the stored edges"
+            )
+
+    def quantiles(self, qs: list[float]) -> DataFrame:
+        """Histogram-estimated quantiles per group: cumulative-count
+        walk over the sorted bins, linear interpolation inside the
+        landing bin, edge bins clamped to their finite boundary —
+        error ≤ one bin width, O(groups × bins), zero base-data IO.
+        NULL-value rows are excluded (SQL percentile semantics)."""
+        for q in qs:
+            if not (0.0 <= q <= 1.0):
+                raise ValueError(f"quantile {q} outside [0, 1]")
+        cur = self.current()
+        if cur is None:
+            raise ValueError("view never refreshed")
+        self._check_edges(cur)
+        df = (
+            self.spark.read.parquet(cur["path"])
+            .filter(F.col(_BIN).isNotNull())
+        )
+        w = (
+            Window.partitionBy(*self.group_cols)
+            .orderBy(_BIN)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        wt = Window.partitionBy(*self.group_cols)
+        cum = df.select(
+            *self.group_cols,
+            F.col(_BIN),
+            F.sum(COUNT_COL).over(w).alias("_cum"),
+            F.sum(COUNT_COL).over(wt).alias("_total"),
+            F.col(COUNT_COL),
+        )
+        e = F.array(*[F.lit(x) for x in self.edges])
+        lo_edge = F.greatest(F.col(_BIN), F.lit(1))
+        hi_edge = F.least(F.col(_BIN) + 1, F.lit(len(self.edges)))
+        lo = F.element_at(e, lo_edge)
+        hi = F.element_at(e, hi_edge)
+        out = [F.max("_total").alias("n_values")]
+        for q in qs:
+            target = F.lit(q) * F.col("_total")
+            # first bin whose cumulative count reaches the target
+            landing = F.col("_cum") >= target
+            prev_cum = F.col("_cum") - F.col(COUNT_COL)
+            frac = F.when(
+                F.col(COUNT_COL) > 0,
+                (target - prev_cum) / F.col(COUNT_COL),
+            ).otherwise(F.lit(0.0))
+            est = lo + F.greatest(
+                F.least(frac, F.lit(1.0)), F.lit(0.0)
+            ) * (hi - lo)
+            name = f"p{q * 100:g}".replace(".", "_")
+            out.append(
+                F.min(F.when(landing, est)).alias(name)
+            )
+        return cum.groupBy(*self.group_cols).agg(*out)
+
+    def quantile_bounds(self, q: float) -> tuple[float, float]:
+        """The widest possible error of a quantile estimate: the
+        landing bin's width (driver-side helper for picking edges)."""
+        widths = [
+            self.edges[i + 1] - self.edges[i]
+            for i in range(len(self.edges) - 1)
+        ]
+        return (min(widths), max(widths))
+
+    def verify(self) -> dict:
+        """Exact compare vs a full recompute at the reflected version
+        (counts are invertible — the maintained state IS the
+        recompute, bit for bit)."""
+        cur = self.current()
+        if cur is None:
+            raise ValueError("view never refreshed")
+        self._check_edges(cur)
+        live = self.sink.read_state(
+            version=cur["version"], columns=self._view_cols()
+        ).filter(~F.col("deleted"))
+        shape = [*self._hist_groups(), COUNT_COL]
+        want = self._ivm_full(live).select(*shape)
+        got = self.spark.read.parquet(cur["path"]).select(*shape)
+        extra = got.exceptAll(want).count()
+        missing = want.exceptAll(got).count()
+        return {
+            "ok": extra == 0 and missing == 0,
+            "extra": extra,
+            "missing": missing,
+            "version": cur["version"],
+        }
+
+
+def log_edges(lo: float, hi: float, n: int) -> list[float]:
+    """n+1 log-spaced edges from lo to hi (both > 0) — the usual
+    choice for long-tailed size/duration columns."""
+    if lo <= 0 or hi <= lo or n < 1:
+        raise ValueError("need 0 < lo < hi and n >= 1")
+    import math
+
+    step = (math.log(hi) - math.log(lo)) / n
+    return [math.exp(math.log(lo) + i * step) for i in range(n + 1)]
+
+
+def histogram_quantile_py(
+    counts: list[tuple[int, int]], edges: list[float], q: float
+) -> float:
+    """Driver-side twin of ``quantiles`` for one group — used by
+    tests to cross-check the Spark arithmetic independently."""
+    counts = sorted((b, n) for b, n in counts if b is not None)
+    total = sum(n for _, n in counts)
+    target = q * total
+    cum = 0
+    for b, n in counts:
+        if cum + n >= target:
+            lo = edges[max(b, 1) - 1]
+            hi = edges[min(b + 1, len(edges)) - 1]
+            frac = (target - cum) / n if n else 0.0
+            return lo + max(0.0, min(1.0, frac)) * (hi - lo)
+        cum += n
+    return edges[-1]
+
+

@@ -45,7 +45,10 @@ def _derived_views(spark, sink) -> list:
     removals dirty-rescanned); REPLAY_SAMPLE_GROUP[,col..] (+ optional
     REPLAY_SAMPLE_COL, default doc_id, and REPLAY_SAMPLE_K) adds a
     SampleView (deterministic bottom-k hash samples + KMV distinct
-    estimates); REPLAY_INDEX_COL=<array col> adds a
+    estimates); REPLAY_HIST_GROUP[,col..] + REPLAY_HIST_COL +
+    REPLAY_HIST_EDGES=<comma floats> adds a HistogramView (exact-IVM
+    binned counts + quantile serving, no rescans ever);
+    REPLAY_INDEX_COL=<array col> adds a
     TokenIndex;
     REPLAY_NEARDUP=1 adds changelog-driven near-dup detection
     (NearDupView); REPLAY_SHARDS=<k> maintains a k-shard training
@@ -120,6 +123,27 @@ def _derived_views(spark, sink) -> list:
                 sm_group.split(","),
                 id_col=os.environ.get("REPLAY_SAMPLE_COL", "doc_id"),
                 k=int(os.environ.get("REPLAY_SAMPLE_K", "64")),
+            )
+        )
+    hist_group = os.environ.get("REPLAY_HIST_GROUP")
+    if hist_group:
+        from beehive_data_etl_spark.sinks.histogram import HistogramView
+
+        hist_col = os.environ.get("REPLAY_HIST_COL")
+        edges = [
+            float(x)
+            for x in os.environ.get("REPLAY_HIST_EDGES", "").split(",")
+            if x
+        ]
+        if not hist_col or len(edges) < 2:
+            raise ValueError(
+                "REPLAY_HIST_GROUP needs REPLAY_HIST_COL and >=2 "
+                "REPLAY_HIST_EDGES"
+            )
+        views.append(
+            HistogramView(
+                spark, sink, os.path.join(root, "_views", "histogram"),
+                hist_group.split(","), hist_col, edges,
             )
         )
     index_col = os.environ.get("REPLAY_INDEX_COL")

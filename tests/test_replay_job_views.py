@@ -63,6 +63,9 @@ def test_replay_job_env_wiring(spark, smoke_log, tmp_path, monkeypatch, mode):
     monkeypatch.setenv("REPLAY_DISTINCT_COLS", "doc_id")
     monkeypatch.setenv("REPLAY_SAMPLE_GROUP", "source")
     monkeypatch.setenv("REPLAY_SAMPLE_K", "8")
+    monkeypatch.setenv("REPLAY_HIST_GROUP", "source")
+    monkeypatch.setenv("REPLAY_HIST_COL", "n_tok")
+    monkeypatch.setenv("REPLAY_HIST_EDGES", "0,8,16,32,64")
     monkeypatch.setenv("REPLAY_INDEX_COL", "tokens")
     monkeypatch.setenv("REPLAY_SHARDS", "4")
     # enrich view: a dim table keyed by the log's source values
@@ -101,6 +104,10 @@ def test_replay_job_env_wiring(spark, smoke_log, tmp_path, monkeypatch, mode):
 
     sm = SampleView(spark, sink, os.path.join(target, "_views", "sample"),
                     ["source"], k=8)
+    from beehive_data_etl_spark.sinks.histogram import HistogramView
+
+    hg = HistogramView(spark, sink, os.path.join(target, "_views", "histogram"),
+                       ["source"], "n_tok", [0.0, 8.0, 16.0, 32.0, 64.0])
     ix = TokenIndex(spark, sink, os.path.join(target, "_views", "token_index"))
     exp = ShardExport(spark, sink, os.path.join(target, "_views", "shards"), k=4)
     v = sink.current_snapshot()["version"]
@@ -108,12 +115,14 @@ def test_replay_job_env_wiring(spark, smoke_log, tmp_path, monkeypatch, mode):
     assert mm.current()["version"] == v
     assert nd.current()["version"] == v
     assert sm.current()["version"] == v
+    assert hg.current()["version"] == v
     assert ix.current()["version"] == v
     assert exp.current()["version"] == v
     assert agg.verify()["ok"]
     assert mm.verify()["ok"]
     assert nd.verify()["ok"]
     assert sm.verify()["ok"]
+    assert hg.verify()["ok"]
     assert ix.verify()["ok"]
     assert exp.verify()["ok"]
     # the aggregate actually aggregates the replayed corpus
