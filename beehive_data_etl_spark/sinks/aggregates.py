@@ -367,8 +367,12 @@ class AggregateView:
         """Subclass refusal hook, run AFTER the window guard (a
         dropped/renamed maintained column must raise the guidance
         ValueError, not a KeyError on the missing schema entry) and
-        before any Spark work. ``cur`` is the live pointer (None on a
-        full build)."""
+        before any Spark work. ``cur`` is the RAW live pointer — even
+        when the expired-window fallback will force a full rebuild —
+        so identity pins (sketch precision, sample k, bin edges) can
+        refuse a mismatched handle regardless: a silent full rebuild
+        under new parameters would break every other handle built
+        against the stored ones (review-found)."""
 
     def _ivm_full(self, df: DataFrame) -> DataFrame:
         """Ground-truth aggregate over live rows — the first full
@@ -396,7 +400,9 @@ class AggregateView:
         if win == "noop":
             return {"mode": "noop", "version": snap["version"]}
         v_new, cur = win
-        self._pre_refresh_check(snap, cur)
+        # the hook gets the RAW pointer, not the fallback-adjusted cur:
+        # identity pins must fire even when the refresh will full-rebuild
+        self._pre_refresh_check(snap, self.current())
         if cur is None:
             live = self.sink.read_state(
                 version=v_new, columns=self._view_cols()

@@ -31,7 +31,14 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .aggregates import COUNT_COL, AggregateView, changelog_delta, full_agg, merge_agg
+from .aggregates import (
+    COUNT_COL,
+    AggregateView,
+    _pre_image_col,
+    changelog_delta,
+    full_agg,
+    merge_agg,
+)
 
 _BIN = "_hbin"
 
@@ -112,20 +119,16 @@ class HistogramView(AggregateView):
 
     def _ivm_delta(self, changes):
         # bin BOTH images so the stock delta subtracts from the old
-        # bin and adds to the new one; _old__hbin is what
-        # _pre_image_col resolves for the removal side
+        # bin and adds to the new one; the pre-image value resolves
+        # through the shared _pre_image_col (key columns have no
+        # _old_ twin), and _old__hbin is what the stock delta's own
+        # resolver finds for the removal side
+        pre = _pre_image_col(changes)
         binned = changes.withColumn(
             _BIN, bin_expr(F.col(self.value_col), self.edges)
         ).withColumn(
             f"_old_{_BIN}",
-            bin_expr(
-                F.col(
-                    f"_old_{self.value_col}"
-                    if f"_old_{self.value_col}" in changes.columns
-                    else self.value_col
-                ),
-                self.edges,
-            ),
+            bin_expr(F.col(pre(self.value_col)), self.edges),
         )
         return changelog_delta(binned, self._hist_groups(), [])
 
@@ -165,8 +168,12 @@ class HistogramView(AggregateView):
         """Histogram-estimated quantiles per group: cumulative-count
         walk over the sorted bins, linear interpolation inside the
         landing bin, edge bins clamped to their finite boundary —
-        error ≤ one bin width, O(groups × bins), zero base-data IO.
-        NULL-value rows are excluded (SQL percentile semantics)."""
+        error ≤ the landing bin's width, O(groups × bins), zero
+        base-data IO. NULL-value rows are excluded from the walk (SQL
+        percentile semantics) but a group whose values are ALL NULL
+        still appears, with n_values=0 and NULL estimates — dropping
+        it entirely would silently lose the group for consumers
+        joining against read() (review-found)."""
         for q in qs:
             if not (0.0 <= q <= 1.0):
                 raise ValueError(f"quantile {q} outside [0, 1]")
@@ -174,22 +181,24 @@ class HistogramView(AggregateView):
         if cur is None:
             raise ValueError("view never refreshed")
         self._check_edges(cur)
-        df = (
-            self.spark.read.parquet(cur["path"])
-            .filter(F.col(_BIN).isNotNull())
+        df = self.spark.read.parquet(cur["path"])
+        # NULL-bin rows ride along with zero weight so all-NULL groups
+        # survive the groupBy; they can never be the landing bin
+        cnt = F.when(F.col(_BIN).isNotNull(), F.col(COUNT_COL)).otherwise(
+            F.lit(0)
         )
         w = (
             Window.partitionBy(*self.group_cols)
-            .orderBy(_BIN)
+            .orderBy(F.col(_BIN).asc_nulls_last())
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
         wt = Window.partitionBy(*self.group_cols)
         cum = df.select(
             *self.group_cols,
             F.col(_BIN),
-            F.sum(COUNT_COL).over(w).alias("_cum"),
-            F.sum(COUNT_COL).over(wt).alias("_total"),
-            F.col(COUNT_COL),
+            F.sum(cnt).over(w).alias("_cum"),
+            F.sum(cnt).over(wt).alias("_total"),
+            cnt.alias("_cnt"),
         )
         e = F.array(*[F.lit(x) for x in self.edges])
         lo_edge = F.greatest(F.col(_BIN), F.lit(1))
@@ -199,12 +208,17 @@ class HistogramView(AggregateView):
         out = [F.max("_total").alias("n_values")]
         for q in qs:
             target = F.lit(q) * F.col("_total")
-            # first bin whose cumulative count reaches the target
-            landing = F.col("_cum") >= target
-            prev_cum = F.col("_cum") - F.col(COUNT_COL)
+            # first non-NULL bin whose cumulative count reaches the
+            # target; an all-NULL group has no landing bin -> NULL
+            landing = (
+                F.col(_BIN).isNotNull()
+                & (F.col("_total") > 0)
+                & (F.col("_cum") >= target)
+            )
+            prev_cum = F.col("_cum") - F.col("_cnt")
             frac = F.when(
-                F.col(COUNT_COL) > 0,
-                (target - prev_cum) / F.col(COUNT_COL),
+                F.col("_cnt") > 0,
+                (target - prev_cum) / F.col("_cnt"),
             ).otherwise(F.lit(0.0))
             est = lo + F.greatest(
                 F.least(frac, F.lit(1.0)), F.lit(0.0)
@@ -215,9 +229,13 @@ class HistogramView(AggregateView):
             )
         return cum.groupBy(*self.group_cols).agg(*out)
 
-    def quantile_bounds(self, q: float) -> tuple[float, float]:
-        """The widest possible error of a quantile estimate: the
-        landing bin's width (driver-side helper for picking edges)."""
+    def bin_widths(self) -> tuple[float, float]:
+        """(narrowest, widest) INTERIOR bin width — the a-priori error
+        range of an interpolated estimate whose quantile lands in an
+        interior bin (which bin a given q lands in depends on the
+        data, so no per-q bound is possible up front). Mass clamped
+        into the open underflow/overflow bins has no width bound at
+        all; pick edges that cover the data."""
         widths = [
             self.edges[i + 1] - self.edges[i]
             for i in range(len(self.edges) - 1)
@@ -250,13 +268,19 @@ class HistogramView(AggregateView):
 
 def log_edges(lo: float, hi: float, n: int) -> list[float]:
     """n+1 log-spaced edges from lo to hi (both > 0) — the usual
-    choice for long-tailed size/duration columns."""
+    choice for long-tailed size/duration columns. The endpoints are
+    pinned to lo/hi EXACTLY (only interior edges go through exp/log):
+    a round-tripped hi can drift a ulp low, silently pushing a value
+    equal to hi into the open overflow bin (review-found)."""
     if lo <= 0 or hi <= lo or n < 1:
         raise ValueError("need 0 < lo < hi and n >= 1")
     import math
 
     step = (math.log(hi) - math.log(lo)) / n
-    return [math.exp(math.log(lo) + i * step) for i in range(n + 1)]
+    inner = [
+        math.exp(math.log(lo) + i * step) for i in range(1, n)
+    ]
+    return [float(lo), *inner, float(hi)]
 
 
 def histogram_quantile_py(

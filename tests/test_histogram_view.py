@@ -108,11 +108,26 @@ def test_histogram_quantiles(spark, pair):
     # and against the true quantiles within one bin width
     import numpy as np
 
+    lo_w, hi_w = view.bin_widths()
     for q, name in [(0.5, "p50"), (0.9, "p90")]:
         true = float(np.quantile(vals, q))
-        lo_w, hi_w = view.quantile_bounds(q)
         assert abs(got[name] - true) <= hi_w
     assert got["p100"] == 100.0                       # clamped top edge
+
+
+def test_histogram_all_null_group_survives_quantiles(spark, pair):
+    """A group whose values are ALL NULL still appears in quantiles()
+    output — n_values=0, NULL estimates — instead of silently
+    vanishing (review-found: the old pre-filter dropped it)."""
+    sink, view = pair
+    _apply(spark, sink, "b1", [
+        ("I", 1, "a1", "g0", 5.0),
+        ("I", 2, "z1", "gz", None), ("I", 3, "z2", "gz", None),
+    ])
+    view.refresh()
+    got = {r["grp"]: r for r in view.quantiles([0.5]).collect()}
+    assert got["gz"]["n_values"] == 0 and got["gz"]["p50"] is None
+    assert got["g0"]["n_values"] == 1 and got["g0"]["p50"] is not None
 
 
 def test_histogram_matches_fresh_build_after_churn(spark, pair):
@@ -173,6 +188,29 @@ def test_histogram_edges_pinned(spark, pair):
         other.quantiles([0.5])
     assert view.refresh()["mode"] == "incremental"
     assert view.verify()["ok"]
+
+
+def test_histogram_edges_pin_fires_even_on_full_rebuild(spark, pair, monkeypatch):
+    """The identity pin must refuse a wrong-edges handle even when the
+    refresh window has expired and the template would full-rebuild —
+    a silent rebuild under new edges breaks every other handle
+    (review-found). The template hands the hook the RAW pointer, so
+    the refusal fires before any Spark work."""
+    sink, view = pair
+    _apply(spark, sink, "b1", [("I", 1, "d1", "g0", 5.0)])
+    view.refresh()
+    other = HistogramView(
+        spark, sink, view.root, ["grp"], "v", [0.0, 99.0]
+    )
+    _apply(spark, sink, "b2", [("I", 2, "d2", "g0", 6.0)])
+    # simulate the expired-incremental-window fallback: the guard
+    # returns cur=None (full rebuild) while the pointer still exists
+    snap = sink.current_snapshot()
+    monkeypatch.setattr(
+        other, "_refresh_window", lambda s: (s["version"], None)
+    )
+    with pytest.raises(ValueError, match="different bin edges"):
+        other.refresh()
 
 
 def test_log_edges(spark):
