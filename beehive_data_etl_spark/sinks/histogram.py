@@ -61,11 +61,19 @@ def bin_expr(value: Column, edges: list[float]) -> Column:
 
 
 class HistogramView(AggregateView):
-    """A named, incrementally-maintained per-(group, bin) count view
-    over a ``SnapshotSink`` table (module docstring for semantics).
-    All arithmetic is the inherited exact COUNT IVM — this subclass
-    only derives the bin column on both changelog images and serves
-    reads/quantiles."""
+    """A named, incrementally-maintained per-(group, bin) count — and
+    optionally per-bin SUM — view over a ``SnapshotSink`` table
+    (module docstring for semantics). All arithmetic is the inherited
+    exact COUNT/SUM IVM — this subclass only derives the bin column
+    on both changelog images and serves reads/quantiles.
+
+    ``sum_cols``: extra numeric columns summed per bin (0-defaulted,
+    NULL-sum semantics restored at read like AggregateView). The
+    canonical use on the tokenized-sequence table is
+    ``HistogramView(..., "n_tok", edges, sum_cols=["n_tok"])`` —
+    token MASS per length bucket — and ``quantiles(weight="n_tok")``
+    then answers "the median token lives in a document of length X",
+    the mixture question token-budgeted curation actually asks."""
 
     def __init__(
         self,
@@ -75,8 +83,9 @@ class HistogramView(AggregateView):
         group_cols: list[str],
         value_col: str,
         edges: list[float],
+        sum_cols: list[str] | None = None,
     ) -> None:
-        super().__init__(spark, sink, root, group_cols, sum_cols=[])
+        super().__init__(spark, sink, root, group_cols, sum_cols=sum_cols)
         if len(edges) < 2:
             raise ValueError("need at least 2 bin edges")
         fe = [float(x) for x in edges]
@@ -86,7 +95,7 @@ class HistogramView(AggregateView):
         self.edges = fe
 
     def _maintained_cols(self) -> list[str]:
-        return [self.value_col]
+        return sorted({self.value_col, *self.sum_cols})
 
     def _hist_groups(self) -> list[str]:
         return [*self.group_cols, _BIN]
@@ -115,7 +124,7 @@ class HistogramView(AggregateView):
 
     def _ivm_full(self, df):
         binned = df.withColumn(_BIN, bin_expr(F.col(self.value_col), self.edges))
-        return full_agg(binned, self._hist_groups(), [])
+        return full_agg(binned, self._hist_groups(), self.sum_cols)
 
     def _ivm_delta(self, changes):
         # bin BOTH images so the stock delta subtracts from the old
@@ -130,10 +139,10 @@ class HistogramView(AggregateView):
             f"_old_{_BIN}",
             bin_expr(F.col(pre(self.value_col)), self.edges),
         )
-        return changelog_delta(binned, self._hist_groups(), [])
+        return changelog_delta(binned, self._hist_groups(), self.sum_cols)
 
     def _ivm_merge(self, old, delta):
-        return merge_agg(old, delta, self._hist_groups(), [COUNT_COL])
+        return merge_agg(old, delta, self._hist_groups(), self.add_cols)
 
     # ------------------------------------------------------------ read
     def read(self) -> DataFrame:
@@ -147,6 +156,10 @@ class HistogramView(AggregateView):
         e = F.array(*[F.lit(x) for x in self.edges])
         b = F.col(_BIN)
         df = self.spark.read.parquet(cur["path"])
+        sums = [
+            F.when(F.col(f"_nn_{c}") > 0, F.col(c)).alias(f"sum_{c}")
+            for c in self.sum_cols
+        ]
         return df.select(
             *self.group_cols,
             b.alias("bin"),
@@ -155,6 +168,7 @@ class HistogramView(AggregateView):
                 "bin_hi"
             ),
             F.col(COUNT_COL),
+            *sums,
         )
 
     def _check_edges(self, cur: dict) -> None:
@@ -164,7 +178,7 @@ class HistogramView(AggregateView):
                 "handle constructed with the stored edges"
             )
 
-    def quantiles(self, qs: list[float]) -> DataFrame:
+    def quantiles(self, qs: list[float], weight: str | None = None) -> DataFrame:
         """Histogram-estimated quantiles per group: cumulative-count
         walk over the sorted bins, linear interpolation inside the
         landing bin, edge bins clamped to their finite boundary —
@@ -173,10 +187,20 @@ class HistogramView(AggregateView):
         percentile semantics) but a group whose values are ALL NULL
         still appears, with n_values=0 and NULL estimates — dropping
         it entirely would silently lose the group for consumers
-        joining against read() (review-found)."""
+        joining against read() (review-found).
+
+        ``weight``: a ``sum_cols`` column to walk by instead of row
+        counts — WEIGHTED quantiles ("the median token lives in a
+        document of length X" via weight="n_tok"). Weights must be
+        non-negative; n_values then reports total weight."""
         for q in qs:
             if not (0.0 <= q <= 1.0):
                 raise ValueError(f"quantile {q} outside [0, 1]")
+        if weight is not None and weight not in self.sum_cols:
+            raise ValueError(
+                f"weight {weight!r} is not a maintained sum column "
+                f"{self.sum_cols}: construct the view with it in sum_cols"
+            )
         cur = self.current()
         if cur is None:
             raise ValueError("view never refreshed")
@@ -184,9 +208,8 @@ class HistogramView(AggregateView):
         df = self.spark.read.parquet(cur["path"])
         # NULL-bin rows ride along with zero weight so all-NULL groups
         # survive the groupBy; they can never be the landing bin
-        cnt = F.when(F.col(_BIN).isNotNull(), F.col(COUNT_COL)).otherwise(
-            F.lit(0)
-        )
+        wcol = F.col(COUNT_COL) if weight is None else F.col(weight)
+        cnt = F.when(F.col(_BIN).isNotNull(), wcol).otherwise(F.lit(0))
         w = (
             Window.partitionBy(*self.group_cols)
             .orderBy(F.col(_BIN).asc_nulls_last())
@@ -253,7 +276,7 @@ class HistogramView(AggregateView):
         live = self.sink.read_state(
             version=cur["version"], columns=self._view_cols()
         ).filter(~F.col("deleted"))
-        shape = [*self._hist_groups(), COUNT_COL]
+        shape = [*self._hist_groups(), *self.add_cols]
         want = self._ivm_full(live).select(*shape)
         got = self.spark.read.parquet(cur["path"]).select(*shape)
         extra = got.exceptAll(want).count()

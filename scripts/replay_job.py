@@ -46,8 +46,9 @@ def _derived_views(spark, sink) -> list:
     REPLAY_SAMPLE_COL, default doc_id, and REPLAY_SAMPLE_K) adds a
     SampleView (deterministic bottom-k hash samples + KMV distinct
     estimates); REPLAY_HIST_GROUP[,col..] + REPLAY_HIST_COL +
-    REPLAY_HIST_EDGES=<comma floats> adds a HistogramView (exact-IVM
-    binned counts + quantile serving, no rescans ever);
+    REPLAY_HIST_EDGES=<comma floats> (+ optional REPLAY_HIST_SUM
+    column list) adds a HistogramView (exact-IVM binned counts and
+    per-bin sums + [weighted] quantile serving, no rescans ever);
     REPLAY_INDEX_COL=<array col> adds a
     TokenIndex;
     REPLAY_NEARDUP=1 adds changelog-driven near-dup detection
@@ -144,6 +145,11 @@ def _derived_views(spark, sink) -> list:
             HistogramView(
                 spark, sink, os.path.join(root, "_views", "histogram"),
                 hist_group.split(","), hist_col, edges,
+                sum_cols=[
+                    c
+                    for c in os.environ.get("REPLAY_HIST_SUM", "").split(",")
+                    if c
+                ],
             )
         )
     index_col = os.environ.get("REPLAY_INDEX_COL")

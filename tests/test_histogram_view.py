@@ -219,3 +219,59 @@ def test_log_edges(spark):
     assert e[1] == pytest.approx(10.0) and e[2] == pytest.approx(100.0)
     with pytest.raises(ValueError):
         log_edges(0.0, 10.0, 3)
+
+
+def test_histogram_weighted_sums_and_quantiles(spark, tmp_path):
+    """sum_cols ride the same invertible arithmetic (token MASS per
+    length bucket), survive churn exactly, and weight="..." walks the
+    quantiles by mass instead of rows — pinned against the python
+    twin fed the per-bin sums."""
+    sink = SnapshotSink(spark, str(tmp_path / "t"), n_buckets=4)
+    view = HistogramView(
+        spark, sink, str(tmp_path / "v"), ["grp"], "v", EDGES,
+        sum_cols=["w"],
+    )
+    rows = [
+        ("I", i, f"d{i}", "g0", float(v), float(v) * 10)
+        for i, v in enumerate(range(0, 60), start=1)
+    ]
+    sink.apply_batch(
+        spark.createDataFrame(
+            rows,
+            "op string, op_sequence long, doc_id string, grp string, "
+            "v double, w double",
+        ),
+        "b1",
+    )
+    view.refresh()
+    assert view.verify()["ok"]
+    got = {r["bin"]: (r["n_rows"], r["sum_w"]) for r in view.read().collect()}
+    # bin 1 = v in [0, 10): rows 0..9, mass 10*(0+..+9) = 450
+    assert got[1] == (10, 450.0)
+    # churn: move d5 (v=4) out of bin 1 and delete d12 (v=11, bin 2)
+    sink.apply_batch(
+        spark.createDataFrame(
+            [("U", 100, "d5", "g0", 77.0, 40.0),
+             ("D", 101, "d12", None, None, None)],
+            "op string, op_sequence long, doc_id string, grp string, "
+            "v double, w double",
+        ),
+        "b2",
+    )
+    r = view.refresh()
+    assert r["mode"] == "incremental" and "rescanned_groups" not in r
+    assert view.verify()["ok"]
+    got = {r["bin"]: (r["n_rows"], r["sum_w"]) for r in view.read().collect()}
+    assert got[1] == (9, 410.0)       # lost v=4's mass 40
+    # weighted median vs the python twin fed per-bin sums
+    q = view.quantiles([0.5], weight="w").collect()[0]
+    sums = [
+        (r["bin"], int(r["sum_w"])) for r in view.read().collect()
+        if r["sum_w"] is not None
+    ]
+    assert q["p50"] == pytest.approx(histogram_quantile_py(sums, EDGES, 0.5))
+    # weighted median sits above the unweighted one (mass grows with v)
+    uq = view.quantiles([0.5]).collect()[0]
+    assert q["p50"] > uq["p50"]
+    with pytest.raises(ValueError, match="not a maintained sum"):
+        view.quantiles([0.5], weight="nope")

@@ -66,6 +66,7 @@ def test_replay_job_env_wiring(spark, smoke_log, tmp_path, monkeypatch, mode):
     monkeypatch.setenv("REPLAY_HIST_GROUP", "source")
     monkeypatch.setenv("REPLAY_HIST_COL", "n_tok")
     monkeypatch.setenv("REPLAY_HIST_EDGES", "0,8,16,32,64")
+    monkeypatch.setenv("REPLAY_HIST_SUM", "n_tok")
     monkeypatch.setenv("REPLAY_INDEX_COL", "tokens")
     monkeypatch.setenv("REPLAY_SHARDS", "4")
     # enrich view: a dim table keyed by the log's source values
@@ -107,7 +108,8 @@ def test_replay_job_env_wiring(spark, smoke_log, tmp_path, monkeypatch, mode):
     from beehive_data_etl_spark.sinks.histogram import HistogramView
 
     hg = HistogramView(spark, sink, os.path.join(target, "_views", "histogram"),
-                       ["source"], "n_tok", [0.0, 8.0, 16.0, 32.0, 64.0])
+                       ["source"], "n_tok", [0.0, 8.0, 16.0, 32.0, 64.0],
+                       sum_cols=["n_tok"])
     ix = TokenIndex(spark, sink, os.path.join(target, "_views", "token_index"))
     exp = ShardExport(spark, sink, os.path.join(target, "_views", "shards"), k=4)
     v = sink.current_snapshot()["version"]
