@@ -431,7 +431,7 @@ class IncrementalNearDup:
             tombstones = (
                 last.filter(F.col("deleted"))
                 .select("id", "op_sequence")
-                .crossJoin(band_ids)
+                .crossJoin(F.broadcast(band_ids))
                 .select(
                     "id",
                     "band",

@@ -403,7 +403,7 @@ def bm25_rank(
                 for i in range(len(query_terms))
             ],
         )
-        .crossJoin(n_docs)
+        .crossJoin(F.broadcast(n_docs))
     )
     scored = per_doc.crossJoin(F.broadcast(stats))
     score = None

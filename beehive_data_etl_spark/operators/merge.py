@@ -156,9 +156,36 @@ def merge_into(
         # fast path below unless the SET expressions reference it; a
         # wrong "unchanged" verdict would silently drop a real change
         raise ValueError("skip_unchanged is a row-table option (patch updates are masked)")
-    src = source.localCheckpoint()
-    _refuse_malformed_keys(src)
-    n_src = src.count()
+    # lazy checkpoint + ONE bounded aggregation job replace the former
+    # three jobs per call (eager checkpoint, full malformed-key audit,
+    # count) — VERDICT r03 item 7: callers streaming many small merge
+    # batches paid all three per batch. The distinct-key groups up to
+    # lookup_cap+1 give, in a single collect: the emptiness check, the
+    # malformed-key audit (complete whenever the limit did not
+    # truncate), the exact size, and the lookup keys themselves.
+    src = source.localCheckpoint(eager=False)
+    key_rows = (
+        src.groupBy(KEY)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .limit(lookup_cap + 1)
+        .collect()
+    )
+    src_keys: list | None = None
+    if len(key_rows) <= lookup_cap:
+        bad = [(r[0], r.n) for r in key_rows if r[0] is None or r.n > 1][:5]
+        if bad:
+            raise ValueError(
+                "dump is not keyed by a unique non-null "
+                f"{KEY}: offending keys {bad} — "
+                "de-duplicate or fix the fetcher before diffing"
+            )
+        src_keys = [r[0] for r in key_rows]
+        n_src = len(key_rows)
+    else:
+        # big source: full audit as its own job (amortized over the
+        # batch size); the exact count is not needed — only "> cap"
+        _refuse_malformed_keys(src)
+        n_src = lookup_cap + 1
     if n_src == 0 and not when_not_matched_by_source_delete:
         return {
             "inserted": 0,
@@ -195,8 +222,7 @@ def merge_into(
             .select(KEY, *table_payload)
         )
     elif n_src <= lookup_cap:
-        keys = [r[0] for r in src.select(KEY).collect()]
-        t_df = sink.lookup(keys)
+        t_df = sink.lookup(src_keys)
     else:
         t_df = (
             sink.read_state()

@@ -51,12 +51,18 @@ _NUMERIC = (
 def bin_expr(value: Column, edges: list[float]) -> Column:
     """Bin index for a value under sorted ``edges``: 0 for
     v < edges[0] (underflow), i+1 for edges[i] <= v < edges[i+1],
-    len(edges) for v >= edges[-1] (overflow), NULL for NULL — i.e.
-    the count of edges <= v, as a pure JVM expression."""
+    len(edges) for v >= edges[-1] (overflow), NULL for NULL **and for
+    float NaN** — i.e. the count of edges <= v, as a pure JVM
+    expression. NaN goes to the NULL bin explicitly (ADVICE r03):
+    Spark orders NaN above every double, so without the guard NaN mass
+    would land in the overflow bin, indistinguishable from genuine
+    out-of-range values in counts and quantile walks; the NULL bin is
+    where "no usable value" rows already live."""
     e = F.array(*[F.lit(float(x)) for x in edges])
+    v = value.cast("double")
     return F.when(
-        value.isNotNull(),
-        F.size(F.filter(e, lambda x: x <= value.cast("double"))),
+        v.isNotNull() & ~F.isnan(v),
+        F.size(F.filter(e, lambda x: x <= v)),
     ).cast("int")
 
 
@@ -206,6 +212,27 @@ class HistogramView(AggregateView):
             raise ValueError("view never refreshed")
         self._check_edges(cur)
         df = self.spark.read.parquet(cur["path"])
+        if weight is not None:
+            # enforce the documented non-negativity contract (ADVICE
+            # r03): a negative per-bin weight makes the cumulative walk
+            # non-monotonic and the F.min over landing bins can pick a
+            # bogus bin — fail loudly instead of estimating silently
+            # wrong. One bounded job over the view's own tiny
+            # O(groups × bins) parquet, weighted path only.
+            neg = (
+                df.filter(F.col(weight) < 0)
+                .select(*self.group_cols, _BIN, weight)
+                .limit(3)
+                .collect()
+            )
+            if neg:
+                raise ValueError(
+                    f"weighted quantiles need non-negative per-bin "
+                    f"weights; {weight!r} is negative at e.g. "
+                    f"{[tuple(r) for r in neg]} — the summed column "
+                    "carries negative values, so a mass-weighted walk "
+                    "over it is undefined"
+                )
         # NULL-bin rows ride along with zero weight so all-NULL groups
         # survive the groupBy; they can never be the landing bin
         wcol = F.col(COUNT_COL) if weight is None else F.col(weight)

@@ -275,3 +275,51 @@ def test_histogram_weighted_sums_and_quantiles(spark, tmp_path):
     assert q["p50"] > uq["p50"]
     with pytest.raises(ValueError, match="not a maintained sum"):
         view.quantiles([0.5], weight="nope")
+
+
+def test_histogram_nan_goes_to_null_bin(spark, pair):
+    """ADVICE r03: float NaN must land in the NULL bin, not the
+    overflow bin — Spark orders NaN above every double, so without
+    the explicit guard NaN mass masquerades as genuine out-of-range
+    values in counts and quantile walks."""
+    sink, view = pair
+    _apply(spark, sink, "b1", [
+        ("I", 1, "a1", "g0", 5.0),              # bin 1
+        ("I", 2, "a2", "g0", 250.0),            # bin 5 overflow (real)
+        ("I", 3, "a3", "g0", float("nan")),     # NULL bin, NOT overflow
+        ("I", 4, "a4", "g0", None),             # NULL bin
+    ])
+    view.refresh()
+    assert view.verify()["ok"]
+    h = _hist(view, "g0")
+    assert h[5][2] == 1, h      # overflow holds ONLY the real 250.0
+    assert h[None][2] == 2, h   # NaN keeps NULL company
+    # and the quantile walk never lands on NaN mass: p100 interpolates
+    # within real bins (overflow clamps to the last finite edge)
+    q = view.quantiles([1.0]).collect()[0]
+    assert q["p100"] == 100.0
+
+
+def test_histogram_weighted_quantiles_refuse_negative_weights(spark, tmp_path):
+    """ADVICE r03: quantiles(weight=...) documents non-negative
+    weights; a negative per-bin sum must be refused loudly, not walked
+    into a silently wrong estimate."""
+    sink = SnapshotSink(spark, str(tmp_path / "t"), n_buckets=4)
+    view = HistogramView(
+        spark, sink, str(tmp_path / "v"), ["grp"], "v", EDGES,
+        sum_cols=["w"],
+    )
+    sink.apply_batch(
+        spark.createDataFrame(
+            [("I", 1, "d1", "g0", 5.0, 10.0),
+             ("I", 2, "d2", "g0", 15.0, -4.0)],
+            "op string, op_sequence long, doc_id string, grp string, "
+            "v double, w double",
+        ),
+        "b1",
+    )
+    view.refresh()
+    with pytest.raises(ValueError, match="non-negative"):
+        view.quantiles([0.5], weight="w")
+    # unweighted quantiles stay available on the same view
+    assert view.quantiles([0.5]).collect()[0]["p50"] is not None

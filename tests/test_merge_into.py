@@ -321,3 +321,46 @@ def test_merge_into_sql_twin():
             when_matched_delete=True,
             when_matched_update={"n_tok": "s.n_tok"},
         )
+
+
+def test_merge_small_batch_job_budget(sink, spark):
+    """VERDICT r03 item 7: the per-call source preparation is ONE
+    bounded aggregation job (lazy checkpoint + distinct-key groups up
+    to lookup_cap+1 giving emptiness + malformed-key audit + size +
+    lookup keys together), not the former three (eager checkpoint,
+    full audit, count). Measured at the fold: 17 jobs -> 13 for a
+    small matched+insert merge; the bound leaves slack for AQE stage
+    materialization jitter but fails if a per-batch job creeps back."""
+    src = spark.createDataFrame(
+        [("d1", 111), ("d999", 999)], "doc_id string, n_tok int"
+    )
+    sc = spark.sparkContext
+    sc.setJobGroup("merge-budget", "probe")
+    try:
+        merge_into(
+            sink,
+            src,
+            when_matched_update={"n_tok": "s.n_tok"},
+            when_not_matched_insert=True,
+        )
+    finally:
+        sc.setJobGroup(None, None)
+    n_jobs = len(sc.statusTracker().getJobIdsForGroup("merge-budget"))
+    assert n_jobs <= 15, f"small merge_into launched {n_jobs} jobs"
+
+
+def test_merge_malformed_keys_refused_on_folded_path(sink, spark):
+    """The folded single-job audit must still refuse duplicate and
+    NULL keys exactly like the full audit (same error shape)."""
+    import pytest
+
+    dup = spark.createDataFrame(
+        [("d1", 1), ("d1", 2)], "doc_id string, n_tok int"
+    )
+    with pytest.raises(ValueError, match="unique non-null"):
+        merge_into(sink, dup, when_not_matched_insert=True)
+    nul = spark.createDataFrame(
+        [(None, 1)], "doc_id string, n_tok int"
+    )
+    with pytest.raises(ValueError, match="unique non-null"):
+        merge_into(sink, nul, when_not_matched_insert=True)

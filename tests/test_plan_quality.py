@@ -299,3 +299,39 @@ def test_bottom_k_sample_single_shuffle(spark):
     plan = plan_of(_bottom_k(df, ["grp"], "doc_id", 4))
     n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
     assert n_exchanges == 1, f"bottom-k build grew extra shuffles:\n{plan}"
+
+
+def test_bm25_stats_joins_are_broadcast(spark):
+    """VERDICT r03 item 6: the 1-row aggregate crossJoins inside
+    bm25_rank must be broadcast-hinted (never a shuffle or a
+    non-broadcast nested loop against the corpus side) — without the
+    hint the plan depends on AQE runtime stats to avoid a
+    CartesianProduct."""
+    from beehive_data_etl_spark.functions.text import bm25_rank
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = plan_of(bm25_rank(docs, ["dup", "merge", "vector"]))
+    assert "CartesianProduct" not in plan, plan
+    # both stats attachments (n_docs into stats, stats onto per_doc)
+    # are broadcast nested loops
+    assert plan.count("BroadcastNestedLoopJoin") >= 2, plan
+
+
+def test_neardup_tombstone_band_expansion_is_broadcast(spark):
+    """VERDICT r03 item 6 (audit follow-up): SignatureStore's delete
+    path crossJoins deleted keys with the tiny band-id range — the
+    range side must carry an explicit broadcast hint (source pin) and
+    that shape must plan as a broadcast nested loop, never a shuffle
+    of the deleted-keys side (plan pin on the identical shape)."""
+    import inspect
+
+    import beehive_data_etl_spark.functions.incremental_dedup as mod
+
+    assert "crossJoin(F.broadcast(band_ids))" in inspect.getsource(mod)
+    deleted = spark.createDataFrame(
+        [("d1", 1), ("d2", 2)], "id string, op_sequence long"
+    )
+    band_ids = spark.range(8).select(F.col("id").cast("int").alias("band"))
+    plan = plan_of(deleted.crossJoin(F.broadcast(band_ids)))
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
