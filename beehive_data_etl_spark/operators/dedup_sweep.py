@@ -90,7 +90,17 @@ def verified_pairs(
         F.col(KEY).alias("_k"),
         token_shingles("tokens", shingle_n).alias("_sh"),
     )
-    verified = (
+    return _verified_edges(edges, live, threshold)
+
+
+def _verified_edges(
+    edges: DataFrame, live: DataFrame, threshold: float
+) -> DataFrame:
+    """Canonical edges ``(a, b)`` × live shingle projection
+    ``(_k, _sh)`` → exact-Jaccard-verified ``(id_a, id_b, jaccard)``.
+    Shared by the sink sweep (token shingles on live state) and the
+    batch formulation ``sweep_decisions`` (any shingle lift)."""
+    return (
         edges.join(live.select(F.col("_k"), F.col("_sh").alias("_sh_a")),
                    edges["a"] == F.col("_k"))
         .drop("_k")
@@ -109,7 +119,56 @@ def verified_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select(F.col("a").alias("id_a"), F.col("b").alias("id_b"), "jaccard")
     )
-    return verified
+
+
+def sweep_decisions(
+    docs: DataFrame,
+    pairs: DataFrame,
+    shingles,
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """The sweep's decision pipeline as a pure batch query — verify
+    candidate pairs by exact shingle Jaccard on current content,
+    cluster the verified edges, keep the minimum-id winner per
+    cluster — over a plain DataFrame instead of a live sink. Returns
+    one row per doc: ``(id_col, cluster_id, action)`` with action
+    'K' (keep: winner or never-duplicated) / 'D' (tombstone: loser).
+
+    ``shingles`` is the shingle-lift Column (``token_shingles`` for
+    tokenized payloads, ``word_shingles`` for text corpora) evaluated
+    against ``docs``. Same scale shape as the sink sweep: edge count
+    bounded by real duplication, verification joins carry pair-sized
+    sets against a two-column projection, components run over the
+    duplicate subgraph only."""
+    edges = (
+        pairs.select(
+            F.least(F.col(id_a), F.col(id_b)).alias("a"),
+            F.greatest(F.col(id_a), F.col(id_b)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    live = docs.select(F.col(id_col).alias("_k"), shingles.alias("_sh"))
+    verified = _verified_edges(edges, live, threshold)
+    members = connected_components(
+        verified, src="id_a", dst="id_b", max_iter=max_iter
+    )
+    return docs.join(
+        members, docs[id_col] == members["node"], "left"
+    ).select(
+        docs[id_col],
+        F.coalesce("comp", docs[id_col]).alias("cluster_id"),
+        F.when(
+            F.col("comp").isNotNull() & (F.col("node") != F.col("comp")),
+            F.lit("D"),
+        )
+        .otherwise(F.lit("K"))
+        .alias("action"),
+    )
 
 
 def dedup_sweep(
