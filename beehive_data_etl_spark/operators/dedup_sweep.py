@@ -78,7 +78,20 @@ def verified_pairs(
     token arrays) are byte-trivially identical and count as 1.0."""
     if not 0.0 < threshold <= 1.0:
         raise ValueError("threshold must be in (0, 1]")
-    edges = (
+    edges = _canonical_edges(pairs, id_a, id_b)
+    live = sink.read_final(columns=[KEY, "tokens"]).select(
+        F.col(KEY).alias("_k"),
+        token_shingles("tokens", shingle_n).alias("_sh"),
+    )
+    return _verified_edges(edges, live, threshold)
+
+
+def _canonical_edges(pairs: DataFrame, id_a: str, id_b: str) -> DataFrame:
+    """Undirected pair canonicalization shared by both sweep entry
+    points: (min, max) ordering, self-edges dropped, distinct. A pair
+    with a NULL endpoint degenerates to a self-edge (least/greatest
+    skip NULLs) and is dropped — a NULL id can't anchor a cluster."""
+    return (
         pairs.select(
             F.least(F.col(id_a), F.col(id_b)).alias("a"),
             F.greatest(F.col(id_a), F.col(id_b)).alias("b"),
@@ -86,11 +99,6 @@ def verified_pairs(
         .filter(F.col("a") != F.col("b"))
         .distinct()
     )
-    live = sink.read_final(columns=[KEY, "tokens"]).select(
-        F.col(KEY).alias("_k"),
-        token_shingles("tokens", shingle_n).alias("_sh"),
-    )
-    return _verified_edges(edges, live, threshold)
 
 
 def _verified_edges(
@@ -144,14 +152,11 @@ def sweep_decisions(
     bounded by real duplication, verification joins carry pair-sized
     sets against a two-column projection, components run over the
     duplicate subgraph only."""
-    edges = (
-        pairs.select(
-            F.least(F.col(id_a), F.col(id_b)).alias("a"),
-            F.greatest(F.col(id_a), F.col(id_b)).alias("b"),
-        )
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
-    )
+    if not 0.0 < threshold <= 1.0:
+        # same guard as the sink sweep: threshold<=0 silently disables
+        # verification and clusters every LSH false positive
+        raise ValueError("threshold must be in (0, 1]")
+    edges = _canonical_edges(pairs, id_a, id_b)
     live = docs.select(F.col(id_col).alias("_k"), shingles.alias("_sh"))
     verified = _verified_edges(edges, live, threshold)
     members = connected_components(

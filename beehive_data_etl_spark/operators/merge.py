@@ -64,7 +64,11 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..sinks.snapshot import _INTERNAL, CELL, KEY, SEQ
-from .refetch import _refuse_malformed_keys, next_op_sequence
+from .refetch import (
+    _malformed_key_error,
+    _refuse_malformed_keys,
+    next_op_sequence,
+)
 
 # columns no clause may SET/INSERT: the envelope + internals
 _PROTECTED = {KEY, SEQ, "op", "deleted", CELL, "patch_cols", "_bucket"}
@@ -174,11 +178,7 @@ def merge_into(
     if len(key_rows) <= lookup_cap:
         bad = [(r[0], r.n) for r in key_rows if r[0] is None or r.n > 1][:5]
         if bad:
-            raise ValueError(
-                "dump is not keyed by a unique non-null "
-                f"{KEY}: offending keys {bad} — "
-                "de-duplicate or fix the fetcher before diffing"
-            )
+            raise _malformed_key_error(bad)
         src_keys = [r[0] for r in key_rows]
         n_src = len(key_rows)
     else:
@@ -403,6 +403,16 @@ def merge_into_sql(
             "the update could never fire (DELETE is rendered first) — give "
             "delete_condition or drop one clause"
         )
+    # same protected-column refusals as the DataFrame twin (review
+    # r04): without them the renderer happily emits `SET t.doc_id = …`
+    # or a duplicate doc_id INSERT column — SQL the engine path
+    # rejects loudly, so the twins diverged on exactly the error cases
+    if when_matched_update:
+        _check_set_cols(when_matched_update, "when_matched_update")
+    if isinstance(when_not_matched_insert, dict):
+        if not when_not_matched_insert:
+            raise ValueError("when_not_matched_insert dict is empty")
+        _check_set_cols(when_not_matched_insert, "when_not_matched_insert")
     clauses = []
     if when_matched_delete:
         cond = f" AND ({delete_condition})" if delete_condition else ""

@@ -81,11 +81,17 @@ def _refuse_malformed_keys(dump: DataFrame) -> None:
         .collect()
     )
     if bad:
-        raise ValueError(
-            "dump is not keyed by a unique non-null "
-            f"{KEY}: offending keys {[(r[0], r.n) for r in bad]} — "
-            "de-duplicate or fix the fetcher before diffing"
-        )
+        raise _malformed_key_error([(r[0], r.n) for r in bad])
+
+
+def _malformed_key_error(bad: list[tuple]) -> ValueError:
+    """One formatter for the malformed-key refusal — shared with
+    merge_into's folded fast path so the two can't drift."""
+    return ValueError(
+        "dump is not keyed by a unique non-null "
+        f"{KEY}: offending keys {bad} — "
+        "de-duplicate or fix the fetcher before diffing"
+    )
 
 
 def dump_to_events(

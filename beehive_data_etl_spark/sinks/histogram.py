@@ -106,9 +106,17 @@ class HistogramView(AggregateView):
     def _hist_groups(self) -> list[str]:
         return [*self.group_cols, _BIN]
 
+    # the binning-semantics generation this code bins under: "null"
+    # since round 4 (float NaN → NULL bin); state refreshed by older
+    # code binned NaN into overflow, and mixing the two corrupts
+    # counts invisibly (a NaN row deleted post-upgrade would decrement
+    # the NULL bin while its +1 sits in overflow forever) — so the
+    # generation is pinned exactly like the edges
+    _NAN_BIN = "null"
+
     # ------------------------------------------------ refresh (via template)
     def _ptr_extra(self) -> dict:
-        return {"edges": self.edges}
+        return {"edges": self.edges, "nan_bin": self._NAN_BIN}
 
     def _pre_refresh_check(self, snap: dict, cur: dict | None) -> None:
         types = {
@@ -126,6 +134,15 @@ class HistogramView(AggregateView):
                 "view was built with different bin edges: counts binned "
                 "under two edge sets must never mix — delete the view "
                 "directory and refresh again"
+            )
+        if cur is not None and cur.get("nan_bin") != self._NAN_BIN:
+            # review r04: state binned under pre-round-4 semantics
+            # (NaN → overflow) must not merge with deltas binned under
+            # the current NaN → NULL rule
+            raise ValueError(
+                "view state predates the NaN-to-NULL-bin semantics: "
+                "counts binned under two NaN placements must never mix "
+                "— delete the view directory and refresh again"
             )
 
     def _ivm_full(self, df):
@@ -182,6 +199,11 @@ class HistogramView(AggregateView):
             raise ValueError(
                 "view stores different bin edges than this handle: use a "
                 "handle constructed with the stored edges"
+            )
+        if cur.get("nan_bin") != self._NAN_BIN:
+            raise ValueError(
+                "view state predates the NaN-to-NULL-bin semantics — "
+                "delete the view directory and refresh again"
             )
 
     def quantiles(self, qs: list[float], weight: str | None = None) -> DataFrame:
@@ -335,20 +357,30 @@ def log_edges(lo: float, hi: float, n: int) -> list[float]:
 
 def histogram_quantile_py(
     counts: list[tuple[int, int]], edges: list[float], q: float
-) -> float:
+) -> float | None:
     """Driver-side twin of ``quantiles`` for one group — used by
-    tests to cross-check the Spark arithmetic independently."""
+    tests to cross-check the Spark arithmetic independently.
+
+    Mirrors the Spark walk's degenerate cases exactly (review r04):
+    no bins / all-NULL bins / zero total mass → ``None``, matching
+    the NULL estimate quantiles() emits when no landing bin exists
+    (``_total > 0`` fails); previously this twin returned
+    ``edges[-1]`` there and could pin a wrong oracle value."""
     counts = sorted((b, n) for b, n in counts if b is not None)
     total = sum(n for _, n in counts)
+    if total <= 0:
+        return None
     target = q * total
+    best = None
     cum = 0
     for b, n in counts:
-        if cum + n >= target:
+        cum += n
+        if cum >= target:
             lo = edges[max(b, 1) - 1]
             hi = edges[min(b + 1, len(edges)) - 1]
-            frac = (target - cum) / n if n else 0.0
-            return lo + max(0.0, min(1.0, frac)) * (hi - lo)
-        cum += n
-    return edges[-1]
+            frac = (target - (cum - n)) / n if n else 0.0
+            est = lo + max(0.0, min(1.0, frac)) * (hi - lo)
+            best = est if best is None else min(best, est)
+    return best
 
 

@@ -716,7 +716,13 @@ class BeehiveChangesBatchReader(DataSourceReader):
 class BeehiveChangesStreamReader(DataSourceStreamReader):
     def __init__(self, schema, options):
         self.root = options["path"]
-        self.start = int(options.get("startingVersion", "0"))
+        # resolve_ref, not int(): the batch reader's fromVersion
+        # accepts tags/timestamps through the same resolver, and the
+        # two entry points must not diverge (review r04 — a tag here
+        # crashed with a bare int() ValueError)
+        self.start = tm.resolve_ref(
+            self.root, options.get("startingVersion", "0")
+        )
         self.max_versions = int(options.get("maxVersionsPerBatch", "0"))
         self.pin = options.get("pin")
         self.target = _to_arrow_schema(schema)
@@ -812,10 +818,16 @@ class BeehiveChangesStreamReader(DataSourceStreamReader):
 class BucketFilesMessage(WriterCommitMessage):
     """One task's staged output: [(bucket, file basename, rows)] plus
     the task's write-contract violation counts (None when the table
-    records no contract)."""
+    records no contract) and the contract SPEC those counts were
+    computed under — the commit side refuses counts from a different
+    spec (review r04: a stream's write tasks keep their query-start
+    pickle, so a contract whose PARAMETERS changed mid-stream would
+    otherwise be enforced against counts computed under the old
+    parameters and violations sail through silently)."""
 
     files: list
     audit_counts: dict | None = None
+    audit_spec: dict | None = None
 
 
 def _arrow_audit_counts(out: pa.Table, max_n_tok: int) -> dict:
@@ -1094,7 +1106,13 @@ class BeehiveBatchWriter(DataSourceArrowWriter):
         for b, (w, name, rows) in sorted(writers.items()):
             w.close()
             files.append((b, name, rows))
-        return BucketFilesMessage(files=files, audit_counts=audit_counts)
+        return BucketFilesMessage(
+            files=files,
+            audit_counts=audit_counts,
+            audit_spec=(
+                self.audit_cfg["standard"] if audit_counts is not None else None
+            ),
+        )
 
     # ---- driver-side worker (no JVM): the shared commit protocol
     def commit(self, messages):
@@ -1128,6 +1146,8 @@ class BeehiveBatchWriter(DataSourceArrowWriter):
         total = 0
         folded_counts: dict[str, int] = {}
         missing_counts = False
+        stale_spec = False
+        want_spec = (self.audit_cfg or {}).get("standard")
         for m in messages:
             if m is None:
                 continue
@@ -1137,20 +1157,38 @@ class BeehiveBatchWriter(DataSourceArrowWriter):
             counts = getattr(m, "audit_counts", None)
             if counts is None and m.files:
                 missing_counts = True
+            elif (
+                m.files
+                and want_spec is not None
+                and getattr(m, "audit_spec", None) != want_spec
+            ):
+                # counts exist but were computed under a DIFFERENT
+                # contract spec (parameters changed mid-stream): a
+                # live_bad_n_tok counted under max_n_tok=1M says
+                # nothing about a tightened max_n_tok=1000
+                stale_spec = True
             for k, v in (counts or {}).items():
                 folded_counts[k] = folded_counts.get(k, 0) + v
-        if self.audit_cfg and self.audit_cfg.get("standard"):
-            if missing_counts:
+        if want_spec:
+            if missing_counts or stale_spec:
                 # stream writers are re-instantiated per side: a
-                # commit-side instance that sees the contract while
-                # write tasks still ran a pre-contract pickle would
-                # otherwise enforce thresholds on EMPTY counts
+                # commit-side instance that sees the (current)
+                # contract while write tasks still ran a query-start
+                # pickle would otherwise enforce thresholds on EMPTY
+                # counts — or on counts computed under the contract's
+                # OLD parameters (review r04)
                 shutil.rmtree(self.staging, ignore_errors=True)
                 raise RuntimeError(
-                    "write tasks staged data without contract "
-                    "violation counts (the table contract landed "
+                    "write tasks staged data "
+                    + (
+                        "without contract violation counts"
+                        if missing_counts
+                        else "with counts computed under a different "
+                        "contract spec"
+                    )
+                    + " (the table contract landed or changed "
                     "mid-write) — re-run the write/stream so the "
-                    "contract is enforced"
+                    "current contract is enforced"
                 )
             # the table's write contract, enforced on the WINNING
             # attempts' counts before anything publishes. Stricter

@@ -612,3 +612,36 @@ def test_matching_row_groups_prunes_and_keeps_statless():
     pq.write_table(t, nostats, row_group_size=10, write_statistics=False)
     pf2 = pq.ParquetFile(nostats)
     assert _matching_row_groups(pf2, ["k0055"]) == list(range(10))
+
+
+def test_changes_stream_reader_resolves_tag_start(spark, tmp_path):
+    """Review r04: startingVersion goes through resolve_ref like the
+    batch reader's fromVersion — a TAG works, numeric strings keep
+    working, and an unknown tag fails with the guided tag error, not a
+    bare int() ValueError."""
+    from beehive_data_etl_spark.sources.spark_datasource import (
+        BeehiveChangesStreamReader,
+    )
+
+    root = str(tmp_path / "t")
+    sink = SnapshotSink(spark, root, n_buckets=2)
+    sink.apply_batch(
+        spark.createDataFrame(
+            [("I", 1, "d1", [1], 1, "s")],
+            "op string, op_sequence long, doc_id string, "
+            "tokens array<int>, n_tok int, source string",
+        ),
+        "b1",
+    )
+    sink.tag("start-here", sink.current_snapshot()["version"])
+    schema = T.StructType([T.StructField("doc_id", T.StringType())])
+    r = BeehiveChangesStreamReader(
+        schema, {"path": root, "startingVersion": "start-here"}
+    )
+    assert r.start == sink.current_snapshot()["version"]
+    r2 = BeehiveChangesStreamReader(schema, {"path": root})
+    assert r2.start == 0
+    with pytest.raises(KeyError, match="no tag"):
+        BeehiveChangesStreamReader(
+            schema, {"path": root, "startingVersion": "nope"}
+        )

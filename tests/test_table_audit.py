@@ -285,3 +285,56 @@ def test_set_table_audit_refusals(spark, tmp_path):
         t2.set_table_audit(max_rows=-1)
     with pytest.raises(ValueError, match="max_n_tok"):
         t2.set_table_audit(max_n_tok=0)
+
+
+def test_ds_contract_params_change_between_plan_and_commit(ds_spark, tmp_path):
+    """Review r04 (stream-writer shape): write tasks that counted
+    violations under contract spec A must not have those counts
+    enforced by a commit-side instance holding spec B — the counts
+    say nothing about the changed parameters. The commit refuses with
+    the stale-spec message instead of publishing silently (the locked
+    audit-change guard alone is vacuous here because the FRESH
+    commit-side instance plans under B, matching the head)."""
+    import pyarrow as pa
+
+    root = str(tmp_path / "t")
+    s = SnapshotSink(ds_spark, root, n_buckets=4)
+    s.apply_batch(_batch(ds_spark, GOOD), "b1")
+    s.set_table_audit(max_n_tok=1_000_000)  # spec A
+    w1 = BeehiveBatchWriter(
+        root, _batch(ds_spark, GOOD).schema,
+        {"path": root, "batchId": "unit2"}, False,
+    )
+    sch = pa.schema(
+        [
+            ("op", pa.string()),
+            ("op_sequence", pa.int64()),
+            ("doc_id", pa.string()),
+            ("tokens", pa.list_(pa.int32())),
+            ("n_tok", pa.int32()),
+            ("source", pa.string()),
+        ]
+    )
+    # n_tok=5000 is clean under A (max 1M) but violates B (max 1000)
+    cols = list(zip(*[("U", 300, "d-0", list(range(5000)), 5000, "s")]))
+    msg = w1.write(
+        iter(
+            [
+                pa.RecordBatch.from_arrays(
+                    [pa.array(c, t.type) for c, t in zip(cols, sch)],
+                    schema=sch,
+                )
+            ]
+        )
+    )
+    assert msg.audit_counts is not None and msg.audit_spec is not None
+    s.set_table_audit(max_n_tok=1000)  # tightened to spec B mid-flight
+    # commit-side re-instantiation (what Spark does for stream writers)
+    w2 = BeehiveBatchWriter(
+        root, _batch(ds_spark, GOOD).schema,
+        {"path": root, "batchId": "unit2"}, False,
+    )
+    w2.staging = w1.staging
+    with pytest.raises(RuntimeError, match="different contract spec"):
+        w2.commit([msg])
+    assert "unit2" not in s.current_snapshot()["committed_batches"]
