@@ -73,6 +73,8 @@ HEADLINE = [
     # round-3 session-8 retrieval/quality operators
     "q_bm25",
     "q_entropy",
+    # round-4: sweep decision pipeline (verify -> cluster -> winner)
+    "q_dedup_sweep",
 ]
 
 
