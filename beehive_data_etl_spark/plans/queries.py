@@ -1237,14 +1237,18 @@ def q_dedup_cluster(spark, sf):
 
 # --------------------------------------------------------------- dedup sweep
 def _sweep_oracle(
-    threshold: float = 0.8, k: int = 16, bands: int = 16, shingle_n: int = 3
+    threshold: float = 0.8, k: int = 16, bands: int = 8, shingle_n: int = 3
 ) -> str:
     # the full sweep decision pipeline in SQL: the SAME banded-
-    # signature candidate CTEs (bands=16 → rows_per_band=1, the loose
-    # banding that makes verification non-vacuous: 1444 candidates at
-    # sf0.01, 25 survive the exact-Jaccard check), exact word-shingle
-    # Jaccard re-verification on current content, transitive closure
-    # over the VERIFIED edges only, min-id winner per cluster
+    # signature candidate CTEs (bands=8 → rows_per_band=2: loose
+    # enough that verification is non-vacuous at EVERY scale — 38→28
+    # candidates→verified at sf0.001, 29→25 at sf0.01, 1060→256 at
+    # sf0.1 — but with 2-hash band buckets, so bucket collisions stay
+    # bounded; the rows_per_band=1 variant looked fine at sf0.01 and
+    # exploded to 138k candidates at sf0.1, exactly the superlinear
+    # blowup a 100 TB corpus cannot pay), exact word-shingle Jaccard
+    # re-verification on current content, transitive closure over the
+    # VERIFIED edges only, min-id winner per cluster
     from beehive_data_etl_spark.functions.dedup import word_shingles_sql
 
     ctes, pair_select = _minhash_ctes(k, bands, shingle_n)
@@ -1287,13 +1291,14 @@ def _sweep_oracle(
 def q_dedup_sweep(spark, sf):
     """The corpus dedup sweep's decision pipeline
     (operators/dedup_sweep.py sweep_decisions) as a driver row:
-    LSH candidates are CANDIDATES — a deliberately loose banding
-    (rows_per_band=1) floods in ~1.4k false pairs at sf0.01 and the
-    exact-Jaccard re-verification on current content keeps 25 — then
-    connected components over verified edges only, min-id winner,
-    losers marked 'D'. The live-sink path (tombstones through the
-    exactly-once protocol) is exercised by tests/test_dedup_sweep.py;
-    this row pins the decision semantics against the SQL oracle."""
+    LSH candidates are CANDIDATES — the 2-hash-band banding admits
+    false pairs at every scale (29 candidates at sf0.01, 1060 at
+    sf0.1) and the exact-Jaccard re-verification on current content
+    keeps the real duplicates (25 / 256) — then connected components
+    over verified edges only, min-id winner, losers marked 'D'. The
+    live-sink path (tombstones through the exactly-once protocol) is
+    exercised by tests/test_dedup_sweep.py; this row pins the
+    decision semantics against the SQL oracle."""
     from beehive_data_etl_spark.functions.dedup import (
         minhash_lsh_pairs,
         word_shingles,
@@ -1301,7 +1306,7 @@ def q_dedup_sweep(spark, sf):
     from beehive_data_etl_spark.operators.dedup_sweep import sweep_decisions
 
     docs = t(spark, sf, "documents")
-    pairs = minhash_lsh_pairs(docs, k=16, bands=16)
+    pairs = minhash_lsh_pairs(docs, k=16, bands=8)
     return sweep_decisions(
         docs, pairs, word_shingles("text", 3), threshold=0.8
     )
