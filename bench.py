@@ -874,6 +874,9 @@ def _submit_smoke() -> dict | None:
         ),
         REPLAY_N_BUCKETS="64",
         REPLAY_SALT="0",
+        # lineage off, matching the in-process workers the rate is
+        # compared against (production deployments keep it on)
+        REPLAY_LINEAGE="0",
         SHUFFLE_PARTITIONS=str(8 * CPUS),
         SUBMIT_EXTRA_CONF=(
             f"spark.local.dir={os.path.join(sink_root, 'spark-local-smoke')}"

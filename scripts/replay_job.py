@@ -418,6 +418,11 @@ def main() -> None:
             salt_partials=int(os.environ.get("REPLAY_SALT", "8")),
             audit=audit,
             patch=patch,
+            # REPLAY_LINEAGE=0 disables per-batch lineage metrics —
+            # the bench smoke sets it so the deployment rate is
+            # apples-to-apples with the in-process workers (which
+            # measure lineage=False); production default stays on
+            lineage=os.environ.get("REPLAY_LINEAGE", "1") == "1",
             # REPLAY_TARGET_FILE_ROWS caps rows per data file (0 = no
             # cap): operator-sized files + per-file stats pruning
             target_file_rows=(
