@@ -64,11 +64,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..sinks.snapshot import _INTERNAL, CELL, KEY, SEQ
-from .refetch import (
-    _malformed_key_error,
-    _refuse_malformed_keys,
-    next_op_sequence,
-)
+from .refetch import _malformed_key_error, next_op_sequence
 
 # columns no clause may SET/INSERT: the envelope + internals
 _PROTECTED = {KEY, SEQ, "op", "deleted", CELL, "patch_cols", "_bucket"}
@@ -160,32 +156,42 @@ def merge_into(
         # fast path below unless the SET expressions reference it; a
         # wrong "unchanged" verdict would silently drop a real change
         raise ValueError("skip_unchanged is a row-table option (patch updates are masked)")
-    # lazy checkpoint + ONE bounded aggregation job replace the former
+    # lazy checkpoint + ONE global-aggregate job replace the former
     # three jobs per call (eager checkpoint, full malformed-key audit,
     # count) — VERDICT r03 item 7: callers streaming many small merge
-    # batches paid all three per batch. The distinct-key groups up to
-    # lookup_cap+1 give, in a single collect: the emptiness check, the
-    # malformed-key audit (complete whenever the limit did not
-    # truncate), the exact size, and the lookup keys themselves.
+    # batches paid all three per batch. A GLOBAL aggregate (not a
+    # limit-collect, review r04): its partial phase runs over every
+    # input partition no matter how the source is partitioned, so the
+    # lazy checkpoint is fully materialized before anything else reads
+    # the source — a limit() could executeTake a prefix of partitions
+    # and leave a nondeterministic source to re-realize differently in
+    # the merge join. The single row carries the emptiness check, the
+    # COMPLETE malformed-key audit, and the exact distinct-key count.
     src = source.localCheckpoint(eager=False)
-    key_rows = (
+    bad_key = F.col(KEY).isNull() | (F.col("n") > 1)
+    stats = (
         src.groupBy(KEY)
         .agg(F.count(F.lit(1)).alias("n"))
-        .limit(lookup_cap + 1)
-        .collect()
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.coalesce(
+                F.sum(F.when(bad_key, 1).otherwise(0)), F.lit(0)
+            ).alias("n_bad"),
+            F.max(F.when(bad_key, F.struct(F.col(KEY), F.col("n")))).alias(
+                "bad_example"
+            ),
+        )
+        .collect()[0]
     )
+    if stats.n_bad:
+        ex = stats.bad_example
+        raise _malformed_key_error([(ex[0], ex[1])])
+    n_src = stats.n_keys
     src_keys: list | None = None
-    if len(key_rows) <= lookup_cap:
-        bad = [(r[0], r.n) for r in key_rows if r[0] is None or r.n > 1][:5]
-        if bad:
-            raise _malformed_key_error(bad)
-        src_keys = [r[0] for r in key_rows]
-        n_src = len(key_rows)
-    else:
-        # big source: full audit as its own job (amortized over the
-        # batch size); the exact count is not needed — only "> cap"
-        _refuse_malformed_keys(src)
-        n_src = lookup_cap + 1
+    if 0 < n_src <= lookup_cap:
+        # keys are unique non-null here; one cheap job over the
+        # now-materialized checkpoint
+        src_keys = [r[0] for r in src.select(KEY).collect()]
     if n_src == 0 and not when_not_matched_by_source_delete:
         return {
             "inserted": 0,
@@ -413,6 +419,13 @@ def merge_into_sql(
         if not when_not_matched_insert:
             raise ValueError("when_not_matched_insert dict is empty")
         _check_set_cols(when_not_matched_insert, "when_not_matched_insert")
+    if when_not_matched_insert is True and source_columns:
+        bad_src = sorted(set(source_columns) & (_PROTECTED - {KEY}))
+        if bad_src:
+            raise ValueError(
+                f"source carries reserved column(s) {bad_src!r} — "
+                "rename them"
+            )
     clauses = []
     if when_matched_delete:
         cond = f" AND ({delete_condition})" if delete_condition else ""

@@ -1706,7 +1706,10 @@ def _histogram_ivm_oracle() -> str:
         WHERE NOT ({split} % 10 = 0)
     )
     SELECT grp,
-           CASE WHEN v IS NULL THEN NULL
+           -- NaN joins NULL in the NULL bin, mirroring bin_expr's
+           -- round-4 rule (DuckDB would otherwise order NaN above
+           -- every edge and bin it as overflow — review r04)
+           CASE WHEN v IS NULL OR isnan(CAST(v AS DOUBLE)) THEN NULL
                 ELSE CAST(len(list_filter([{lits}],
                          x -> x <= CAST(v AS DOUBLE))) AS INTEGER)
            END AS bin,

@@ -241,8 +241,12 @@ class HistogramView(AggregateView):
             # bogus bin — fail loudly instead of estimating silently
             # wrong. One bounded job over the view's own tiny
             # O(groups × bins) parquet, weighted path only.
+            # NULL-bin rows are exempt: the walk already forces their
+            # weight to 0 (see cnt below), so a negative sum there
+            # cannot corrupt the estimate (review r04 — refusing them
+            # rejected previously-valid calls)
             neg = (
-                df.filter(F.col(weight) < 0)
+                df.filter(F.col(_BIN).isNotNull() & (F.col(weight) < 0))
                 .select(*self.group_cols, _BIN, weight)
                 .limit(3)
                 .collect()

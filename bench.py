@@ -819,6 +819,9 @@ def _run_cdc_scaling() -> dict:
 
 
 SMOKE_EVENTS = int(os.environ.get("SPARK_GRAFT_SMOKE_EVENTS", "24000000"))
+# ONE definition of the smoke log layout (review r04: a second copy of
+# the file-count formula once desynced batch sizing from the real log)
+SMOKE_FILES = max(10, SMOKE_EVENTS // 100_000)
 
 
 def _smoke_log() -> str:
@@ -828,14 +831,18 @@ def _smoke_log() -> str:
     recorded end-to-end rate said nothing). 24 M events at the measured
     ~1.2 M events/s pipeline rate ≈ 20-25 s of replay — startup drops
     to a reported-separately constant. Same density as the scaling log
-    (100 k events/file, 120 events/doc); cached across runs."""
+    (100 k events/file, 120 events/doc). The dir is keyed by the event
+    count (review r04): the generator only regenerates on _meta.json
+    mismatch and never removes stale part files, so shrinking
+    SPARK_GRAFT_SMOKE_EVENTS inside a fixed dir would replay leftover
+    old parts and misreport events/sec by their ratio."""
     from beehive_data_etl_spark.sources.eventlog import generate_event_log
 
     return generate_event_log(
-        os.path.join(BENCH_TMP, "evlog_smoke"),
+        os.path.join(BENCH_TMP, f"evlog_smoke_{SMOKE_EVENTS}"),
         n_docs=SMOKE_EVENTS // 120,
         n_events=SMOKE_EVENTS,
-        n_files=max(10, SMOKE_EVENTS // 100_000),
+        n_files=SMOKE_FILES,
         n_jobs=CPUS,
     )
 
@@ -850,7 +857,6 @@ def _submit_smoke() -> dict | None:
     if os.environ.get("SPARK_GRAFT_SUBMIT_SMOKE", "1") != "1":
         return None
     log = _smoke_log()
-    n_files = max(10, SMOKE_EVENTS // 100_000)
     # same environment the bench workers measure in: tmpfs sink +
     # shuffle dirs (a real cluster brings per-node disks; the sandbox's
     # single virtual disk must not masquerade as a deployment ceiling)
@@ -870,7 +876,7 @@ def _submit_smoke() -> dict | None:
         # same batch sizing as the in-process pipeline section (~1.2M
         # events/batch) so the two rates are directly comparable
         REPLAY_FILES_PER_BATCH=str(
-            max(1, n_files // max(1, SMOKE_EVENTS // 1_200_000))
+            max(1, SMOKE_FILES // max(1, SMOKE_EVENTS // 1_200_000))
         ),
         REPLAY_N_BUCKETS="64",
         REPLAY_SALT="0",
@@ -883,22 +889,31 @@ def _submit_smoke() -> dict | None:
         ),
     )
     t0 = time.time()
+    # the ~10 GB tmpfs sink must be reclaimed on EVERY exit path —
+    # failure/timeout returns previously leaked it for the rest of the
+    # bench run, on a box also holding pinned 32 GB heaps (review r04)
     try:
-        proc = subprocess.run(
-            ["bash", os.path.join("scripts", "submit_replay.sh"), log, sink_dir, "1"],
-            capture_output=True,
-            text=True,
-            cwd=os.path.dirname(os.path.abspath(__file__)),
-            env=env,
-            timeout=1800,
+        try:
+            proc = subprocess.run(
+                ["bash", os.path.join("scripts", "submit_replay.sh"), log, sink_dir, "1"],
+                capture_output=True,
+                text=True,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+                env=env,
+                timeout=1800,
+            )
+        except subprocess.TimeoutExpired:
+            # the smoke runs LAST: a hang must degrade, not discard the
+            # whole run's measurements
+            return {"rc": "timeout", "timeout_s": 1800}
+        wall = time.time() - t0
+        if proc.returncode != 0:
+            return {"rc": proc.returncode, "stderr_tail": proc.stderr[-500:]}
+    finally:
+        shutil.rmtree(sink_dir, ignore_errors=True)
+        shutil.rmtree(
+            os.path.join(sink_root, "spark-local-smoke"), ignore_errors=True
         )
-    except subprocess.TimeoutExpired:
-        # the smoke runs LAST: a hang must degrade, not discard the
-        # whole run's measurements
-        return {"rc": "timeout", "timeout_s": 1800}
-    wall = time.time() - t0
-    if proc.returncode != 0:
-        return {"rc": proc.returncode, "stderr_tail": proc.stderr[-500:]}
     out = {
         "rc": 0,
         "events": SMOKE_EVENTS,
@@ -916,8 +931,6 @@ def _submit_smoke() -> dict | None:
             out["replay_events_per_sec"] = round(
                 SMOKE_EVENTS / m["replay_wall_s"], 1
             )
-    # the smoke table lives on tmpfs — reclaim it (it can be ~10 GB)
-    shutil.rmtree(sink_dir, ignore_errors=True)
     return out
 
 
