@@ -184,8 +184,11 @@ def merge_into(
         .collect()[0]
     )
     if stats.n_bad:
+        # bounded diagnostics at any corruption scale: the exact
+        # offending-key COUNT rides the same single-row aggregate (no
+        # extra job, no unbounded collect) with one max-struct example
         ex = stats.bad_example
-        raise _malformed_key_error([(ex[0], ex[1])])
+        raise _malformed_key_error([(ex[0], ex[1])], total=stats.n_bad)
     n_src = stats.n_keys
     src_keys: list | None = None
     if 0 < n_src <= lookup_cap:

@@ -84,12 +84,18 @@ def _refuse_malformed_keys(dump: DataFrame) -> None:
         raise _malformed_key_error([(r[0], r.n) for r in bad])
 
 
-def _malformed_key_error(bad: list[tuple]) -> ValueError:
+def _malformed_key_error(bad: list[tuple], total: int | None = None) -> ValueError:
     """One formatter for the malformed-key refusal — shared with
-    merge_into's folded fast path so the two can't drift."""
+    merge_into's folded fast path so the two can't drift. ``total`` is
+    the full offending-key count when the caller's audit only sampled a
+    few (merge_into's single-row folded audit carries the exact count
+    but just one example struct), so multi-key corruption is reported
+    as such instead of masquerading as a single bad key."""
+    shown = f"{len(bad)} example(s): {bad}" if total and total > len(bad) else f"{bad}"
+    n = f"{total} offending key(s), " if total is not None else "offending keys "
     return ValueError(
         "dump is not keyed by a unique non-null "
-        f"{KEY}: offending keys {bad} — "
+        f"{KEY}: {n}{shown} — "
         "de-duplicate or fix the fetcher before diffing"
     )
 

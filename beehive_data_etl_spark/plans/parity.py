@@ -97,8 +97,19 @@ def driver_canon(pdf: pd.DataFrame) -> pd.Series:
     makes any future driver-harness incompatibility fail locally first.
 
     Returns the per-row hash series (value unused by callers; the point
-    is that it raises exactly when the driver's canonicalizer would)."""
+    is that it raises exactly when the driver's canonicalizer would).
+
+    The hashability probe is per-column ``pd.factorize`` BEFORE the
+    stringify (ADVICE r04): a frame whose ONLY column is complex-typed
+    slips through ``sort_values`` (single-column sort takes the argsort
+    comparison path, and list<list comparisons succeed) and
+    ``astype(str)`` would then make ``hash_pandas_object`` safe —
+    weaker than the driver, which hashes raw cells. ``factorize``
+    builds a hash table over the raw values, so any unhashable cell
+    raises ``TypeError`` regardless of column count."""
     cols = sorted(pdf.columns)
+    for c in cols:
+        pd.factorize(pdf[c])
     canon = pdf[cols].sort_values(by=cols).reset_index(drop=True)
     return pd.util.hash_pandas_object(canon.astype(str), index=False)
 
