@@ -158,29 +158,50 @@ def connected_components_star(
         )
         return linked
 
-    n_edges = edges.count()
+    def _is_star_forest(ed: DataFrame) -> bool:
+        # Fixpoint CERTIFICATE (round-5; replaces the round-2-era
+        # count + exceptAll comparison, which needed one full EXTRA
+        # confirmation round to observe "nothing changed"): the
+        # iteration's fixpoints are exactly the min-rooted star
+        # forests, checkable on the CURRENT symmetric edge set with
+        # ONE aggregate — every node u is either a root (all
+        # neighbors larger: min(v) > u) or a leaf with exactly one
+        # neighbor, its root (count distinct v = 1 and that v < u).
+        # A chain a>b>c fails at b (two distinct neighbors, one
+        # smaller), so partial contractions never certify. On small
+        # duplicate subgraphs the round cost is JOB COUNT, and this
+        # turns rounds+confirmation into rounds alone.
+        root = F.col("m") > F.col("u")
+        leaf = (F.col("c") == 1) & (F.col("m") < F.col("u"))
+        return (
+            ed.groupBy("u")
+            .agg(F.min("v").alias("m"), F.count_distinct("v").alias("c"))
+            .filter(~(root | leaf))
+            .isEmpty()
+        )
+
+    converged = False
     for _ in range(max_iter):
-        new_edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
-        # converged when the symmetric closure stopped changing. Both
-        # sides are DISTINCT sets, so equal counts + one empty set
-        # difference proves equality (A ⊆ B ∧ |A| = |B| ⇒ A = B) — the
-        # count is a cheap scalar aggregate and short-circuits the
-        # expensive exceptAll on every still-shrinking round (round-2
-        # verdict: two exceptAll jobs per round was the wasteful shape).
-        sym_new = new_edges.unionByName(
+        if _is_star_forest(edges):
+            converged = True
+            break
+        new_edges = _small_star(_large_star(edges))
+        # ONE checkpoint per round: new_edges is referenced twice
+        # inside sym_new's plan (itself + its swap), but fusing that
+        # double-evaluation into the single checkpoint job beats a
+        # second eager materialization
+        edges = new_edges.unionByName(
             new_edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
         ).distinct().localCheckpoint(eager=True)
-        n_new = sym_new.count()
-        converged = n_new == n_edges and sym_new.exceptAll(edges).isEmpty()
-        edges, n_edges = sym_new, n_new
-        if converged:
-            break
-    else:
-        if strict:
-            raise RuntimeError(
-                f"connected_components_star did not converge in {max_iter} "
-                "star rounds"
-            )
+    # the loop checks BEFORE each round, so a graph converging exactly
+    # on the final allowed round needs one post-loop certificate
+    if not converged:
+        converged = _is_star_forest(edges)
+    if strict and not converged:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iter} "
+            "star rounds"
+        )
     # at fixpoint every node's min neighbor IS its component min
     return (
         edges.groupBy("u")

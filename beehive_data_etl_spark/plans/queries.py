@@ -1063,16 +1063,22 @@ def q_grouped_map(spark, sf):
     """,
 )
 def q_udaf(spark, sf):
-    """Custom UDAF via pandas GROUPED_AGG: quantity-weighted mean price.
+    """Custom UDAF via a grouped-agg pandas_udf: quantity-weighted mean
+    price. Spark 4's supported spelling is type-hint inference
+    ((Series, Series) -> scalar ⇒ grouped aggregate) — the legacy
+    ``PandasUDFType.GROUPED_AGG`` enum warned on pyspark 4 (VERDICT
+    r04 item 3). This module's ``from __future__ import annotations``
+    stringifies decorator-visible hints, so the hints are attached as
+    live objects at runtime before wrapping."""
+    import pandas as pd
 
-    Note: the UDF is declared with explicit eval-type because this
-    module uses ``from __future__ import annotations`` (stringified
-    annotations defeat pandas_udf signature inference)."""
-    from pyspark.sql.functions import PandasUDFType
-
-    @F.pandas_udf("double", PandasUDFType.GROUPED_AGG)
-    def weighted_mean(price, qty):
+    def weighted_mean_fn(price, qty):
         return float((price * qty).sum() / qty.sum())
+
+    weighted_mean_fn.__annotations__ = {
+        "price": pd.Series, "qty": pd.Series, "return": float,
+    }
+    weighted_mean = F.pandas_udf(weighted_mean_fn, "double")
 
     li = t(spark, sf, "lineitem")
     return li.groupBy("l_returnflag").agg(
@@ -1298,17 +1304,22 @@ def q_dedup_sweep(spark, sf):
     over verified edges only, min-id winner, losers marked 'D'. The
     live-sink path (tombstones through the exactly-once protocol) is
     exercised by tests/test_dedup_sweep.py; this row pins the
-    decision semantics against the SQL oracle."""
-    from beehive_data_etl_spark.functions.dedup import (
-        minhash_lsh_pairs,
-        word_shingles,
+    decision semantics against the SQL oracle.
+
+    Round 5 (VERDICT r04 item 5): the composed form — candidates via
+    ``minhash_lsh_pairs(docs)``, then ``sweep_decisions(docs, pairs,
+    shingles)`` — shingled the corpus three times in four scans;
+    ``sweep_decisions_lsh`` pins ONE shingled projection and derives
+    candidates, verification, and the id universe from it (same
+    results, plan-pinned single corpus scan), with star CC."""
+    from beehive_data_etl_spark.functions.dedup import word_shingles
+    from beehive_data_etl_spark.operators.dedup_sweep import (
+        sweep_decisions_lsh,
     )
-    from beehive_data_etl_spark.operators.dedup_sweep import sweep_decisions
 
     docs = t(spark, sf, "documents")
-    pairs = minhash_lsh_pairs(docs, k=16, bands=8)
-    return sweep_decisions(
-        docs, pairs, word_shingles("text", 3), threshold=0.8
+    return sweep_decisions_lsh(
+        docs, word_shingles("text", 3), k=16, bands=8, threshold=0.8
     )
 
 
@@ -3603,37 +3614,35 @@ def q_merge_changes(spark, sf):
 # family. Nothing is added or removed: the key set and each (query,
 # oracle) pair are unchanged, only dict iteration order.
 _DRIVER_FIRST = [
-    # ---- round-4 window (VERDICT r03 "Next round" items 1-2) ----
-    # (a) the 8 queries NEVER driver-checked in any round (they sat past
-    # position 50 in rounds 1-3); putting them first closes union driver
-    # coverage at 102/102
-    "q_sample_bottomk", "q_histogram_ivm", "q_bm25", "q_entropy",
-    "q_txn_stuck", "q_seq_gaps", "q_seq_audit", "q_merge_changes",
-    # (b) the two round-3 RED rows, now fixed (array outputs serialized
-    # to '|'-joined strings so the driver canonicalizer can hash them)
-    "q_keyword_classify", "q_collect_sorted",
-    # (c) 40 refresh slots: queries whose last driver row is r02 (green
-    # there, untouched since r02 except where noted). The 4 r02-greens
-    # left out on family redundancy: q_dedup_exact (dedup repped by the
-    # minhash/simhash/jaccard trio below), q_dedup_lww_salted (LWW
-    # repped by q_dedup_lww), q_grouping_sets (repped by
-    # q_rollup/q_cube), q_win_frame (windows repped by
-    # q_win_rank/q_win_analytic).
-    "q_project", "q_filter", "q_join_inner", "q_join_broadcast",
-    "q_join_outer", "q_join_semi", "q_join_range",
-    "q_join_interval_banded", "q_join_asof", "q_agg_basic",
-    "q_agg_distinct", "q_agg_approx", "q_rollup", "q_cube",
-    "q_win_rank", "q_win_analytic", "q_topk", "q_union", "q_intersect",
-    "q_str", "q_date", "q_math", "q_array", "q_map_struct", "q_json",
-    "q_cond", "q_stream_tumble", "q_stream_slide", "q_stream_session",
-    "q_dedup_lww", "q_pandas_udf", "q_grouped_map", "q_udaf",
-    "q_explode_tokens", "q_sql_scalar_subquery", "q_sql_not_exists",
-    "q_dedup_simhash", "q_ngram_jaccard", "q_ann_bruteforce",
-    # q_dedup_sweep is NEW in round 4 (the sweep decision pipeline:
-    # verify -> cluster -> winner) — it takes the last refresh slot
-    # from q_ann_lsh (driver-green r02; ANN stays repped in-window by
-    # q_ann_bruteforce and out-of-window by the r03-green q_ann_ivf)
-    "q_dedup_sweep",
+    # ---- round-5 window (VERDICT r04 "Next round" item 2) ----
+    # Rotation policy: union driver coverage reached 103/103 in round 4
+    # (0 ever-red); the goal now is FRESHNESS — no query's last green
+    # driver row older than 2 rounds. The 53 queries not in the r04
+    # window rotate in, oldest-green-first: the five r02-last greens
+    # lead, then 45 of the 48 r03-last greens. The 3 r03 greens left
+    # out on twin redundancy (each stays ≤2 rounds old at r05):
+    # q_histogram (its IVM twin q_histogram_ivm is r04-green and
+    # q_percentile/q_stats are in-window), q_minmax_by (its IVM twin
+    # q_minmax_ivm is in-window), q_sample_hash (sampling repped by
+    # the r04-green q_sample_bottomk).
+    # (a) last driver green = r02
+    "q_ann_lsh", "q_dedup_exact", "q_dedup_lww_salted",
+    "q_grouping_sets", "q_win_frame",
+    # (b) last driver green = r03 (alphabetical)
+    "q_agg_ivm", "q_amount_normalize", "q_ann_ivf", "q_cooccur",
+    "q_decontaminate", "q_dedup_canonical", "q_dedup_cluster",
+    "q_dedup_incremental", "q_dedup_minhash", "q_dup_ngram_fraction",
+    "q_dup_span", "q_duration_bucket", "q_except", "q_fingerprint",
+    "q_geo_enrich", "q_global_shuffle", "q_hll_distinct",
+    "q_join_anti", "q_lang_id", "q_local_supplier_volume",
+    "q_minmax_ivm", "q_mixture_weights", "q_multimaster",
+    "q_multimodal_features", "q_multimodal_frames",
+    "q_multimodal_meta", "q_neardup_cosine", "q_neardup_lsh",
+    "q_pack_sequences", "q_patch_fold", "q_percentile",
+    "q_pii_redact", "q_pivot", "q_quality_score", "q_repetition",
+    "q_scd2", "q_sessionize_batch", "q_shipping_priority",
+    "q_split_assign", "q_stats", "q_tfidf", "q_token_chunks",
+    "q_token_count", "q_txn_consistent", "q_unpivot",
 ]
 
 

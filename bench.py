@@ -332,7 +332,6 @@ def _weak_log(cores: int) -> str:
 
 
 SHARD_DOCS = 12_500
-SHARD_ATTEMPTS = 3
 
 
 def _shard_cfg() -> dict:
@@ -356,12 +355,15 @@ def _shard_log(i: int) -> str:
     )
 
 
-def _shard_worker(i: int, go_dir: str) -> None:
-    """One 8-core executor JVM of the sharded weak-scaling run: replays
+def _shard_worker(i: int, go_dir: str, attempts_csv: str) -> None:
+    """One 8-core executor JVM of the paired weak-scaling run: replays
     its own key shard into its own bucket subtree (key-partitioned
     scale-out — no cross-shard coordination, exactly how N independent
-    replayers divide a CDC stream by key range). Attempts are barriered
-    on go files so all K executors run each measured attempt
+    replayers divide a CDC stream by key range). ``attempts_csv`` lists
+    the GLOBAL attempt ids this worker participates in (the paired
+    schedule interleaves solo attempts — worker 0 alone — with quad
+    attempts — all four workers — inside one run window). Attempts are
+    barriered on go files so every participant of an attempt starts
     simultaneously; per-attempt walls + JVM cpu go to stdout."""
     os.environ.setdefault("SPARK_DRIVER_MEM", "8g")
     from beehive_data_etl_spark.functions.transforms import cdc_bench_transform
@@ -399,13 +401,13 @@ def _shard_worker(i: int, go_dir: str) -> None:
             inflight=INFLIGHT,
         )
 
-    # JIT warmup on the real path, then signal readiness
-    sink_dir = os.path.join(sink_root, f"sink_shard_{i}")
-    shutil.rmtree(sink_dir, ignore_errors=True)
-    warm = SnapshotSink(spark, sink_dir, n_buckets=64, lineage=False, compact_threshold=4)
-    replay_incremental(spark, log, warm, files_per_batch=2, max_batches=2, inflight=INFLIGHT)
+    # JIT warmup: one FULL unmeasured replay of the real workload (a
+    # 2-batch warmup left the first measured attempt ~1.8× slower than
+    # steady state — C2 compilation and page cache still filling — and
+    # a warm-in residue on attempt 0 biases its PAIR, not just a level)
+    _replay()
     print("SHARD_READY", flush=True)
-    for k in range(SHARD_ATTEMPTS):
+    for k in (int(a) for a in attempts_csv.split(",")):
         while not os.path.exists(os.path.join(go_dir, f"go_{k}")):
             time.sleep(0.05)
         c0 = cpu.seconds()
@@ -422,158 +424,357 @@ def _shard_worker(i: int, go_dir: str) -> None:
             ),
             flush=True,
         )
-    shutil.rmtree(sink_dir, ignore_errors=True)
+    shutil.rmtree(os.path.join(sink_root, f"sink_shard_{i}"), ignore_errors=True)
     spark.stop()
 
 
-def _sharded_level(n_shards: int, tag: str) -> dict:
-    """Launch n_shards executor JVMs, barrier each measured attempt
-    across all of them, and report the median per-attempt makespan
-    (orchestrator clock: go-file creation → last shard's report)."""
+WEAK_PAIRS = int(os.environ.get("SPARK_GRAFT_WEAK_PAIRS", "5"))
+
+
+def _paired_schedule(n_pairs: int) -> list[dict]:
+    """The interleaved attempt schedule (VERDICT r04 item 1): attempt
+    2p is SOLO (worker 0 alone — the N-executor level), attempt 2p+1 is
+    QUAD (all four workers concurrently — the 4N level), back-to-back
+    inside one run window so each adjacent (solo, quad) pair shares the
+    same host weather and their ratio cancels clock drift that skewed
+    the old whole-run-per-level protocol by up to 0.4 between runs."""
+    out = []
+    for p in range(n_pairs):
+        out.append({"attempt": 2 * p, "kind": "solo", "workers": [0]})
+        out.append({"attempt": 2 * p + 1, "kind": "quad", "workers": [0, 1, 2, 3]})
+    return out
+
+
+def paired_weak_efficiency(makespans: dict[int, float], n_pairs: int) -> dict:
+    """Pure pairing/median logic (unit-tested in
+    tests/test_bench_protocol.py): per adjacent pair p, efficiency =
+    solo_makespan / quad_makespan (weak scaling — work ∝ executors, so
+    ideal is equal wall); headline = MEDIAN over pair ratios, which is
+    robust to a host slow period hitting any one pair (it hits both
+    members of that pair alike, and an asymmetric hit moves only one
+    order statistic). Pairs missing either member are dropped (worker
+    retry policy) but at least two pairs must survive."""
+    import statistics
+
+    ratios = []
+    for p in range(n_pairs):
+        solo, quad = makespans.get(2 * p), makespans.get(2 * p + 1)
+        if solo is not None and quad is not None:
+            ratios.append(round(solo / quad, 3))
+    if len(ratios) < 2:
+        raise RuntimeError(f"paired weak scaling needs >=2 complete pairs, got {ratios}")
+    return {
+        "pair_ratios": ratios,
+        "n_pairs": len(ratios),
+        "weak_scaling_efficiency_4x": round(statistics.median(ratios), 3),
+    }
+
+
+def _paired_orchestrate(
+    worker_args: list[list[str]], schedule: list[dict], tag: str
+) -> tuple[dict[int, float], list[dict]]:
+    """Launch one subprocess per worker-arg list (each a bench.py
+    worker mode taking ``go_dir attempts_csv`` as its trailing args),
+    barrier every scheduled attempt across its participants via go
+    files, and return (attempt -> makespan, all worker reports).
+    Shared by the executor-model and single-JVM paired protocols —
+    identical barrier, failure, and drain semantics."""
     import threading
 
-    go_dir = os.path.join(BENCH_TMP, f"shard_go_{tag}")
+    n = len(worker_args)
+    attempts_of = {
+        w: [s["attempt"] for s in schedule if w in s["workers"]] for w in range(n)
+    }
+    go_dir = os.path.join(BENCH_TMP, f"go_paired_{tag}")
     shutil.rmtree(go_dir, ignore_errors=True)
     os.makedirs(go_dir)
     err_files = [
-        open(os.path.join(BENCH_TMP, f"shard_err_{tag}_{i}.log"), "w")
-        for i in range(n_shards)
+        open(os.path.join(BENCH_TMP, f"err_paired_{tag}_{i}.log"), "w")
+        for i in range(n)
     ]
     procs = [
         subprocess.Popen(
-            [sys.executable, os.path.abspath(__file__), "--shard-worker", str(i), go_dir],
+            [sys.executable, os.path.abspath(__file__), *worker_args[i],
+             go_dir, ",".join(map(str, attempts_of[i]))],
             stdout=subprocess.PIPE,
             stderr=err_files[i],
             text=True,
             cwd=os.path.dirname(os.path.abspath(__file__)),
         )
-        for i in range(n_shards)
+        for i in range(n)
     ]
     lines: list[list[str]] = [[] for _ in procs]
-    drained = [False] * n_shards
+    drained = [False] * n
 
     def _drain(idx: int) -> None:
         for ln in procs[idx].stdout:
             lines[idx].append(ln.strip())
-        # EOF: every line the shard will ever emit is in lines[idx]
+        # EOF: every line the worker will ever emit is in lines[idx]
         drained[idx] = True
 
-    threads = [threading.Thread(target=_drain, args=(i,), daemon=True) for i in range(n_shards)]
-    for t in threads:
+    for t in [threading.Thread(target=_drain, args=(i,), daemon=True) for i in range(n)]:
         t.start()
-
-    def _all(pred) -> bool:
-        return all(any(pred(ln) for ln in ls) for ls in lines)
 
     def _fail(msg: str) -> None:
         for p in procs:
             p.kill()
         for fh in err_files:
             fh.close()
-        raise RuntimeError(f"{msg} ({tag}; stderr in {BENCH_TMP}/shard_err_{tag}_*.log)")
+        raise RuntimeError(
+            f"{msg} (stderr in {BENCH_TMP}/err_paired_{tag}_*.log)"
+        )
 
-    # warm-up (JVM spin + log read + JIT) gets its own budget; each
-    # barriered attempt then gets a fresh one — a single launch-anchored
-    # deadline once expired mid-run during a host slow period
+    # warm-up (JVM spin + log read + JIT + one full unmeasured replay)
+    # gets its own budget; each barriered attempt then gets a fresh one
+    # — a single launch-anchored deadline once expired mid-run during a
+    # host slow period
     deadline = time.time() + 600
-    while not _all(lambda ln: ln == "SHARD_READY"):
+    while not all(any(ln == "SHARD_READY" for ln in ls) for ls in lines):
         if time.time() > deadline or any(p.poll() is not None for p in procs):
-            _fail("shard workers failed to warm up")
+            _fail(f"{tag} paired workers failed to warm up")
         time.sleep(0.2)
-    makespans = []
-    for k in range(SHARD_ATTEMPTS):
+    makespans: dict[int, float] = {}
+    for step in schedule:
+        k, workers = step["attempt"], step["workers"]
         t0 = time.time()
         attempt_deadline = t0 + 300
         open(os.path.join(go_dir, f"go_{k}"), "w").close()
+
         def _has_report(idx: int) -> bool:
             return any(
                 ln.startswith("{") and f'"attempt": {k}' in ln
                 for ln in lines[idx]
             )
 
-        while not all(_has_report(i) for i in range(n_shards)):
+        failed = False
+        while not all(_has_report(i) for i in workers):
             # a CLEAN exit is not by itself a failure: after its LAST
-            # attempt a fast shard exits while slower shards still
+            # attempt a fast worker exits while slower ones still
             # replay, and its report line may sit in the pipe ahead of
-            # the drain thread. The level aborts on a nonzero
-            # returncode, the deadline, OR a shard whose pipe is fully
-            # drained (EOF) without this attempt's report — that shard
-            # can never deliver it, and spinning out the 300 s deadline
-            # per remaining attempt helps nobody (round-3 review)
-            died = any(
-                p.poll() is not None and p.returncode != 0 for p in procs
-            )
+            # the drain thread. Abort on a nonzero returncode OR a
+            # participant whose pipe is fully drained (EOF) without
+            # this attempt's report — it can never deliver it
+            # (round-3 review)
+            died = any(p.poll() is not None and p.returncode != 0 for p in procs)
             silent = any(
                 drained[i] and procs[i].poll() is not None and not _has_report(i)
-                for i in range(n_shards)
+                for i in workers
             )
-            if time.time() > attempt_deadline or died or silent:
-                _fail(f"shard attempt {k} failed")
+            if died or silent:
+                _fail(f"{tag} paired attempt {k} lost a worker")
+            if time.time() > attempt_deadline:
+                # a blown per-attempt budget voids only this attempt's
+                # pair (paired_weak_efficiency drops incomplete pairs);
+                # workers that already reported continue the schedule
+                failed = True
+                break
             time.sleep(0.05)
-        makespans.append(time.time() - t0)
+        if not failed:
+            makespans[k] = time.time() - t0
     for p in procs:
         p.wait()
     for fh in err_files:
         fh.close()
     reports = [json.loads(ln) for ls in lines for ln in ls if ln.startswith("{")]
-    med = sorted(makespans)[len(makespans) // 2]
-    med_idx = makespans.index(med)
-    cpu_s = sum(r["jvm_cpu_s"] for r in reports if r["attempt"] == med_idx)
-    events = _shard_cfg()["n_events"] * n_shards
-    return {
-        "n_shards": n_shards,
-        "events": events,
-        "wall_s": round(med, 2),
-        "makespans": [round(m, 2) for m in makespans],
-        "events_per_sec": round(events / med, 1),
-        "jvm_cpu_s": round(cpu_s, 2),
-        "cpu_utilization": round(cpu_s / (med * 8 * n_shards), 3),
-        "shard_walls": {
-            f"attempt{k}": [r["wall_s"] for r in sorted(reports, key=lambda r: r["shard"]) if r["attempt"] == k]
-            for k in range(SHARD_ATTEMPTS)
+    return makespans, reports
+
+
+def _weak_worker(cores: int, go_dir: str, attempts_csv: str) -> None:
+    """One single-JVM level of the PAIRED task-prescribed protocol
+    ("run the same job at two parallelism levels — local[8] and
+    local[32] — on the same input"): a local[cores] JVM replaying the
+    cores-proportional weak workload with the exact session/sizing
+    rules of _cdc_worker's weak section (heap ∝ cores, 8 shuffle tasks
+    per core, tmpfs sink, pipelined batches). Participates in the
+    barriered attempt schedule like a shard worker."""
+    os.environ.setdefault("SPARK_DRIVER_MEM", f"{cores}g")
+    from beehive_data_etl_spark.functions.transforms import cdc_bench_transform
+    from beehive_data_etl_spark.session import get_spark
+    from beehive_data_etl_spark.sinks.snapshot import SnapshotSink
+    from beehive_data_etl_spark.streaming.replay import replay_incremental
+
+    log = _weak_log(cores)
+    cfg = _weak_cfg(cores)
+    sink_root = "/dev/shm/beehive_bench_sink" if os.path.isdir("/dev/shm") else BENCH_TMP
+    spark = get_spark(
+        f"cdc-weak-{cores}",
+        cores=cores,
+        shuffle_partitions=8 * cores,
+        extra_conf={
+            "spark.local.dir": os.path.join(sink_root, f"spark-local-weak{cores}"),
+            "spark.ui.enabled": "false",
+            "spark.cleaner.periodicGC.interval": "45s",
         },
+    )
+    spark.range(10_000_000).selectExpr("sum(id)").collect()
+    cpu = _JvmCpu(spark)
+    sink_dir = os.path.join(sink_root, f"sink_weak_{cores}")
+
+    def _replay() -> None:
+        shutil.rmtree(sink_dir, ignore_errors=True)
+        sink = SnapshotSink(
+            spark, sink_dir, n_buckets=64, lineage=False, compact_threshold=4
+        )
+        replay_incremental(
+            spark,
+            log,
+            sink,
+            files_per_batch=max(1, cfg["n_files"] // WEAK_FPB_DIV),
+            transform=cdc_bench_transform,
+            inflight=INFLIGHT,
+        )
+
+    _replay()  # full unmeasured warmup (C2 + page cache)
+    print("SHARD_READY", flush=True)
+    for k in (int(a) for a in attempts_csv.split(",")):
+        while not os.path.exists(os.path.join(go_dir, f"go_{k}")):
+            time.sleep(0.05)
+        c0 = cpu.seconds()
+        t0 = time.time()
+        _replay()
+        print(
+            json.dumps(
+                {
+                    "shard": cores,
+                    "attempt": k,
+                    "wall_s": round(time.time() - t0, 2),
+                    "jvm_cpu_s": round(cpu.seconds() - c0, 2),
+                }
+            ),
+            flush=True,
+        )
+    shutil.rmtree(sink_dir, ignore_errors=True)
+    spark.stop()
+
+
+def _run_paired_single_jvm() -> dict:
+    """THE NORMATIVE weak-scaling protocol (fixed in advance, round 5):
+    the task brief prescribes evidencing the N→4N criterion by
+    "running the same job at two parallelism levels (local[8] and
+    local[32]) on the same input and reporting throughput at both plus
+    the scaling efficiency" — this is that protocol, made drift-robust
+    by PAIRING: both JVMs stay resident for the whole window, attempts
+    alternate local[8],local[32],... back-to-back, and the headline is
+    the median of adjacent-pair t(8)/t(32) ratios (work ∝ cores, so
+    ideal is equal wall). Round 4's two whole-run proxies disagreed by
+    up to 0.4 purely from host weather between their run windows;
+    adjacent pairing cancels that inside every pair, and choosing THIS
+    protocol as the headline is not per-run arbitration — it is the
+    task's own prescription, fixed before measurement, with the
+    executor-model companion always printed beside it."""
+    _weak_log(8)
+    _weak_log(32)
+    schedule = _paired_schedule(WEAK_PAIRS)  # solo=local[8], quad=local[32]
+    worker_args = [["--weak-worker", "8"], ["--weak-worker", "32"]]
+    # map: worker 0 (local[8]) takes solo slots, worker 1 the quad slots
+    for s in schedule:
+        s["workers"] = [0] if s["kind"] == "solo" else [1]
+    makespans, reports = _paired_orchestrate(worker_args, schedule, "sjvm")
+    paired = paired_weak_efficiency(makespans, WEAK_PAIRS)
+
+    def _level(kind: str, cores: int) -> dict:
+        ks = [s["attempt"] for s in schedule if s["kind"] == kind and s["attempt"] in makespans]
+        walls = sorted(makespans[k] for k in ks)
+        med = walls[len(walls) // 2]
+        med_k = next(k for k in ks if makespans[k] == med)
+        cpu_s = sum(r["jvm_cpu_s"] for r in reports if r["attempt"] == med_k)
+        events = _weak_cfg(cores)["n_events"]
+        return {
+            "cores": cores,
+            "events": events,
+            "wall_s": round(med, 2),
+            "makespans": [round(makespans[k], 2) for k in ks],
+            "events_per_sec": round(events / med, 1),
+            "events_per_core_per_sec": round(events / cores / med, 1),
+            "jvm_cpu_s": round(cpu_s, 2),
+            "cpu_utilization": round(cpu_s / (med * cores), 3),
+        }
+
+    n8, n32 = _level("solo", 8), _level("quad", 32)
+    return {
+        "local8": n8,
+        "local32": n32,
+        "weak_scaling_efficiency_4x": paired["weak_scaling_efficiency_4x"],
+        "pair_ratios": paired["pair_ratios"],
+        "n_pairs": paired["n_pairs"],
+        "aggregate_efficiency_4x": round(n8["wall_s"] / n32["wall_s"], 3),
+        "protocol": (
+            "task-prescribed same-job two-level protocol (local[8] vs "
+            "local[32], work ∝ cores), paired-interleave: attempts "
+            f"alternate 8,32 × {WEAK_PAIRS} in one window, both JVMs "
+            "resident; efficiency = median over adjacent pairs of "
+            "t(local8)/t(local32)"
+        ),
     }
 
 
-def _run_sharded_weak() -> dict:
-    """Executor-model weak scaling (the N vs 4N executor shape itself):
-    1 × local[8] JVM replaying one key shard vs 4 × local[8] JVMs
-    replaying four disjoint key shards CONCURRENTLY — separate heaps,
-    separate GC, separate schedulers, one shard of the key-partitioned
-    table each, exactly like a single-node 4-executor cluster. This is
-    a truer N→4N proxy than one 32-thread JVM (which funnels 4× the
-    work through one scheduler, one heap, and one safepoint clock);
-    both numbers are reported. Levels interleave 1,4,1,4 against host
-    weather like _run_cdc_scaling; efficiency = t(1)/t(4) on per-level
-    best median makespans."""
+def _run_paired_weak() -> dict:
+    """Executor-model weak scaling (the N vs 4N executor shape itself),
+    PAIRED-INTERLEAVE protocol: 1 × local[8] JVM replaying one key
+    shard (solo) vs 4 × local[8] JVMs replaying four disjoint key
+    shards concurrently (quad) — separate heaps, separate GC, separate
+    schedulers, one shard of the key-partitioned table each, exactly
+    like a single-node 4-executor cluster. All four worker JVMs stay
+    alive for the whole window (equal resident-memory pressure at both
+    levels); attempts alternate solo,quad,solo,quad,... and the
+    headline is the MEDIAN of adjacent-pair ratios — drift-robust by
+    construction, replacing round 4's after-the-fact max() of two
+    whole-run proxies."""
+    schedule = _paired_schedule(WEAK_PAIRS)
     for i in range(4):
         _shard_log(i)
-    runs: dict[int, list[dict]] = {1: [], 4: []}
-    for pass_no, k in enumerate((1, 4, 1, 4)):
-        for attempt in (1, 2):
-            try:
-                runs[k].append(_sharded_level(k, f"{k}_{pass_no}_{attempt}"))
-                break
-            except RuntimeError:
-                # a worker died or a host slow period blew the attempt
-                # budget: one retry, then fall back to other passes of
-                # the same level (each level runs twice regardless)
-                if attempt == 2 and not runs[k] and pass_no >= 2:
-                    raise
-    best = {k: min(rs, key=lambda r: r["wall_s"]) for k, rs in runs.items()}
+    worker_args = [["--shard-worker", str(i)] for i in range(4)]
+    makespans, reports = _paired_orchestrate(worker_args, schedule, "exec")
+    paired = paired_weak_efficiency(makespans, WEAK_PAIRS)
+
+    def _level(kind: str, n_shards: int) -> dict:
+        ks = [s["attempt"] for s in schedule if s["kind"] == kind and s["attempt"] in makespans]
+        walls = sorted(makespans[k] for k in ks)
+        med = walls[len(walls) // 2]
+        med_k = next(k for k in ks if makespans[k] == med)
+        cpu_s = sum(r["jvm_cpu_s"] for r in reports if r["attempt"] == med_k)
+        events = _shard_cfg()["n_events"] * n_shards
+        return {
+            "n_shards": n_shards,
+            "events": events,
+            "wall_s": round(med, 2),
+            "makespans": [round(makespans[k], 2) for k in ks],
+            "events_per_sec": round(events / med, 1),
+            "jvm_cpu_s": round(cpu_s, 2),
+            "cpu_utilization": round(cpu_s / (med * 8 * n_shards), 3),
+            "shard_walls": {
+                f"attempt{k}": [
+                    r["wall_s"]
+                    for r in sorted(reports, key=lambda r: r["shard"])
+                    if r["attempt"] == k
+                ]
+                for k in ks
+            },
+        }
+
+    solo, quad = _level("solo", 1), _level("quad", 4)
     return {
-        "executor8x1": best[1],
-        "executor8x4": best[4],
-        "weak_scaling_efficiency_4x": round(best[1]["wall_s"] / best[4]["wall_s"], 3),
+        "executor8x1": solo,
+        "executor8x4": quad,
+        # headline: median of adjacent-pair ratios (drift-robust)
+        "weak_scaling_efficiency_4x": paired["weak_scaling_efficiency_4x"],
+        "pair_ratios": paired["pair_ratios"],
+        "n_pairs": paired["n_pairs"],
+        # legacy whole-run aggregate (median solo wall / median quad
+        # wall) — the r04-and-earlier executor-model number, still
+        # printed for cross-round comparability
+        "aggregate_efficiency_4x": round(solo["wall_s"] / quad["wall_s"], 3),
         "events_per_core_per_sec": {
-            "executor8x1": round(best[1]["events"] / 8 / best[1]["wall_s"], 1),
-            "executor8x4": round(best[4]["events"] / 32 / best[4]["wall_s"], 1),
+            "executor8x1": round(solo["events"] / 8 / solo["wall_s"], 1),
+            "executor8x4": round(quad["events"] / 32 / quad["wall_s"], 1),
         },
         "protocol": (
-            "same per-shard job/input/plan; K concurrent local[8] executor "
-            "JVMs over K disjoint doc_id shards (key-partitioned scale-out), "
-            "per-attempt barrier, median-of-3 makespans, levels interleaved "
-            "1,4,1,4; efficiency = t(1 shard)/t(4 concurrent shards)"
+            "same per-shard job/input/plan; solo = 1 local[8] executor JVM "
+            "over one doc_id shard, quad = 4 concurrent local[8] JVMs over "
+            "four disjoint shards; attempts interleaved "
+            f"solo,quad × {WEAK_PAIRS} inside one run window with all four "
+            "JVMs resident throughout; efficiency = median over adjacent "
+            "pairs of t(solo)/t(quad)"
         ),
     }
 
@@ -962,36 +1163,62 @@ def _write_bench_md(result: dict) -> None:
             f"| weak_sharded | {lv} | {d['events']} | {d['wall_s']} "
             f"| {d['events_per_sec']} | {d['cpu_utilization']} |"
         )
-    headline_eff = max(
-        sh["weak_scaling_efficiency_4x"], cdc["weak_scaling_efficiency_4x"]
-    )
+    sj = result["paired_single_jvm"]
     lines += [
         "",
         f"**HEADLINE weak-scaling efficiency (the normative N→4N "
-        f"criterion): {headline_eff}** — the least-pessimistic of two "
-        f"single-box proxies, each of which UNDER-states real multi-node "
-        f"scaling in a different direction, so their max is still a "
-        f"lower bound on cluster efficiency:",
+        f"criterion): {sj['weak_scaling_efficiency_4x']}** — the task "
+        f"brief's own protocol (\"run the same job at two parallelism "
+        f"levels — local[8] and local[32] — on the same input and "
+        f"report throughput at both plus the scaling efficiency\"), "
+        f"made drift-robust by PAIRED INTERLEAVING (round 5, VERDICT "
+        f"r04 item 1): both JVMs stay resident for the whole window, "
+        f"attempts alternate local[8],local[32] back-to-back, and the "
+        f"headline is the MEDIAN of adjacent-pair t(8)/t(32) ratios "
+        f"(work ∝ cores, ideal = equal wall). Each pair shares the "
+        f"same host weather, so the drift that made round 4's two "
+        f"whole-run proxies disagree by up to 0.4 cancels inside every "
+        f"pair, and the headline protocol is FIXED IN ADVANCE — no "
+        f"per-run arbitration. Pair ratios this run: "
+        f"{sj['pair_ratios']} ({sj['n_pairs']} pairs); per-level "
+        f"medians: local[8] {sj['local8']['wall_s']} s "
+        f"({sj['local8']['events_per_core_per_sec']} events/core/sec, "
+        f"cpu util {sj['local8']['cpu_utilization']}), local[32] "
+        f"{sj['local32']['wall_s']} s "
+        f"({sj['local32']['events_per_core_per_sec']} events/core/sec, "
+        f"cpu util {sj['local32']['cpu_utilization']}).",
         "",
-        f"- **executor model {sh['weak_scaling_efficiency_4x']}**: 1 × "
-        f"local[8] executor JVM over one key shard vs 4 CONCURRENT "
-        f"local[8] JVMs over four disjoint doc_id shards (separate "
-        f"heaps/GC/schedulers, per-attempt barrier, work ∝ executors). "
-        f"Replicates the executor shape itself, but packs four "
-        f"executors onto ONE memory bus a real 4-node cluster never "
-        f"shares — when the host runs fast (bandwidth-bound), the solo "
-        f"level enjoys the whole bus and the ratio under-reports. "
-        f"Per-shard walls at the 4-executor level are uniform (no "
-        f"straggler): {sh['executor8x4']['shard_walls']}; events/core/"
-        f"sec {sh['events_per_core_per_sec']}. Protocol: "
+        f"Companion numbers (reported as the range's other end, never "
+        f"folded into the headline — ADVICE r04):",
+        "",
+        f"- **executor-model PAIRED {sh['weak_scaling_efficiency_4x']}** "
+        f"(pair ratios {sh['pair_ratios']}): solo (1 × local[8] "
+        f"executor JVM over one doc_id key shard) vs quad (4 concurrent "
+        f"local[8] JVMs over four disjoint shards), same paired "
+        f"schedule. This proxy replicates the executor SHAPE but packs "
+        f"four executors onto ONE memory bus a real 4-node cluster "
+        f"never shares; when the host is bandwidth-bound the quad "
+        f"level pays bus contention reality would not (this run: quad "
+        f"burns {sh['executor8x4']['jvm_cpu_s']} JVM-CPU-s vs "
+        f"4×{sh['executor8x1']['jvm_cpu_s']} solo — the excess IS the "
+        f"shared bus). Per-shard walls at the 4-executor level: "
+        f"{sh['executor8x4']['shard_walls']}; events/core/sec "
+        f"{sh['events_per_core_per_sec']}; whole-run aggregate "
+        f"{sh['aggregate_efficiency_4x']} (r04-comparable). Protocol: "
         f"{sh['protocol']}.",
-        f"- **single-JVM {cdc['weak_scaling_efficiency_4x']}**: same "
-        f"job + same input at local[8] vs local[32], work ∝ cores — "
-        f"events/core/sec {cdc['weak_scaling_events_per_core_per_sec']}. "
-        f"Funnels 4× the work through one scheduler/heap/safepoint "
-        f"clock, and its two levels run in different host-weather "
-        f"windows, so clock drift between them skews the ratio either "
-        f"way.",
+        f"- **single-JVM whole-run aggregate "
+        f"{cdc['weak_scaling_efficiency_4x']}** (the r04-and-earlier "
+        f"number, from _run_cdc_scaling's separately-windowed levels — "
+        f"kept for cross-round comparability; its two levels run in "
+        f"different weather windows, the exact drift exposure the "
+        f"paired headline removes). Events/core/sec "
+        f"{cdc['weak_scaling_events_per_core_per_sec']}.",
+        "",
+        "Neither single-box proxy pays the network shuffle a real "
+        "cluster pays; conversely a real 4N cluster brings 4× memory "
+        "buses, disks, and GC capacity this box cannot. The honest "
+        "statement is the RANGE above, with the task-prescribed "
+        "protocol as the normative number.",
         "",
         f"Strong scaling on the fixed stream — merge-only: "
         f"{cdc['merge_only_efficiency_4x']} "
@@ -1023,10 +1250,11 @@ def _write_bench_md(result: dict) -> None:
         "~40 % more CPU-seconds for the same work. The same volatility "
         "cuts both ways across runs — a fast window flatters the "
         "single-JVM ratio's local[8] level in one run and the executor "
-        "model's solo level in another — which is why the headline "
-        "takes the least-pessimistic of the two per-run proxies rather "
-        "than betting on either protocol landing in a favorable "
-        "weather window.",
+        "model's solo level in another — which is why round 5 moved "
+        "the headline to the paired-interleave protocol: adjacent "
+        "solo/quad attempts share a weather window, so the per-pair "
+        "ratio is drift-free and the median over pairs is robust to "
+        "any single slow period.",
         "",
         "## Headline query seconds",
         "",
@@ -1116,8 +1344,11 @@ def main() -> None:
     if len(sys.argv) >= 3 and sys.argv[1] == "--cdc-worker":
         _cdc_worker(int(sys.argv[2]))
         return
-    if len(sys.argv) >= 4 and sys.argv[1] == "--shard-worker":
-        _shard_worker(int(sys.argv[2]), sys.argv[3])
+    if len(sys.argv) >= 5 and sys.argv[1] == "--shard-worker":
+        _shard_worker(int(sys.argv[2]), sys.argv[3], sys.argv[4])
+        return
+    if len(sys.argv) >= 5 and sys.argv[1] == "--weak-worker":
+        _weak_worker(int(sys.argv[2]), sys.argv[3], sys.argv[4])
         return
     if len(sys.argv) > 1:
         sys.exit(f"unknown args {sys.argv[1:]}; run with no args for the full bench")
@@ -1131,7 +1362,8 @@ def main() -> None:
     queries = _run_headline_queries()
     serving = _run_serving()
     cdc = _run_cdc_scaling()
-    sharded = _run_sharded_weak()
+    paired_sjvm = _run_paired_single_jvm()
+    sharded = _run_paired_weak()
     smoke = _submit_smoke()
     result = {
         "metric": "headline_query_suite_wall_seconds",
@@ -1142,6 +1374,7 @@ def main() -> None:
         "sf_dir": SF_DIR,
         "cdc": cdc,
         "serving": serving,
+        "paired_single_jvm": paired_sjvm,
         "sharded_weak": sharded,
         "submit_smoke": smoke,
     }
@@ -1162,31 +1395,37 @@ def main() -> None:
             lv: {s: cdc[lv][s]["events_per_sec"] for s in ("merge_only", "pipeline", "weak")}
             for lv in ("local8", "local32")
         },
-        # HEADLINE efficiency = the LEAST-PESSIMISTIC of the two
-        # single-box N→4N proxies, both always reported beside it.
-        # Rationale (BENCH/BASELINE.md): each proxy UNDER-states real
-        # multi-node scaling in a different way — the single-JVM
-        # 8-vs-32-thread ratio funnels 4× the work through one
-        # scheduler/heap and is skewed by host clock drift between its
-        # two levels' run windows; the executor-model ratio (1 vs 4
-        # concurrent local[8] JVMs over disjoint key shards) packs four
-        # executors onto ONE memory bus a real cluster would never
-        # share, and is skewed the OTHER way when the host is fast
-        # (the solo level enjoys the full bus). Max of two lower
-        # bounds is still a lower bound on cluster efficiency.
-        "weak_scaling_efficiency_4x": max(
-            sharded["weak_scaling_efficiency_4x"],
-            cdc["weak_scaling_efficiency_4x"],
-        ),
+        # HEADLINE efficiency = the task brief's OWN protocol ("run the
+        # same job at two parallelism levels — local[8] and local[32] —
+        # on the same input"), made drift-robust by paired interleaving
+        # (VERDICT r04 item 1): both JVMs resident, attempts alternate
+        # 8,32 back-to-back, headline = median of adjacent-pair
+        # t(8)/t(32) ratios. Fixed in advance — no per-run arbitration;
+        # the executor-model paired number (4 concurrent local[8] JVMs
+        # over disjoint key shards) is ALWAYS printed beside it as the
+        # range's other end (ADVICE r04: report the pair, not a max —
+        # the executor model packs 4 executors onto one memory bus a
+        # real 4-node cluster never shares and under-states cluster
+        # scaling when the host is bandwidth-bound; a real cluster in
+        # turn pays network shuffle neither single-box proxy pays).
+        "weak_scaling_efficiency_4x": paired_sjvm["weak_scaling_efficiency_4x"],
+        "weak_scaling_pair_ratios": paired_sjvm["pair_ratios"],
+        "executor_model_paired_efficiency_4x": sharded["weak_scaling_efficiency_4x"],
+        "executor_model_pair_ratios": sharded["pair_ratios"],
         "weak_scaling_protocol": (
-            "best of two single-box proxies (each a lower bound): "
+            "task-prescribed local[8]-vs-local[32] same-job weak protocol, "
+            "paired-interleave (%d pairs, median of adjacent t8/t32 "
+            "ratios); companion executor-model paired (1 vs 4 concurrent "
+            "local[8] JVMs): %s; legacy whole-run aggregates: "
             "executor_model %s, single_jvm %s"
             % (
+                paired_sjvm["n_pairs"],
                 sharded["weak_scaling_efficiency_4x"],
+                sharded["aggregate_efficiency_4x"],
                 cdc["weak_scaling_efficiency_4x"],
             )
         ),
-        "executor_model_weak_scaling_efficiency_4x": sharded["weak_scaling_efficiency_4x"],
+        "executor_model_weak_scaling_efficiency_4x": sharded["aggregate_efficiency_4x"],
         "single_jvm_weak_scaling_efficiency_4x": cdc["weak_scaling_efficiency_4x"],
         "pipeline_speedup_8_to_32": cdc["pipeline_speedup"],
         "serving": {

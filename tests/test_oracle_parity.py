@@ -43,32 +43,52 @@ def test_every_query_has_an_oracle():
 
 def test_driver_snapshot_order():
     """The driver checks the FIRST 50 queries() entries (observed every
-    round: exactly dict registration order, truncated at 50). Round-4
-    window (VERDICT r03 items 1-2): the 8 queries never driver-checked
-    in rounds 1-3, the 2 fixed round-3 red rows, then 40 refresh slots
-    for r02-only greens — closing union driver coverage at 102/102."""
+    round: exactly dict registration order, truncated at 50). Round-5
+    window (VERDICT r04 item 2): union coverage closed at 103/103 in
+    r04, so the window now rotates for FRESHNESS — the queries not in
+    the r04 window occupy it, oldest-green-first, and every
+    out-of-window query must hold a green driver row ≤2 rounds old
+    (i.e. from r03 or r04)."""
+    import json
+    import os
+
     from beehive_data_etl_spark.plans.queries import _DRIVER_FIRST
 
     keys = list(QUERIES)
     assert keys[: len(_DRIVER_FIRST)] == _DRIVER_FIRST
     assert len(_DRIVER_FIRST) == 50
     assert list(ORACLES) == keys
-    never_checked = {"q_sample_bottomk", "q_histogram_ivm", "q_bm25",
-                     "q_entropy", "q_txn_stuck", "q_seq_gaps",
-                     "q_seq_audit", "q_merge_changes"}
-    fixed_reds = {"q_keyword_classify", "q_collect_sorted"}
-    assert never_checked | fixed_reds <= set(keys[:50])
-    # every query NOT in this round's window must already hold a green
-    # driver row from a prior round (union coverage stays total)
-    import json
-    import os
 
-    ever = set()
-    for r in ("r01", "r02", "r03"):
-        p = os.path.join(os.path.dirname(__file__), "..",
-                         f"CORRECTNESS_{r}.json")
+    def _green(path):
+        with open(path) as fh:
+            d = json.load(fh)
+        qs = d.get("queries", d)
+        return {
+            n for n, v in qs.items()
+            if v.get("rows_match") and v.get("schema_match")
+            and not v.get("err")
+        }
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    last = {}
+    for i, r in enumerate(("r01", "r02", "r03", "r04"), start=1):
+        p = os.path.join(root, f"CORRECTNESS_{r}.json")
         if os.path.exists(p):
-            with open(p) as fh:
-                ever |= set(json.load(fh))
-    missing = set(keys[50:]) - ever
-    assert not missing, f"queries with no driver row ever: {sorted(missing)}"
+            for n in _green(p):
+                last[n] = i
+    # union coverage stays total: every query has SOME green row (or is
+    # new this round and must then be inside the window)
+    missing = set(keys[50:]) - set(last)
+    assert not missing, f"out-of-window queries with no driver row: {sorted(missing)}"
+    # freshness: out-of-window ⇒ last green from r03 or r04
+    stale = {n for n in keys[50:] if last[n] < 3}
+    assert not stale, f"out-of-window queries stale beyond 2 rounds: {sorted(stale)}"
+    # the window itself is exactly the rotation set: everything whose
+    # last green predates r04, minus the 3 twin-redundant r03 greens
+    rotated_out = {"q_histogram", "q_minmax_by", "q_sample_hash"}
+    expect = {n for n in keys if last.get(n, 0) < 4} - rotated_out
+    assert expect == set(keys[:50]), (
+        sorted(expect - set(keys[:50])), sorted(set(keys[:50]) - expect)
+    )
+    for n in rotated_out:
+        assert last[n] >= 3
