@@ -6,17 +6,22 @@ Default mode:
    /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]``,
 2. measures CDC replay throughput of the deterministic sf-tier event
    log at TWO parallelism levels — local[8] (N) and local[32] (4N) —
-   in separate JVMs (BASELINE.md sandbox protocol), reporting
-   events/sec at both plus scaling efficiency
-   ``thr(4N) / (4 × thr(N))``,
-3. prints ONE JSON line:
+   reporting events/sec at both plus scaling efficiency,
+3. runs the PAIRED-INTERLEAVE weak-scaling protocols (round 5): the
+   normative task-prescribed local[8]-vs-local[32] same-job protocol
+   and the executor-model companion (1 vs 4 concurrent local[8] JVMs
+   over disjoint key shards), each reporting the median of
+   adjacent-pair t(N)/t(4N) ratios measured back-to-back in one
+   window (drift cancels inside each pair — no whole-run arbitration),
+4. prints ONE JSON line:
    {"metric": ..., "value": seconds, "unit": "sec",
     "queries": {name: sec}, "sf": ..., "cdc": {...}}
    and refreshes BENCH/BASELINE.md with the measured numbers.
 
-Worker mode (installed by the main process, one JVM per parallelism
-level): ``bench.py --cdc-worker CORES`` replays the log and prints its
-own JSON line.
+Worker modes (installed by the main process): ``--cdc-worker CORES``
+(whole-level replay), ``--shard-worker I GO_DIR ATTEMPTS`` (one
+executor-model shard JVM), ``--weak-worker CORES GO_DIR ATTEMPTS``
+(one single-JVM paired level).
 """
 
 from __future__ import annotations
@@ -331,6 +336,33 @@ def _weak_log(cores: int) -> str:
     )
 
 
+def _timed_best2(fn, cpu: "_JvmCpu") -> dict:
+    """One measured paired-protocol attempt = BEST OF TWO back-to-back
+    replays (round 5, full-bench finding): the sandbox host has slow
+    windows comparable in length to a single replay, so a 1-replay
+    attempt can land entirely inside one and skew its pair's ratio by
+    2-4× (observed local[8] walls [17.3, 4.6, 7.7, 9.9, 4.2] in one
+    run — 3 of 5 pairs corrupted, pushing the pair median above 1.0
+    while the same protocol on a quiet box read 0.887-1.018). With two
+    replays per attempt a slow window must cover BOTH to corrupt the
+    attempt, and the pair median still guards against the ones that
+    do. Reports the best wall, both raw walls, and the best replay's
+    JVM-CPU seconds."""
+    walls, cpus = [], []
+    for _ in range(2):
+        c0 = cpu.seconds()
+        t0 = time.time()
+        fn()
+        walls.append(round(time.time() - t0, 2))
+        cpus.append(round(cpu.seconds() - c0, 2))
+    best = min(range(2), key=lambda j: walls[j])
+    return {
+        "wall_s": walls[best],
+        "walls": walls,
+        "jvm_cpu_s": cpus[best],
+    }
+
+
 SHARD_DOCS = 12_500
 
 
@@ -410,20 +442,7 @@ def _shard_worker(i: int, go_dir: str, attempts_csv: str) -> None:
     for k in (int(a) for a in attempts_csv.split(",")):
         while not os.path.exists(os.path.join(go_dir, f"go_{k}")):
             time.sleep(0.05)
-        c0 = cpu.seconds()
-        t0 = time.time()
-        _replay()
-        print(
-            json.dumps(
-                {
-                    "shard": i,
-                    "attempt": k,
-                    "wall_s": round(time.time() - t0, 2),
-                    "jvm_cpu_s": round(cpu.seconds() - c0, 2),
-                }
-            ),
-            flush=True,
-        )
+        print(json.dumps({"shard": i, "attempt": k, **_timed_best2(_replay, cpu)}), flush=True)
     shutil.rmtree(os.path.join(sink_root, f"sink_shard_{i}"), ignore_errors=True)
     spark.stop()
 
@@ -579,6 +598,22 @@ def _paired_orchestrate(
     return makespans, reports
 
 
+def _attempt_walls(
+    makespans: dict[int, float], reports: list[dict]
+) -> dict[int, float]:
+    """Per-attempt level wall from the WORKER reports (each worker's
+    best-of-2 replay wall; a multi-worker attempt's wall is the max —
+    its makespan over the concurrent fleet). Orchestrator barrier
+    times now span two replays and serve only attempt-validity; an
+    attempt missing from ``makespans`` (blown deadline) is dropped so
+    its pair is voided."""
+    out: dict[int, float] = {}
+    for k in {r["attempt"] for r in reports}:
+        if k in makespans:
+            out[k] = max(r["wall_s"] for r in reports if r["attempt"] == k)
+    return out
+
+
 def _weak_worker(cores: int, go_dir: str, attempts_csv: str) -> None:
     """One single-JVM level of the PAIRED task-prescribed protocol
     ("run the same job at two parallelism levels — local[8] and
@@ -629,20 +664,7 @@ def _weak_worker(cores: int, go_dir: str, attempts_csv: str) -> None:
     for k in (int(a) for a in attempts_csv.split(",")):
         while not os.path.exists(os.path.join(go_dir, f"go_{k}")):
             time.sleep(0.05)
-        c0 = cpu.seconds()
-        t0 = time.time()
-        _replay()
-        print(
-            json.dumps(
-                {
-                    "shard": cores,
-                    "attempt": k,
-                    "wall_s": round(time.time() - t0, 2),
-                    "jvm_cpu_s": round(cpu.seconds() - c0, 2),
-                }
-            ),
-            flush=True,
-        )
+        print(json.dumps({"shard": cores, "attempt": k, **_timed_best2(_replay, cpu)}), flush=True)
     shutil.rmtree(sink_dir, ignore_errors=True)
     spark.stop()
 
@@ -670,20 +692,21 @@ def _run_paired_single_jvm() -> dict:
     for s in schedule:
         s["workers"] = [0] if s["kind"] == "solo" else [1]
     makespans, reports = _paired_orchestrate(worker_args, schedule, "sjvm")
-    paired = paired_weak_efficiency(makespans, WEAK_PAIRS)
+    att_wall = _attempt_walls(makespans, reports)
+    paired = paired_weak_efficiency(att_wall, WEAK_PAIRS)
 
     def _level(kind: str, cores: int) -> dict:
-        ks = [s["attempt"] for s in schedule if s["kind"] == kind and s["attempt"] in makespans]
-        walls = sorted(makespans[k] for k in ks)
+        ks = [s["attempt"] for s in schedule if s["kind"] == kind and s["attempt"] in att_wall]
+        walls = sorted(att_wall[k] for k in ks)
         med = walls[len(walls) // 2]
-        med_k = next(k for k in ks if makespans[k] == med)
+        med_k = next(k for k in ks if att_wall[k] == med)
         cpu_s = sum(r["jvm_cpu_s"] for r in reports if r["attempt"] == med_k)
         events = _weak_cfg(cores)["n_events"]
         return {
             "cores": cores,
             "events": events,
             "wall_s": round(med, 2),
-            "makespans": [round(makespans[k], 2) for k in ks],
+            "makespans": [round(att_wall[k], 2) for k in ks],
             "events_per_sec": round(events / med, 1),
             "events_per_core_per_sec": round(events / cores / med, 1),
             "jvm_cpu_s": round(cpu_s, 2),
@@ -725,20 +748,21 @@ def _run_paired_weak() -> dict:
         _shard_log(i)
     worker_args = [["--shard-worker", str(i)] for i in range(4)]
     makespans, reports = _paired_orchestrate(worker_args, schedule, "exec")
-    paired = paired_weak_efficiency(makespans, WEAK_PAIRS)
+    att_wall = _attempt_walls(makespans, reports)
+    paired = paired_weak_efficiency(att_wall, WEAK_PAIRS)
 
     def _level(kind: str, n_shards: int) -> dict:
-        ks = [s["attempt"] for s in schedule if s["kind"] == kind and s["attempt"] in makespans]
-        walls = sorted(makespans[k] for k in ks)
+        ks = [s["attempt"] for s in schedule if s["kind"] == kind and s["attempt"] in att_wall]
+        walls = sorted(att_wall[k] for k in ks)
         med = walls[len(walls) // 2]
-        med_k = next(k for k in ks if makespans[k] == med)
+        med_k = next(k for k in ks if att_wall[k] == med)
         cpu_s = sum(r["jvm_cpu_s"] for r in reports if r["attempt"] == med_k)
         events = _shard_cfg()["n_events"] * n_shards
         return {
             "n_shards": n_shards,
             "events": events,
             "wall_s": round(med, 2),
-            "makespans": [round(makespans[k], 2) for k in ks],
+            "makespans": [round(att_wall[k], 2) for k in ks],
             "events_per_sec": round(events / med, 1),
             "jvm_cpu_s": round(cpu_s, 2),
             "cpu_utilization": round(cpu_s / (med * 8 * n_shards), 3),

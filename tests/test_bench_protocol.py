@@ -91,3 +91,23 @@ def test_even_pair_count_uses_statistics_median():
     walls = {0: 7.0, 1: 10.0, 2: 8.0, 3: 10.0, 4: 9.0, 5: 10.0, 6: 10.0, 7: 10.0}
     out = paired_weak_efficiency(walls, 4)
     assert out["weak_scaling_efficiency_4x"] == 0.85
+
+
+def test_attempt_walls_from_worker_reports():
+    """Round-5 full-bench finding: attempt walls come from the worker
+    reports (best-of-2 per worker, max over a fleet), gated on the
+    attempt having completed its barrier; blown attempts vanish so
+    their pair is voided."""
+    from bench import _attempt_walls
+
+    makespans = {0: 99.0, 1: 99.0}  # barrier times span 2 replays — unused for ratios
+    reports = [
+        {"shard": 0, "attempt": 0, "wall_s": 4.1, "jvm_cpu_s": 30.0},
+        {"shard": 0, "attempt": 1, "wall_s": 5.0, "jvm_cpu_s": 35.0},
+        {"shard": 1, "attempt": 1, "wall_s": 6.2, "jvm_cpu_s": 34.0},
+        {"shard": 2, "attempt": 1, "wall_s": 5.8, "jvm_cpu_s": 33.0},
+        # attempt 2 reported but its barrier blew the deadline
+        {"shard": 0, "attempt": 2, "wall_s": 4.0, "jvm_cpu_s": 30.0},
+    ]
+    walls = _attempt_walls(makespans, reports)
+    assert walls == {0: 4.1, 1: 6.2}  # solo = its wall; fleet = max; 2 dropped
