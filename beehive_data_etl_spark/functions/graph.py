@@ -182,9 +182,12 @@ def connected_components_star(
 
     converged = False
     for _ in range(max_iter):
-        if _is_star_forest(edges):
-            converged = True
-            break
+        # round FIRST, certify after: a fresh edge set is essentially
+        # never already a star forest, so a pre-round check is a wasted
+        # aggregate job in the common case — and a star round applied
+        # to a fixpoint is the identity, so round-then-check never
+        # corrupts an already-converged graph, it just certifies it
+        # one (idempotent) round later
         new_edges = _small_star(_large_star(edges))
         # ONE checkpoint per round: new_edges is referenced twice
         # inside sym_new's plan (itself + its swap), but fusing that
@@ -193,10 +196,9 @@ def connected_components_star(
         edges = new_edges.unionByName(
             new_edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
         ).distinct().localCheckpoint(eager=True)
-    # the loop checks BEFORE each round, so a graph converging exactly
-    # on the final allowed round needs one post-loop certificate
-    if not converged:
-        converged = _is_star_forest(edges)
+        if _is_star_forest(edges):
+            converged = True
+            break
     if strict and not converged:
         raise RuntimeError(
             f"connected_components_star did not converge in {max_iter} "

@@ -266,3 +266,36 @@ def test_maintain_job_dedup_section(spark, sink, tmp_path, monkeypatch, capsys):
         "a",
         "b",
     }
+
+
+def test_bucket_pairs_canonical_by_construction(spark):
+    """Round 5: sweep_decisions_lsh feeds bucket_pairs output straight
+    into verification WITHOUT _canonical_edges (one distinct-shuffle
+    saved) — valid only while bucket_pairs guarantees a<b ordering and
+    distinctness by construction. Pin that contract, including across
+    buckets (the same pair surfacing in several band buckets must
+    still collapse to one row)."""
+    from pyspark.sql import functions as F
+
+    from beehive_data_etl_spark.functions.dedup import bucket_pairs
+
+    banded = spark.createDataFrame(
+        [
+            # bucket (0, 'x'): ids out of order, with a duplicate id
+            (0, "x", "d3"), (0, "x", "d1"), (0, "x", "d2"), (0, "x", "d1"),
+            # same pair (d1,d3) again in another bucket
+            (1, "y", "d3"), (1, "y", "d1"),
+        ],
+        "band int, band_hash string, id string",
+    )
+    rows = bucket_pairs(banded, max_bucket=10).collect()
+    pairs = {(r.id_a, r.id_b): r.n_shared_bands for r in rows}
+    assert all(a < b for a, b in pairs), pairs
+    assert len(pairs) == len(set(pairs)), "distinct by construction"
+    # shared-band count: 2 from bucket x (the duplicated d1 pairs with
+    # d3 twice — real banded input has one row per (id, band) so this
+    # only arises in adversarial input and over- rather than
+    # under-counts) + 1 from bucket y. The canonicity contract the
+    # sweep relies on is the ROW properties above, not this count.
+    assert pairs[("d1", "d3")] == 3
+    assert set(pairs) == {("d1", "d2"), ("d1", "d3"), ("d2", "d3")}
