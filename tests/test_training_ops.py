@@ -353,3 +353,68 @@ def test_bm25_rare_term_dominates_and_orders(spark):
     assert out[0].doc_id == 100 and out[1].doc_id == 101
     ids = [r.doc_id for r in out]
     assert ids.index(100) < ids.index(102) and ids.index(101) < ids.index(102)
+
+
+def test_connected_components_both_variants_match_union_find_oracle(spark):
+    """Round 5 (the star-forest-certificate rewrite): both CC variants
+    must agree with a pure-Python union-find oracle on a batch of
+    seeded random graphs spanning the shapes that break naive
+    implementations — sparse forests, dense blobs, rings, and a
+    barbell (two cliques bridged by a path, where a premature
+    convergence certificate would report two components). Star runs on
+    every graph; plain propagation only where the diameter allows its
+    default max_iter."""
+    import random
+
+    from beehive_data_etl_spark.functions.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    def union_find(n_nodes, edges):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {x: find(x) for x in parent}
+
+    rng = random.Random(20260821)
+    cases = []
+    # sparse random forests / graphs
+    for n, m in ((12, 8), (30, 25), (50, 60)):
+        cases.append(
+            [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+        )
+    # ring (diameter n/2)
+    cases.append([(i, (i + 1) % 20) for i in range(20)])
+    # barbell: two 6-cliques + a 7-node bridge path
+    barbell = [(i, j) for i in range(6) for j in range(i + 1, 6)]
+    barbell += [(100 + i, 100 + j) for i in range(6) for j in range(i + 1, 6)]
+    barbell += [(5, 50), (50, 51), (51, 52), (52, 53), (53, 100)]
+    cases.append(barbell)
+
+    for edges in cases:
+        edges = [(a, b) for a, b in edges if a != b]
+        if not edges:
+            continue
+        want = union_find(None, edges)
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        star = {
+            r.node: r.comp for r in connected_components_star(pairs).collect()
+        }
+        assert star == want, (sorted(edges), "star")
+        # plain propagation where the diameter fits its default budget
+        plain = {
+            r.node: r.comp
+            for r in connected_components(pairs, max_iter=60).collect()
+        }
+        assert plain == want, (sorted(edges), "plain")
