@@ -1386,8 +1386,20 @@ def main() -> None:
     queries = _run_headline_queries()
     serving = _run_serving()
     cdc = _run_cdc_scaling()
-    paired_sjvm = _run_paired_single_jvm()
-    sharded = _run_paired_weak()
+
+    def _retry(fn, name):
+        # one retry per paired section: a transient worker death (OOM
+        # kill, host hiccup) must not discard the whole run's
+        # measurements; a second consecutive failure is a real
+        # infrastructure problem and should crash loudly
+        try:
+            return fn()
+        except RuntimeError as exc:
+            print(f"{name} failed once ({exc}); retrying", file=sys.stderr)
+            return fn()
+
+    paired_sjvm = _retry(_run_paired_single_jvm, "paired_single_jvm")
+    sharded = _retry(_run_paired_weak, "paired_executor_model")
     smoke = _submit_smoke()
     result = {
         "metric": "headline_query_suite_wall_seconds",
