@@ -1364,6 +1364,18 @@ def _write_bench_md(result: dict) -> None:
         fh.write("\n".join(lines) + "\n")
 
 
+def _retry_once(fn, name: str):
+    """One retry per paired section: a transient worker death (OOM
+    kill, host hiccup) must not discard the whole run's measurements; a
+    second consecutive failure is a real infrastructure problem and
+    crashes loudly (unit-tested in tests/test_bench_protocol.py)."""
+    try:
+        return fn()
+    except RuntimeError as exc:
+        print(f"{name} failed once ({exc}); retrying", file=sys.stderr)
+        return fn()
+
+
 def main() -> None:
     if len(sys.argv) >= 3 and sys.argv[1] == "--cdc-worker":
         _cdc_worker(int(sys.argv[2]))
@@ -1387,19 +1399,8 @@ def main() -> None:
     serving = _run_serving()
     cdc = _run_cdc_scaling()
 
-    def _retry(fn, name):
-        # one retry per paired section: a transient worker death (OOM
-        # kill, host hiccup) must not discard the whole run's
-        # measurements; a second consecutive failure is a real
-        # infrastructure problem and should crash loudly
-        try:
-            return fn()
-        except RuntimeError as exc:
-            print(f"{name} failed once ({exc}); retrying", file=sys.stderr)
-            return fn()
-
-    paired_sjvm = _retry(_run_paired_single_jvm, "paired_single_jvm")
-    sharded = _retry(_run_paired_weak, "paired_executor_model")
+    paired_sjvm = _retry_once(_run_paired_single_jvm, "paired_single_jvm")
+    sharded = _retry_once(_run_paired_weak, "paired_executor_model")
     smoke = _submit_smoke()
     result = {
         "metric": "headline_query_suite_wall_seconds",

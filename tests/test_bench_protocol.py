@@ -111,3 +111,32 @@ def test_attempt_walls_from_worker_reports():
     ]
     walls = _attempt_walls(makespans, reports)
     assert walls == {0: 4.1, 1: 6.2}  # solo = its wall; fleet = max; 2 dropped
+
+
+def test_retry_once_semantics():
+    """Paired sections retry exactly once on RuntimeError; success on
+    the retry returns its value, a second failure propagates, and
+    non-RuntimeError exceptions are never swallowed."""
+    from bench import _retry_once
+
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("worker died")
+        return "ok"
+
+    assert _retry_once(flaky, "x") == "ok" and calls["n"] == 2
+
+    def always():
+        raise RuntimeError("infra broken")
+
+    with pytest.raises(RuntimeError, match="infra broken"):
+        _retry_once(always, "x")
+
+    def typeerr():
+        raise TypeError("bug, not weather")
+
+    with pytest.raises(TypeError):
+        _retry_once(typeerr, "x")
