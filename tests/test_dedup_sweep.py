@@ -299,3 +299,34 @@ def test_bucket_pairs_canonical_by_construction(spark):
     # sweep relies on is the ROW properties above, not this count.
     assert pairs[("d1", "d3")] == 3
     assert set(pairs) == {("d1", "d2"), ("d1", "d3"), ("d2", "d3")}
+
+
+def test_sweep_lsh_variant_paths_agree(spark):
+    """The opt-out/variant knobs must not change results: the
+    broadcast_small=False path (adversarial duplicate subgraphs too
+    big to broadcast) and the cc="simple" path must produce exactly
+    the decisions of the default broadcast+star path."""
+    from pyspark.sql import functions as F
+
+    from beehive_data_etl_spark.functions.dedup import word_shingles
+    from beehive_data_etl_spark.operators.dedup_sweep import (
+        sweep_decisions_lsh,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+    def run(**kw):
+        return {
+            r.doc_id: (r.cluster_id, r.action)
+            for r in sweep_decisions_lsh(
+                docs, word_shingles("text", 3), k=16, bands=8,
+                threshold=0.8, **kw
+            ).collect()
+        }
+
+    base = run()
+    assert len(base) == docs.count()
+    assert any(v[1] == "D" for v in base.values())  # non-vacuous
+    assert run(broadcast_small=False) == base
+    assert run(cc="simple") == base
+    assert run(broadcast_small=False, cc="simple") == base
